@@ -1,0 +1,122 @@
+"""HMAC-SHA256 pseudonymization column function.
+
+Reference semantics (utils.js:16-26):
+
+    function hash (HMAC_KEY, ...properties) {
+      const hmac = crypto.createHmac('sha256', HMAC_KEY)
+      properties.forEach(property => { if (property) hmac.update(`${property}`) })
+      return hmac.digest('hex')
+    }
+
+Contract details that MUST be replicated for insert_id parity (SURVEY.md §2A):
+
+* **Falsy args are skipped**, not empty-stringified: null/undefined, '', 0,
+  0.0, NaN and false contribute nothing to the digest (utils.js:20).
+* Non-string args are coerced with JS template-string semantics: integral
+  numbers render without a decimal point (`String(5.0) === '5'`), floats use
+  shortest round-trip form (same as Python repr for the normal range).
+* There is **no separator** between concatenated properties.
+* user_id is hashed FIRST and the already-hashed value feeds insert_id
+  (utils.js:70-74).
+
+Spark has no HMAC builtin (`sha2()` is a plain digest — not a substitute), so
+this is the engine's flagship Pandas UDF: Arrow-batched, applied after filters
+so Catalyst can still push predicates to the scan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac as _hmac
+import math
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _make_js_string_coerce():
+    """Factory returning the JS `String(value)` coercion with falsy-skip.
+
+    Defined as a closure-local function (not a module global) so that any UDF
+    capturing it is serialized BY VALUE by cloudpickle — executor Python
+    workers must not need this package importable on their own sys.path.
+    """
+    import math as _math
+
+    def js_string_coerce(value):
+        if value is None:
+            return None
+        if isinstance(value, str):
+            return value if value else None
+        if isinstance(value, bool):
+            return "true" if value else None  # String(false) skipped by guard
+        if isinstance(value, int):
+            return str(value) if value != 0 else None
+        if isinstance(value, float):
+            if value == 0.0 or _math.isnan(value):
+                return None
+            if value.is_integer() and abs(value) < 1e21:
+                return str(int(value))  # String(5.0) === '5'
+            return repr(value)  # shortest round-trip, same rule as JS doubles
+        return str(value)
+
+    return js_string_coerce
+
+
+#: driver-side alias (tests, golden vectors)
+js_string_coerce = _make_js_string_coerce()
+
+
+def hmac_sha256_py(key: str, *properties) -> str:
+    """Driver-side reference implementation (used for golden tests)."""
+    mac = _hmac.new(key.encode("utf-8"), digestmod=hashlib.sha256)
+    for prop in properties:
+        coerced = js_string_coerce(prop)
+        if coerced is not None:
+            mac.update(coerced.encode("utf-8"))
+    return mac.hexdigest()
+
+
+def hmac_sha256(key: str, *cols: Column) -> Column:
+    """Vectorized HMAC-SHA256 over the JS-coerced, falsy-skipping concat of cols.
+
+    Usage: df.withColumn("user_id", hmac_sha256(cfg.hmac_key, F.col("user_id")))
+    """
+    key_bytes = key.encode("utf-8")
+    coerce = _make_js_string_coerce()  # closure-local → pickled by value
+
+    @pandas_udf("string")
+    def _hmac_udf(*series: pd.Series) -> pd.Series:
+        import hashlib as _hashlib
+        import hmac as _hm
+
+        import pandas as _pd
+
+        n = len(series[0]) if series else 0
+        out = []
+        columns = [s.tolist() for s in series]
+        for i in range(n):
+            mac = _hm.new(key_bytes, digestmod=_hashlib.sha256)
+            for col_vals in columns:
+                coerced = coerce(col_vals[i])
+                if coerced is not None:
+                    mac.update(coerced.encode("utf-8"))
+            out.append(mac.hexdigest())
+        return _pd.Series(out, dtype="object")
+
+    return _hmac_udf(*cols)
+
+
+def insert_id_col(key: str, user_id: Column, device_id: Column, session_id: Column, event_type: Column, time: Column) -> Column:
+    """Canonical event-identity key for idempotent-sink dedup (utils.js:74).
+
+    `user_id` must already be the HMAC-hashed value (utils.js:70 runs first).
+    """
+    return hmac_sha256(key, user_id, device_id, session_id, event_type, time)
+
+
+def sha256_hex(col: Column) -> Column:
+    """Plain SHA-256 (JVM-side, codegen'd) — for non-keyed fingerprints."""
+    return F.sha2(col.cast("string"), 256)

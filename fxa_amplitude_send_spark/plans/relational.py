@@ -1,0 +1,638 @@
+"""Relational core queries (SURVEY.md §2B) over the TPC-H-ish tables.
+
+Design rules applied throughout (the 100 TB posture):
+
+* Declarative DataFrame plans only — Catalyst does pushdown/pruning/reorder.
+* Small dims (region/nation/supplier) get explicit ``broadcast()`` hints.
+* Every aggregate over doubles is rounded to the decimal scale of its true
+  value so the DuckDB differential hash is stable across summation orders.
+* Ordering-sensitive operators (top-k, window rank) always carry a unique
+  tiebreaker column so results are total-ordered and deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# scans / filters / projections
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_scan_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS disc_price,
+           l_quantity * l_tax AS qty_tax
+    FROM lineitem
+    """,
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + projection + column arithmetic; ReadSchema must show only the
+    five referenced columns (column pruning)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+        (F.col("l_quantity") * F.col("l_tax")).alias("qty_tax"),
+    )
+
+
+@query(
+    "q_filter_pred",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01' AND TIMESTAMP '1995-12-31'
+      AND l_discount BETWEEN 0.02 AND 0.08
+      AND l_quantity < 24
+      AND l_returnflag IN ('A', 'R')
+      AND l_linestatus LIKE 'F%'
+    """,
+)
+def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive predicates: BETWEEN / IN / LIKE / comparison — all pushed
+    to the parquet scan (PushedFilters in explain)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_shipdate").between("1994-01-01", "1995-12-31")
+        & F.col("l_discount").between(0.02, 0.08)
+        & (F.col("l_quantity") < 24)
+        & F.col("l_returnflag").isin("A", "R")
+        & F.col("l_linestatus").like("F%")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'O'
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join; Catalyst picks broadcast vs sort-merge by stats, AQE
+    can switch at runtime. Filter applied before the join (pushdown)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    customer = _t(spark, sf_dir, "customer")
+    return orders.join(customer, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, r.r_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dim broadcast join — explicit hint; no shuffle at any scale."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name", "r_name")
+
+
+@query(
+    "q_join_multi",
+    oracle="""
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name
+    """,
+)
+def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-way join: fact-fact shuffle join on orderkey, then
+    broadcast joins for the shrinking dimension chain. Revenue rounded to the
+    exact decimal scale of the true sum (price 2dp × discount 2dp → 4dp)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + count (TPC-H Q13 shape): customers with zero orders
+    kept with n_orders = 0."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence join — left_semi never materializes the right side's columns
+    and deduplicates by construction."""
+    customer = _t(spark, sf_dir, "customer")
+    big_orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return customer.join(
+        big_orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negation join — customers with no orders at all."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_range",
+    oracle="""
+    SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id,
+           a.event_type AS a_type, b.event_type AS b_type
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.ts < b.ts
+     AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/theta join with an equi anchor: pairs of events by the same user
+    within 10 minutes. The user_id equality keeps this a hash/sort-merge join
+    with a range residual — NOT a cartesian BNLJ — so it scales as
+    O(rows-per-user²) per key, not O(n²) overall."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    return a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.ts") < F.col("b.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select(
+        F.col("a.event_id").alias("a_id"),
+        F.col("b.event_id").alias("b_id"),
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_type").alias("a_type"),
+        F.col("b.event_type").alias("b_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_group",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: the canonical hash aggregate. Spark does partial (map-side)
+    + final aggregation automatically; with 4 groups the reduce side is tiny
+    at any scale — the map-side combine is what makes this 100 TB-safe."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+        F.round(F.sum(charge), 6).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi count-distinct: Spark expands to a two-phase aggregate; exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query("q_agg_approx_distinct")  # rows-only: HLL estimates are engine-specific
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the constant-memory cardinality
+    path for 100 TB scale — estimate differs per engine, so rows-only check."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts")
+    )
+
+
+@query(
+    "q_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical grouping sets (rollup): (flag,status), (flag), ()."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "q_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full grouping-set lattice (cube) over two low-cardinality dims."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# window functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_name, c_acctbal, rnk FROM (
+      SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+             RANK() OVER (PARTITION BY c_nationkey
+                          ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      FROM customer)
+    WHERE rnk <= 3
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group via ranking window; c_custkey tiebreak makes the order
+    total so results are deterministic across engines."""
+    customer = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        customer.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_nationkey", "c_custkey", "c_name", "c_acctbal", "rnk")
+    )
+
+
+@query(
+    "q_window_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-sum frame; total order (orderdate, orderkey) fixes the
+    accumulation sequence so both engines add in the same order."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@query(
+    "q_window_lag",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+           ROUND((epoch_us(ts) - epoch_us(LAG(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id))) / 1000000.0, 6)
+             AS gap_seconds
+    FROM events
+    """,
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic lag: inter-event gap per user — the sessionization primitive."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        prev.alias("prev_ts"),
+        F.round(
+            (F.unix_micros(F.col("ts")) - F.unix_micros(prev)) / 1000000.0, 6
+        ).alias("gap_seconds"),
+    )
+
+
+@query(
+    "q_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: TakeOrderedAndProject — per-partition heaps + driver
+    merge, never a full sort. Unique o_orderkey tiebreak → deterministic."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+    """,
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    return customer.select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
+    ).unionByName(
+        supplier.select(
+            F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side")
+        )
+    )
+
+
+@query(
+    "q_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (distinct semantics) — nations with both customers
+    and suppliers."""
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    return customer.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@query(
+    "q_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (distinct) — nations with customers but no suppliers."""
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    return customer.select(F.col("c_nationkey").alias("nationkey")).subtract(
+        supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar function coverage
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           SUBSTR(c_name, 1, 8) AS name_prefix,
+           LENGTH(c_name) AS name_len,
+           TRIM(c_mktsegment) AS segment,
+           CONCAT(c_name, ':', c_mktsegment) AS name_seg,
+           REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS name_digits,
+           REPLACE(c_name, '#', '-') AS name_dash
+    FROM customer
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.trim(F.col("c_mktsegment")).alias("segment"),
+        F.concat(F.col("c_name"), F.lit(":"), F.col("c_mktsegment")).alias("name_seg"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dash"),
+    )
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           EXTRACT(year FROM o_orderdate) AS order_year,
+           EXTRACT(month FROM o_orderdate) AS order_month,
+           EXTRACT(day FROM o_orderdate) AS order_day,
+           EXTRACT(quarter FROM o_orderdate) AS order_quarter,
+           date_trunc('month', o_orderdate) AS order_month_start,
+           o_orderdate + INTERVAL 90 DAY AS due_date,
+           date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_95
+    FROM orders
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("order_day"),
+        F.quarter("o_orderdate").cast("bigint").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").alias("order_month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since_95"),
+    )
+
+
+@query(
+    "q_math_funcs",
+    oracle="""
+    SELECT p_partkey,
+           ROUND(p_retailprice, 1) AS price_round,
+           ABS(p_retailprice - 1000) AS price_dev,
+           ROUND(LN(p_retailprice), 6) AS price_ln,
+           ROUND(LOG10(p_retailprice), 6) AS price_log10,
+           ROUND(SQRT(p_retailprice), 6) AS price_sqrt,
+           ROUND(POW(p_size, 2), 1) AS size_sq,
+           CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+           CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+           p_partkey % 7 AS key_mod
+    FROM part
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.round("p_retailprice", 1).alias("price_round"),
+        F.abs(F.col("p_retailprice") - 1000).alias("price_dev"),
+        F.round(F.log(F.col("p_retailprice")), 6).alias("price_ln"),
+        F.round(F.log10(F.col("p_retailprice")), 6).alias("price_log10"),
+        F.round(F.sqrt(F.col("p_retailprice")), 6).alias("price_sqrt"),
+        F.round(F.pow(F.col("p_size"), 2), 1).alias("size_sq"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.floor("p_retailprice").alias("price_floor"),
+        (F.col("p_partkey") % 7).alias("key_mod"),
+    )
+
+
+@query(
+    "q_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 4) AS vec_sum,
+           ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS vec_max
+    FROM embeddings
+    """,
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over embedding vectors — all JVM-side
+    (no UDF): size / element_at / aggregate / array_max."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(F.element_at(F.col("embedding"), 1).cast("double"), 6).alias(
+            "first_val"
+        ),
+        F.round(
+            F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("vec_sum"),
+        F.round(F.array_max(F.col("embedding")).cast("double"), 6).alias("vec_max"),
+    )

@@ -1,0 +1,193 @@
+"""Reference-semantics fixture tests (FIXTURES.md §B): each quirk of
+utils.js:37-90 exercised with hand-built payloads and golden expectations."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from fxa_amplitude_send_spark.functions.hashing import hmac_sha256_py
+from fxa_amplitude_send_spark.operators.event_pipeline import (
+    event_pipeline,
+    parse_envelope,
+    quarantine_split,
+)
+
+KEY = "test-key"
+
+BASE_EVENT = {
+    "device_id": "d-1",
+    "user_id": "u-1",
+    "event_type": "fxa_login - complete",
+    "time": 1704067200000,
+    "session_id": 1704067100000,
+    "event_properties": {"service": "sync"},
+    "user_properties": {"$set": {"ua_browser": "Firefox"}, "flow_id": "f-1"},
+}
+
+
+def payload_df(spark, *payloads):
+    return spark.createDataFrame([(json.dumps(p),) for p in payloads], "payload string")
+
+
+def run(spark, *payloads, fanout=True):
+    df = payload_df(spark, *payloads)
+    return event_pipeline(df, KEY, fanout=fanout).collect()
+
+
+def test_envelope_fields_with_stringified_props(spark):
+    ev = dict(BASE_EVENT)
+    ev["event_properties"] = json.dumps(ev["event_properties"])
+    ev["user_properties"] = json.dumps(ev["user_properties"])
+    rows = run(spark, {"Fields": ev})
+    assert len(rows) == 2  # identify + httpapi
+    httpapi = [r for r in rows if r.emit_rank == 1][0]
+    assert json.loads(httpapi.event_properties) == {"service": "sync"}
+    assert httpapi.user_properties == {"flow_id": "f-1"}
+
+
+def test_envelope_op_data(spark):
+    inner = dict(BASE_EVENT, user_properties={"flow_id": "f-9"})
+    rows = run(spark, {"Fields": {"op": "insert", "data": json.dumps(inner)}})
+    assert len(rows) == 1
+    assert rows[0].event_type == "fxa_login - complete"
+    assert rows[0].user_properties == {"flow_id": "f-9"}
+
+
+def test_envelope_bare(spark):
+    rows = run(spark, dict(BASE_EVENT, user_properties={"k": "v"}))
+    assert len(rows) == 1
+    assert rows[0].device_id == "d-1"
+
+
+@pytest.mark.parametrize(
+    "patch",
+    [
+        {"device_id": "", "user_id": ""},
+        {"device_id": None, "user_id": None},
+        {"event_type": ""},
+        {"time": 0},
+        {"time": -5},
+        {"time": None},
+        {"time": "1704067200000"},  # string time fails is.positive (utils.js:34)
+    ],
+)
+def test_invalid_events_dropped(spark, patch):
+    ev = dict(BASE_EVENT)
+    ev.update(patch)
+    assert run(spark, ev) == []
+
+
+def test_device_only_kept_and_hash_skips_falsy_user(spark):
+    ev = dict(BASE_EVENT)
+    del ev["user_id"]
+    ev["user_properties"] = {"plain": "x"}
+    rows = run(spark, ev)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.user_id is None
+    # insert_id: falsy user_id contributes nothing (utils.js:19-23)
+    assert r.insert_id == hmac_sha256_py(
+        KEY, None, "d-1", 1704067100000.0, "fxa_login - complete", 1704067200000.0
+    )
+
+
+def test_session_numeric_string_repaired(spark):
+    ev = dict(BASE_EVENT, session_id="1704067100000", user_properties={"a": "b"})
+    rows = run(spark, ev)
+    assert rows[0].session_id == 1704067100000.0
+
+
+def test_session_parseint_prefix(spark):
+    # JS parseInt('123abc', 10) === 123 — prefix parse, not try_cast
+    ev = dict(BASE_EVENT, session_id="123abc", user_properties={"a": "b"})
+    rows = run(spark, ev)
+    assert rows[0].session_id == 123.0
+
+
+def test_session_garbage_to_minus_one(spark):
+    ev = dict(BASE_EVENT, session_id="not-a-number", user_properties={"a": "b"})
+    rows = run(spark, ev)
+    assert rows[0].session_id == -1.0
+
+
+def test_numeric_session_untouched(spark):
+    ev = dict(BASE_EVENT, session_id=123.5, user_properties={"a": "b"})
+    rows = run(spark, ev)
+    assert rows[0].session_id == 123.5
+
+
+def test_identify_split_order_and_payload(spark):
+    rows = run(spark, BASE_EVENT)
+    assert len(rows) == 2
+    identify, httpapi = sorted(rows, key=lambda r: r.emit_rank)
+    assert identify.event_type == "$identify"
+    assert identify.emit_rank == 0  # identify FIRST (synchronous-pull.js:66)
+    assert set(identify.user_properties) == {"$set"}
+    assert json.loads(identify.user_properties["$set"]) == {"ua_browser": "Firefox"}
+    assert httpapi.user_properties == {"flow_id": "f-1"}  # verbs removed
+    assert identify.insert_id is None  # identify carries no insert_id (utils.js:78-83)
+    assert httpapi.insert_id is not None
+
+
+def test_identify_all_verbs(spark):
+    up = {"$set": {"a": 1}, "$setOnce": {"b": 2}, "$add": {"c": 3}, "$append": {"d": 4}, "$unset": {"e": 5}}
+    ev = dict(BASE_EVENT, user_properties=up)
+    rows = run(spark, ev)
+    identify = [r for r in rows if r.emit_rank == 0][0]
+    assert set(identify.user_properties) == set(up)
+    httpapi = [r for r in rows if r.emit_rank == 1][0]
+    assert httpapi.user_properties == {}
+
+
+def test_no_identify_for_plain_props(spark):
+    ev = dict(BASE_EVENT, user_properties={"flow_id": "f-1"})
+    rows = run(spark, ev)
+    assert len(rows) == 1
+    assert rows[0].event_type == "fxa_login - complete"
+
+
+def test_missing_user_properties_divergence(spark):
+    # reference throws (utils.js:77); engine emits httpapi only (SURVEY.md §2A)
+    ev = dict(BASE_EVENT)
+    del ev["user_properties"]
+    rows = run(spark, ev)
+    assert len(rows) == 1
+    assert rows[0].user_properties is None
+
+
+def test_user_id_hashed_before_insert_id(spark):
+    rows = run(spark, BASE_EVENT)
+    httpapi = [r for r in rows if r.emit_rank == 1][0]
+    hashed_user = hmac_sha256_py(KEY, "u-1")
+    assert httpapi.user_id == hashed_user
+    assert httpapi.insert_id == hmac_sha256_py(
+        KEY,
+        hashed_user,
+        "d-1",
+        1704067100000.0,
+        "fxa_login - complete",
+        1704067200000.0,
+    )
+
+
+def test_duplicate_pair_same_insert_id(spark):
+    rows = run(spark, dict(BASE_EVENT, user_properties={}), dict(BASE_EVENT, user_properties={}))
+    assert len(rows) == 2
+    assert rows[0].insert_id == rows[1].insert_id
+
+
+def test_quarantine_split(spark):
+    good = dict(BASE_EVENT, user_properties={})
+    bad = dict(BASE_EVENT, event_type="")
+    df = payload_df(spark, good, bad)
+    ok, quarantined = quarantine_split(df)
+    assert ok.count() == 1
+    assert quarantined.count() == 1
+
+
+def test_parse_envelope_distinguishes_string_time(spark):
+    df = payload_df(spark, dict(BASE_EVENT, time="1704067200000"))
+    parsed = parse_envelope(df).collect()[0]
+    assert parsed.time is None  # string time is not a number (is.positive fails)

@@ -1,0 +1,72 @@
+"""Golden tests for HMAC-SHA256 parity with the reference's hash()
+(utils.js:16-26): falsy-skipping, JS string coercion, no separator."""
+
+from __future__ import annotations
+
+import hashlib
+import hmac
+
+import pyspark.sql.functions as F
+
+from fxa_amplitude_send_spark.functions.hashing import (
+    hmac_sha256,
+    hmac_sha256_py,
+    js_string_coerce,
+)
+
+KEY = "test-key"
+
+
+def expected(concat: str) -> str:
+    return hmac.new(KEY.encode(), concat.encode(), hashlib.sha256).hexdigest()
+
+
+def test_basic_concat_no_separator():
+    # hash(key, 'u-1', 'd-1') must equal HMAC over 'u-1d-1'
+    assert hmac_sha256_py(KEY, "u-1", "d-1") == expected("u-1d-1")
+
+
+def test_falsy_args_skipped():
+    # utils.js:20 — null/''/0/NaN contribute nothing
+    assert hmac_sha256_py(KEY, None, "", 0, "x", 0.0, float("nan")) == expected("x")
+    assert hmac_sha256_py(KEY) == expected("")
+
+
+def test_js_number_coercion():
+    # String(1704067200000) and String(5.0) === '5'; String(1.5) === '1.5'
+    assert js_string_coerce(1704067200000) == "1704067200000"
+    assert js_string_coerce(5.0) == "5"
+    assert js_string_coerce(1.5) == "1.5"
+    assert js_string_coerce(-1.0) == "-1"
+    assert js_string_coerce(0) is None
+    assert js_string_coerce("") is None
+    assert js_string_coerce(False) is None
+    assert js_string_coerce(True) == "true"
+
+
+def test_insert_id_shape():
+    # insert_id = hash(key, hashed_user, device, session, type, time) — the
+    # session_id/time arrive as doubles but hash as integer strings.
+    hashed_user = hmac_sha256_py(KEY, "u-1")
+    got = hmac_sha256_py(
+        KEY, hashed_user, "d-1", 1704067100000.0, "login", 1704067200000.0
+    )
+    concat = hashed_user + "d-1" + "1704067100000" + "login" + "1704067200000"
+    assert got == expected(concat)
+
+
+def test_udf_matches_python(spark):
+    rows = [
+        ("u-1", "d-1", 1704067100000.0),
+        (None, "d-2", 0.0),
+        ("", "d-3", 123.5),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, device_id string, session_id double")
+    out = df.select(
+        "user_id",
+        "device_id",
+        "session_id",
+        hmac_sha256(KEY, F.col("user_id"), F.col("device_id"), F.col("session_id")).alias("h"),
+    ).collect()
+    for r in out:
+        assert r["h"] == hmac_sha256_py(KEY, r["user_id"], r["device_id"], r["session_id"])
