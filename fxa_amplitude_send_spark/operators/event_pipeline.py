@@ -78,49 +78,62 @@ def parse_envelope(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     and ``_time_is_number`` used by the validity predicate.
     """
     payload = F.col(payload_col)
-    fields = F.get_json_object(payload, "$.Fields")
-    op = F.get_json_object(fields, "$.op")
-    data = F.get_json_object(fields, "$.data")
+    fields_txt = F.get_json_object(payload, "$.Fields")
+    opdata = F.from_json(fields_txt, "op string, data string")
 
     # JS truthiness: `event.op && event.data` (utils.js:41) — empty strings fail.
     event_str = (
-        F.when(fields.isNotNull() & (F.length(op) > 0) & (F.length(data) > 0), data)
-        .when(fields.isNotNull(), fields)
+        F.when(
+            fields_txt.isNotNull()
+            & (F.length(opdata["op"]) > 0)
+            & (F.length(opdata["data"]) > 0),
+            opdata["data"],
+        )
+        .when(fields_txt.isNotNull(), fields_txt)
         .otherwise(payload)
     )
 
     out = df.withColumn("_event", event_str)
     ev = F.col("_event")
 
-    # Single-parse numeric-type detection: from_json yields NULL where the JSON
-    # value is a string, so we can replicate `is.positive(event.time)` (numbers
-    # only, utils.js:34) and `is.string(event.session_id)` (utils.js:59).
+    # Two parses of the event, by design (not per-column extraction):
+    # * ``text``: every field as StringType — from_json captures any JSON type
+    #   as its literal text (objects become JSON text, numbers their token),
+    #   which uniformly handles the stringified-props envelope (utils.js:44-50).
+    # * ``nums``: numeric-TYPE detection — from_json yields NULL where the
+    #   JSON value is a string, replicating `is.positive(event.time)` (numbers
+    #   only, utils.js:34) and `is.string(event.session_id)` (utils.js:59).
+    # Codegen CSE evaluates each parse once per operator.
+    text = F.from_json(
+        ev,
+        "device_id string, user_id string, event_type string,"
+        " session_id string, event_properties string, user_properties string",
+    )
     nums = F.from_json(ev, "time double, session_id double")
 
-    session_text = F.get_json_object(ev, "$.session_id")
     # parseInt(x, 10): optional sign, leading digit run, else NaN → -1
     # (utils.js:61-65). Regexp replicates the leading-prefix parse
     # ("123abc" → 123), which try_cast alone would reject.
-    session_prefix = F.regexp_extract(session_text, r"^\s*([+-]?\d+)", 1)
+    session_prefix = F.regexp_extract(text["session_id"], r"^\s*([+-]?\d+)", 1)
     session_repaired = (
-        F.when(nums["session_id"].isNotNull(), nums["session_id"])  # true JSON number: untouched
+        F.when(nums["session_id"].isNotNull(), nums["session_id"])  # number: untouched
         .when(
-            session_text.isNotNull(),
+            text["session_id"].isNotNull(),
             F.coalesce(session_prefix.try_cast("double"), F.lit(-1.0)),
         )
         .otherwise(F.lit(None).cast("double"))  # absent stays absent
     )
 
     return (
-        out.withColumn("device_id", F.get_json_object(ev, "$.device_id"))
-        .withColumn("user_id", F.get_json_object(ev, "$.user_id"))
-        .withColumn("event_type", F.get_json_object(ev, "$.event_type"))
+        out.withColumn("device_id", text["device_id"])
+        .withColumn("user_id", text["user_id"])
+        .withColumn("event_type", text["event_type"])
         .withColumn("time", nums["time"])
         .withColumn("session_id", session_repaired)
-        .withColumn("event_properties", F.get_json_object(ev, "$.event_properties"))
+        .withColumn("event_properties", text["event_properties"])
         .withColumn(
             "user_properties",
-            F.from_json(F.get_json_object(ev, "$.user_properties"), "map<string,string>"),
+            F.from_json(text["user_properties"], "map<string,string>"),
         )
         .drop("_event")
     )
