@@ -1,0 +1,317 @@
+"""Near-duplicate detection operators for LLM-corpus curation, Spark-first.
+
+Four families (SURVEY.md §2B, north-star ops):
+
+* exact / fingerprint dedup — hash aggregate (see plans/llm.py)
+* n-gram Jaccard — exact set similarity via inverted-index equi-join
+* MinHash + LSH banding — sub-quadratic near-dup candidates
+* SimHash — 64-bit fingerprints + hamming-band candidate pairs
+
+Scale notes: every pairwise step is expressed as an equi-join on a derived
+key (token, band hash, simhash chunk) so Catalyst plans an ordinary shuffle
+join — never a cartesian product. Hot keys (corpus-wide common tokens) are
+handled with a document-frequency cut, the standard trick that bounds the
+inverted index's posting-list length.
+
+MinHash signatures are computed WITHOUT a shuffle: per-row higher-order
+expressions (transform + array_min) over the shingle-hash array, one pass,
+fully codegen'd. Only the banding step shuffles, on uniformly-distributed
+band hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic MinHash parameters (seed fixed: engine results must be stable
+# across runs; the driver re-executes queries and compares).
+_MERSENNE = (1 << 31) - 1
+
+
+def _hash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """k (a, b) pairs for universal hashing h(x) = (a*x + b) mod p."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(k)]
+
+
+def tokens_col(text: Column) -> Column:
+    return F.filter(F.split(text, " "), lambda t: F.length(t) > 0)
+
+
+def shingles_col(text: Column, n: int = 1) -> Column:
+    """Distinct n-gram shingles of the whitespace tokens (n=1 → token set)."""
+    toks = tokens_col(text)
+    if n == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(gram)
+
+
+def minhash_signature(shingles: Column, k: int = 64, seed: int = 42) -> Column:
+    """k-component MinHash signature as array<int> — per-row, no shuffle.
+
+    sig[i] = min over shingles s of (a_i * xxhash(s) + b_i) mod p.
+    """
+    params = _hash_params(k, seed)
+    hashes = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    comps = [
+        F.array_min(
+            F.transform(hashes, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE)))
+        )
+        for a, b in params
+    ]
+    return F.array(*comps)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 64,
+    bands: int = 8,
+    threshold: float = 0.8,
+    shingle_n: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHash + LSH banding.
+
+    1. signature: per-row expressions (no shuffle)
+    2. banding: explode k/bands-sized signature slices, hash each band
+    3. candidates: self-equi-join on (band_idx, band_hash) — a plain shuffle
+       join; identical bands collide, so expected cost is O(near-dup pairs),
+       not O(n²)
+    4. estimate: fraction of agreeing signature components (an unbiased
+       Jaccard estimator), filtered at ``threshold``
+
+    Output: (doc_a, doc_b, est_jaccard), doc_a < doc_b.
+    """
+    rows_per_band = k // bands
+    sig = docs.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(shingles_col(F.col(text_col), shingle_n), k, seed).alias("_sig"),
+    )
+
+    band_arr = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",", *[F.element_at("_sig", i * rows_per_band + j + 1) for j in range(rows_per_band)]
+                )
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "_id",
+        "_sig",
+        F.posexplode(band_arr).alias("_band", "_bhash"),
+    )
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l._band") == F.col("r._band"))
+            & (F.col("l._bhash") == F.col("r._bhash"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("doc_a"),
+            F.col("r._id").alias("doc_b"),
+            F.col("l._sig").alias("_siga"),
+            F.col("r._sig").alias("_sigb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("_siga", "_sigb", lambda a, b: a == b), lambda x: x
+            )
+        ).cast("double")
+        / F.lit(float(k))
+    )
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+    max_doc_freq: float = 1.0,
+) -> DataFrame:
+    """EXACT n-gram (token-set) Jaccard pairs via inverted-index equi-join.
+
+    jaccard(A,B) = |A∩B| / (|A| + |B| - |A∩B|); the intersection size comes
+    from a token-level self-join (shuffle join on token), set sizes from a
+    per-doc aggregate. ``max_doc_freq`` < 1 drops corpus-wide tokens (the
+    classic posting-list skew cut) before pairing — at web scale the
+    stop-token cut is what keeps the join's key distribution sane.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles_col(F.col(text_col))).alias("_tok"),
+    )
+    if max_doc_freq < 1.0:
+        n_docs = docs.count()
+        hot = (
+            toks.groupBy("_tok")
+            .agg(F.countDistinct("_id").alias("_df"))
+            .filter(F.col("_df") > int(max_doc_freq * n_docs))
+            .select("_tok")
+        )
+        toks = toks.join(F.broadcast(hot), "_tok", "left_anti")
+
+    sizes = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("_size"))
+
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a._tok") == F.col("b._tok")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("doc_a"), F.col("_size").alias("_sa"))
+    sb = sizes.select(F.col("_id").alias("doc_b"), F.col("_size").alias("_sb"))
+    jac = F.col("_inter") / (F.col("_sa") + F.col("_sb") - F.col("_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_col(text: Column, bits: int = 64) -> Column:
+    """SimHash fingerprint as one per-row expression chain (no UDF, no
+    shuffle): each token votes ±1 on each bit of its xxhash64; the sign of
+    the per-bit sum is the fingerprint bit."""
+    toks = tokens_col(text)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _vote(b):
+        # closure (NOT a default arg: pyspark counts lambda params)
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_votes = [_vote(b) for b in range(bits)]
+    out = F.lit(0).cast("long")
+    for b, vote in enumerate(bit_votes):
+        # shiftleft (not lit(1 << b)): bit 63 overflows a Java long literal
+        # but wraps correctly (sign bit) under the shift.
+        bit = F.shiftleft(F.lit(1).cast("long"), b)
+        out = out + F.when(vote > 0, bit).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Candidate generation by the 4-chunk pigeonhole trick: split the 64-bit
+    fingerprint into 4 16-bit chunks; any pair within hamming distance 3
+    must agree on at least one chunk → equi-join per chunk, then exact
+    hamming verification with bit_count. Again: joins on derived keys, no
+    cartesian."""
+    fp = docs.select(
+        F.col(id_col).alias("_id"), simhash_col(F.col(text_col)).alias("_fp")
+    )
+    chunks = fp.select(
+        "_id",
+        "_fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("_fp", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("_chunk_idx", "_chunk"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._chunk_idx") == F.col("b._chunk_idx"))
+            & (F.col("a._chunk") == F.col("b._chunk"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("doc_a"),
+            F.col("b._id").alias("doc_b"),
+            F.col("a._fp").alias("_fpa"),
+            F.col("b._fp").alias("_fpb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("_fpa").bitwiseXOR(F.col("_fpb")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def embedding_near_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.98,
+    n_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH.
+
+    Bucket = sign bits of <v, r_i> for seeded hyperplanes r_i; cosine-close
+    vectors collide with high probability. Exact cosine verifies candidates.
+    The bucket equi-join replaces the O(n²) similarity matrix."""
+    from .similarity import hyperplane_bucket_col
+
+    from ..functions.vectors import cosine_similarity_col
+
+    bucketed = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        hyperplane_bucket_col(F.col(vec_col), n_planes=n_planes, seed=seed).alias("_bucket"),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    cos = cosine_similarity_col(F.col("a._vec"), F.col("b._vec"))
+    return (
+        a.join(
+            b,
+            (F.col("a._bucket") == F.col("b._bucket")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("vec_a"),
+            F.col("b._id").alias("vec_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

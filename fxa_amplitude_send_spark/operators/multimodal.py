@@ -1,0 +1,74 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed with Arrow-batched mapInPandas.
+
+The container has no image/audio codecs, so the DECODE step is a
+deterministic fake clearly marked as a stub (``decode_stub=True`` output
+column); everything Spark-side — binary schema, batch iteration, output
+struct, partition behavior — is real and tested. Swapping the stub for a
+PIL/ffmpeg call changes only the inner function body.
+
+At 100 TB the pattern matters more than the codec: mapInPandas streams Arrow
+record batches through the Python worker, so peak memory is one batch (bound
+by spark.sql.execution.arrow.maxRecordsPerBatch), not one partition, and the
+decode parallelism is exactly the scan parallelism — no shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Output schema of the fake image-decode: metadata a real decoder would emit.
+IMAGE_META_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, width int, height int, n_frames int, decode_stub boolean"
+)
+
+
+def attach_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Treat the UTF-8 bytes of ``text`` as an opaque media payload column —
+    the schema shape (id + binary + metadata) of a real multimodal table."""
+    return docs.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+def decode_image_meta(with_payload: DataFrame) -> DataFrame:
+    """mapInPandas 'decode': binary payload → typed metadata rows.
+
+    STUB: real decoding needs an image codec not present in this container.
+    The fake is deterministic (pure function of the bytes) so results are
+    stable for differential checks: width/height derive from byte length,
+    n_frames from the first byte.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n_bytes = payloads.map(len)
+            first = payloads.map(lambda b: b[0] if len(b) else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes,
+                    "width": (64 + n_bytes % 512).astype("int32"),
+                    "height": (64 + (n_bytes * 7) % 512).astype("int32"),
+                    "n_frames": (1 + first % 8).astype("int32"),
+                    "decode_stub": True,
+                }
+            )
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        decode, schema=IMAGE_META_SCHEMA
+    )
+
+
+def frame_sample(meta: DataFrame, every_nth: int = 2) -> DataFrame:
+    """Frame-sampling plumbing: expand n_frames → one row per sampled frame
+    index (explode of a sequence — pure JVM, no UDF)."""
+    return meta.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))
+        ).alias("frame_idx"),
+    )

@@ -1,0 +1,125 @@
+"""Similarity search over embedding columns: exact brute-force baseline and
+LSH-bucketed approximate path.
+
+Scale design: brute-force top-k against ONE query is a broadcast + linear
+scan + TakeOrderedAndProject — optimal as-is. For many-query / all-pairs
+workloads the hyperplane-LSH bucket join turns the O(n·m) similarity matrix
+into an equi-join on bucket ids; recall is tuned by n_planes (bucket width)
+and multi-probe (neighboring buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity_col
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Seeded deterministic hyperplanes (no numpy dependency at executor)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def hyperplane_bucket_col(
+    vec: Column, dim: int = 64, n_planes: int = 8, seed: int = 7
+) -> Column:
+    """LSH bucket id = integer of sign bits of <vec, r_i>, pure expressions."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        plane_lit = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, plane_lit, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Exact cosine top-k of ``emb`` against a single-row ``query`` frame."""
+    joined = emb.crossJoin(F.broadcast(query))
+    sim = cosine_similarity_col(F.col(vec_col), F.col(query_vec_col))
+    return (
+        joined.select(F.col(id_col), F.round(sim, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ann_bucketed_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    n_planes: int = 6,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k neighbors for MANY queries at once.
+
+    Both sides are bucketed by the same hyperplanes; candidates come from the
+    bucket equi-join; exact cosine re-ranks within buckets and a ranking
+    window takes k per query. Sub-linear candidate generation, deterministic
+    output (seeded planes, total ordering with id tiebreak)."""
+    from pyspark.sql import Window
+
+    e = emb.select(
+        F.col(id_col).alias("_eid"),
+        F.col(vec_col).alias("_evec"),
+        hyperplane_bucket_col(F.col(vec_col), n_planes=n_planes, seed=seed).alias("_bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("_qvec"),
+        hyperplane_bucket_col(F.col(query_vec_col), n_planes=n_planes, seed=seed).alias("_bucket"),
+    )
+    cand = e.join(q, "_bucket").filter(F.col("_eid") != F.col("query_id"))
+    sim = cosine_similarity_col(F.col("_evec"), F.col("_qvec"))
+    scored = cand.select(
+        "query_id", F.col("_eid").alias(id_col), F.round(sim, 6).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", id_col, "cos_sim", "rnk")
+    )
+
+
+def knn_label_vote(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    **kwargs,
+) -> DataFrame:
+    """Majority-label classification from the ANN top-k (ground-truth demo)."""
+    topk = ann_bucketed_topk(emb, queries, k=k, **kwargs)
+    labeled = topk.join(
+        emb.select(F.col("vec_id"), F.col("label")), "vec_id"
+    )
+    votes = labeled.groupBy("query_id", "label").agg(F.count(F.lit(1)).alias("votes"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("label"))
+    return (
+        votes.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "votes")
+    )

@@ -219,3 +219,192 @@ def llm_doc_events_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# near-duplicate detection (operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_dedup_ngram",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_distinct(list_filter(string_split(text, ' '),
+                                   x -> length(x) > 0)) AS toks
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
+                 6) AS jaccard
+    FROM t a, t b
+    WHERE a.doc_id < b.doc_id
+      AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9
+    """,
+)
+def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT token-set Jaccard near-dup pairs (threshold 0.9) via
+    inverted-index equi-join — the oracle cross-joins lists (fine at 500
+    docs); the engine path is the one that scales (shuffle join on token,
+    doc-frequency cut available for web-scale posting lists)."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.9)
+
+
+@query("llm_dedup_near")  # rows-only: MinHash estimates are engine-specific
+def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=64) + LSH(8 bands) near-dup candidates at est_jaccard>=0.8.
+    Signature construction is shuffle-free per-row expressions; only banding
+    shuffles. Deterministic: seeded hash params."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, k=64, bands=8, threshold=0.8)
+
+
+@query("llm_dedup_simhash")  # rows-only: fingerprint bit layout is ours
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 fingerprints + hamming<=3 pairs via the 4-chunk pigeonhole
+    equi-join (no cartesian)."""
+    from ..operators.dedup import simhash_near_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, max_hamming=3)
+
+
+@query("llm_dedup_embedding")  # rows-only: LSH bucketing is engine-specific
+def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (hyperplane LSH buckets + exact
+    verify at cos>=0.3 — the synthetic embeddings are near-orthogonal, so
+    the threshold sits in the observed upper tail)."""
+    from ..operators.dedup import embedding_near_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_pairs(emb, threshold=0.3, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# similarity search / ANN (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+@query("llm_sim_ann")  # rows-only: approximate by construction
+def llm_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-query ANN: every 50th vector queries the corpus; hyperplane-LSH
+    bucket join generates candidates, exact cosine re-ranks, window takes
+    top-5. The scale path for llm_sim_topk's exact baseline."""
+    from ..operators.similarity import ann_bucketed_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ann_bucketed_topk(emb, queries_df, k=5, n_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# text analysis: language id (pure column expressions, SQL-checkable)
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "y"),
+    "de": ("der", "und", "das"),
+    "zh": ("de5", "shi4", "le5"),
+}
+
+
+@query(
+    "llm_lang_id",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), t -> t IN ('the','and','of'))) AS s_en,
+             len(list_filter(string_split(text, ' '), t -> t IN ('le','la','et'))) AS s_fr,
+             len(list_filter(string_split(text, ' '), t -> t IN ('el','los','y'))) AS s_es,
+             len(list_filter(string_split(text, ' '), t -> t IN ('der','und','das'))) AS s_de,
+             len(list_filter(string_split(text, ' '), t -> t IN ('de5','shi4','le5'))) AS s_zh
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE GREATEST(s_en, s_fr, s_es, s_de, s_zh)
+             WHEN 0 THEN 'und'
+             WHEN s_en THEN 'en'
+             WHEN s_fr THEN 'fr'
+             WHEN s_es THEN 'es'
+             WHEN s_de THEN 'de'
+             ELSE 'zh' END AS predicted_lang,
+           GREATEST(s_en, s_fr, s_es, s_de, s_zh) AS marker_hits
+    FROM scored
+    """,
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID: count per-language stopword markers, argmax
+    with a fixed priority tiebreak (en,fr,es,de,zh), 'und' when no markers.
+    Pure codegen'd expressions — the n-gram-profile shape of fastText-style
+    langid without the model."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    def _marker_count(markers):
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = {lang: _marker_count(m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in ("en", "fr", "es", "de", "zh"):
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return docs.select(
+        "doc_id",
+        pred.alias("predicted_lang"),
+        best.cast("bigint").alias("marker_hits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           CAST(64 + octet_length(CAST(text AS BLOB)) % 512 AS INT) AS width,
+           CAST(64 + (octet_length(CAST(text AS BLOB)) * 7) % 512 AS INT) AS height,
+           CAST(1 + ascii(substr(text, 1, 1)) % 8 AS INT) AS n_frames,
+           TRUE AS decode_stub
+    FROM documents
+    """,
+)
+def llm_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload decode plumbing verified end-to-end: text bytes as an
+    opaque payload column → mapInPandas 'decoder' (deterministic STUB — no
+    codec in this container) → typed metadata. The oracle recomputes the
+    same metadata from SQL, proving the Arrow batch path preserves values."""
+    from ..operators.multimodal import attach_binary_payload, decode_image_meta
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_image_meta(attach_binary_payload(docs))
+
+
+@query(
+    "llm_frame_sample",
+    oracle="""
+    SELECT doc_id, unnest(range(0, 1 + ascii(substr(text, 1, 1)) % 8, 2)) AS frame_idx
+    FROM documents
+    """,
+)
+def llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out: every 2nd frame index per decoded payload
+    (explode of a sequence — JVM-side, no UDF)."""
+    from ..operators.multimodal import attach_binary_payload, decode_image_meta, frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample(decode_image_meta(attach_binary_payload(docs)), every_nth=2)

@@ -636,3 +636,39 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("vec_sum"),
         F.round(F.array_max(F.col("embedding")).cast("double"), 6).alias("vec_max"),
     )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    SELECT event_id, user_id, ts, asof_ts
+    FROM (
+      SELECT event_id, user_id, ts, _side,
+             last_value(CASE WHEN _side = 0 THEN ts END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, _side
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_ts
+      FROM (
+        SELECT event_id, user_id, ts, 1 AS _side FROM events
+         WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT event_id, user_id, ts, 0 AS _side FROM events
+         WHERE event_type = 'click'
+      )
+    )
+    WHERE _side = 1
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/joins.py): for each purchase, the latest click
+    by the same user at-or-before it. Union + windowed last_value(ignorenulls)
+    — one shuffle on the key, sort-merge cost profile, no per-key loops. The
+    oracle uses the identical window formulation (DuckDB's native ASOF JOIN
+    matches it)."""
+    from ..operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return asof_join(purchases, clicks, on="user_id", left_ts="ts", right_ts="ts")

@@ -1,0 +1,153 @@
+"""Unit tests for the composite operators: as-of join, MinHash/SimHash
+dedup, ANN, multimodal plumbing — toy inputs with hand-checked expectations."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+class TestAsofJoin:
+    def make(self, spark):
+        left = spark.createDataFrame(
+            [
+                (1, ts("2024-01-01T10:00:00"), "p1"),
+                (1, ts("2024-01-01T12:00:00"), "p2"),
+                (2, ts("2024-01-01T09:00:00"), "p3"),
+            ],
+            "user_id int, ts timestamp, name string",
+        )
+        right = spark.createDataFrame(
+            [
+                (1, ts("2024-01-01T09:30:00"), 10.0),
+                (1, ts("2024-01-01T11:00:00"), 20.0),
+                (2, ts("2024-01-01T09:30:00"), 30.0),  # after p3 → no match
+            ],
+            "user_id int, ts timestamp, price double",
+        )
+        return left, right
+
+    def test_backward_semantics(self, spark):
+        from fxa_amplitude_send_spark.operators.joins import asof_join
+
+        left, right = self.make(spark)
+        out = {
+            r["name"]: (r["asof_ts"], r["asof_price"])
+            for r in asof_join(
+                left, right, on="user_id", right_value_cols=("price",)
+            ).collect()
+        }
+        assert out["p1"] == (ts("2024-01-01T09:30:00"), 10.0)
+        assert out["p2"] == (ts("2024-01-01T11:00:00"), 20.0)
+        assert out["p3"] == (None, None)  # no right row at-or-before
+
+    def test_same_instant_included(self, spark):
+        from fxa_amplitude_send_spark.operators.joins import asof_join
+
+        left = spark.createDataFrame(
+            [(1, ts("2024-01-01T10:00:00"), "p")], "user_id int, ts timestamp, name string"
+        )
+        right = spark.createDataFrame(
+            [(1, ts("2024-01-01T10:00:00"), 5.0)], "user_id int, ts timestamp, price double"
+        )
+        rows = asof_join(left, right, on="user_id", right_value_cols=("price",)).collect()
+        assert rows[0]["asof_price"] == 5.0  # at-or-before includes equal ts
+
+
+class TestMinHash:
+    def test_identical_docs_full_estimate(self, spark):
+        from fxa_amplitude_send_spark.operators.dedup import minhash_lsh_pairs
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "x y z w q r s t")],
+            "doc_id long, text string",
+        )
+        rows = minhash_lsh_pairs(docs, threshold=0.5).collect()
+        assert len(rows) == 1
+        assert rows[0]["doc_a"] == 1 and rows[0]["doc_b"] == 2
+        assert rows[0]["est_jaccard"] == 1.0
+
+    def test_estimate_tracks_exact_jaccard(self, spark):
+        from fxa_amplitude_send_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        # 9 shared tokens of 10 → exact jaccard ~0.818; k=64 estimate within ~0.2
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i k")],
+            "doc_id long, text string",
+        )
+        exact = ngram_jaccard_pairs(docs, threshold=0.0).collect()[0]["jaccard"]
+        est = minhash_lsh_pairs(docs, threshold=0.0).collect()[0]["est_jaccard"]
+        assert exact == pytest.approx(9 / 11, abs=1e-6)
+        assert abs(est - exact) < 0.2
+
+    def test_signature_deterministic(self, spark):
+        from fxa_amplitude_send_spark.operators.dedup import minhash_signature, shingles_col
+
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        sig = docs.select(minhash_signature(shingles_col(F.col("text"))).alias("s"))
+        a = sig.collect()[0]["s"]
+        b = sig.collect()[0]["s"]
+        assert a == b and len(a) == 64
+
+
+class TestSimHash:
+    def test_identical_zero_hamming(self, spark):
+        from fxa_amplitude_send_spark.operators.dedup import simhash_near_pairs
+
+        docs = spark.createDataFrame(
+            [(1, "spark query engine fast"), (2, "spark query engine fast"),
+             (3, "completely different words entirely here now")],
+            "doc_id long, text string",
+        )
+        rows = simhash_near_pairs(docs, max_hamming=0).collect()
+        assert len(rows) == 1
+        assert (rows[0]["doc_a"], rows[0]["doc_b"], rows[0]["hamming"]) == (1, 2, 0)
+
+
+class TestAnn:
+    def test_ann_finds_exact_duplicate_vector(self, spark):
+        from fxa_amplitude_send_spark.operators.similarity import ann_bucketed_topk
+
+        vecs = [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.01, 0.0, 0.0]),  # near-dup of 1
+            (3, [-1.0, 0.0, 0.0, 0.0]),
+        ]
+        emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        queries = emb.filter(F.col("vec_id") == 1).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        rows = ann_bucketed_topk(emb, queries, k=2, n_planes=4, vec_col="embedding").collect()
+        ids = [r["vec_id"] for r in rows]
+        assert 2 in ids  # the near-dup shares every hyperplane sign bucket
+
+
+class TestMultimodal:
+    def test_decode_meta_matches_bytes(self, spark):
+        from fxa_amplitude_send_spark.operators.multimodal import (
+            attach_binary_payload,
+            decode_image_meta,
+            frame_sample,
+        )
+
+        docs = spark.createDataFrame([(7, "hello world")], "doc_id long, text string")
+        meta = decode_image_meta(attach_binary_payload(docs)).collect()[0]
+        n = len("hello world".encode())
+        assert meta["n_bytes"] == n
+        assert meta["width"] == 64 + n % 512
+        assert meta["height"] == 64 + (n * 7) % 512
+        assert meta["n_frames"] == 1 + ord("h") % 8
+        assert meta["decode_stub"] is True
+        frames = frame_sample(
+            decode_image_meta(attach_binary_payload(docs)), every_nth=2
+        ).collect()
+        assert [f["frame_idx"] for f in frames] == list(range(0, meta["n_frames"], 2))
