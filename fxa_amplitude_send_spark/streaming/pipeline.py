@@ -1,0 +1,130 @@
+"""Structured Streaming wrapper: the reference's poll loop as micro-batches.
+
+Mapping (SURVEY.md §3.4):
+
+| reference (synchronous-pull.js)        | engine                               |
+|----------------------------------------|--------------------------------------|
+| while(isProcessing) pull ≤N msgs (:44) | micro-batch trigger + per-trigger    |
+|                                        | source rate limit                    |
+| parseMessage map (:56-72)              | the SAME batch expressions —         |
+|                                        | event_pipeline() works unchanged on  |
+|                                        | a streaming DataFrame                |
+| send with retry (:74-86)               | foreachBatch → http_batch_sink       |
+| ack after send (:88-92)                | checkpoint commit after the batch    |
+|                                        | function returns (at-least-once)     |
+| Amplitude insert_id dedup (utils:74)   | dropDuplicatesWithinWatermark        |
+| events.processed metrics (:94-101)     | per-batch counts + min/max publish   |
+
+The file source stands in for Pub/Sub (no emulator in this container); the
+source abstraction is one function so a Kafka/queue source swaps in without
+touching the pipeline. ``maxFilesPerTrigger`` is the MAX_EVENTS_PER_BATCH
+analogue at the source side.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+from ..operators.event_pipeline import event_pipeline
+
+
+def read_payload_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Unbounded stream of JSON payload lines from a directory (R1 analogue).
+
+    Each text line is one payload — the post-decode shape of
+    ``synchronous-pull.js:57``. Rate limiting via maxFilesPerTrigger mirrors
+    the ≤ MAX_EVENTS_PER_BATCH pull cap.
+    """
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path).select(F.col("value").alias("payload"))
+
+
+def streaming_event_pipeline(stream_df: DataFrame, hmac_key: str) -> DataFrame:
+    """The batch pipeline verbatim — every stage is a stateless projection /
+    filter / explode, all streaming-compatible by construction."""
+    return event_pipeline(stream_df, hmac_key)
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    watermark_delay: str = "1 hour",
+    id_col: str = "insert_id",
+) -> DataFrame:
+    """Stateful streaming dedup on insert_id (the engine-side version of
+    Amplitude's idempotent-sink dedup, utils.js:74): state is bounded by the
+    event-time watermark, so memory doesn't grow with the stream."""
+    with_event_time = df.withColumn(
+        "event_time", F.timestamp_millis(F.col("time").cast("long"))
+    )
+    return with_event_time.withWatermark(
+        "event_time", watermark_delay
+    ).dropDuplicatesWithinWatermark([id_col])
+
+
+def run_pipeline(
+    stream_df: DataFrame,
+    config: PipelineConfig,
+    checkpoint_dir: str,
+    hmac_key: str | None = None,
+    sink: Callable[[DataFrame, PipelineConfig], None] | None = None,
+    metrics_log: list | None = None,
+    available_now: bool = True,
+):
+    """Wire the pipeline to a sink under exactly-once-ish semantics:
+    transform inside foreachBatch, send, THEN let the checkpoint commit —
+    ack-after-send (synchronous-pull.js:88-92). A batch failure leaves the
+    offset uncommitted and the batch replays: at-least-once delivery with
+    idempotent-sink dedup via insert_id.
+
+    ``metrics_log`` (if given) collects the reference's events.processed
+    record per batch (synchronous-pull.js:94-101): input/output counts.
+    Returns the started StreamingQuery.
+    """
+    key = hmac_key if hmac_key is not None else config.hmac_key
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        input_count = batch_df.count()
+        out = event_pipeline(batch_df, key)
+        if sink is not None:
+            sink(out, config)
+        if metrics_log is not None:
+            metrics_log.append(
+                {
+                    "type": "events.processed",
+                    "batch_id": batch_id,
+                    "inputCount": input_count,
+                    "outputCount": out.count(),
+                }
+            )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def write_payload_files(payloads: list[dict], directory: str, files: int = 3) -> None:
+    """Test helper: split payload dicts across N text files (one JSON per
+    line) so maxFilesPerTrigger=1 yields N micro-batches."""
+    import os
+
+    os.makedirs(directory, exist_ok=True)
+    per = max(1, (len(payloads) + files - 1) // files)
+    for i in range(0, len(payloads), per):
+        with open(os.path.join(directory, f"part-{i:05d}.txt"), "w") as fh:
+            for p in payloads[i : i + per]:
+                fh.write(json.dumps(p) + "\n")

@@ -1,0 +1,226 @@
+"""Streaming pipeline + HTTP sink tests (SURVEY.md §5.2 item 5):
+batch-vs-stream equivalence, retry policy, chunking, stateful dedup."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.error
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+from fxa_amplitude_send_spark.config import PipelineConfig
+from fxa_amplitude_send_spark.operators.event_pipeline import event_pipeline
+from fxa_amplitude_send_spark.sinks.http_batch import http_batch_sink, send_events_http
+from fxa_amplitude_send_spark.streaming.pipeline import (
+    dedup_within_watermark,
+    read_payload_stream,
+    run_pipeline,
+    write_payload_files,
+)
+
+KEY = "test-key"
+
+
+class RecordingServer:
+    """In-process HTTP server: records request bodies, replays a scripted
+    status sequence (then 200s forever)."""
+
+    def __init__(self, statuses=()):
+        self.bodies: list[dict] = []
+        self.statuses = list(statuses)
+        self.lock = threading.Lock()
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):  # noqa: N802
+                length = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(length)
+                with outer.lock:
+                    status = outer.statuses.pop(0) if outer.statuses else 200
+                    if status == 200:
+                        outer.bodies.append(json.loads(raw))
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(b"{}")
+
+            def log_message(self, *args):
+                pass
+
+        self.server = HTTPServer(("127.0.0.1", 0), Handler)
+        self.thread = threading.Thread(target=self.server.serve_forever, daemon=True)
+        self.thread.start()
+
+    @property
+    def endpoint(self) -> str:
+        return f"http://127.0.0.1:{self.server.server_port}/batch"
+
+    def close(self):
+        self.server.shutdown()
+
+
+def payloads_for(n: int, dup_of: int | None = None) -> list[dict]:
+    out = []
+    for i in range(n):
+        j = dup_of if dup_of is not None else i
+        out.append(
+            {
+                "device_id": f"d-{j}",
+                "user_id": f"u-{j}",
+                "event_type": "login",
+                "time": 1704067200000 + j,
+                "session_id": 1704067100000,
+                "user_properties": {"flow_id": f"f-{j}"},
+            }
+        )
+    return out
+
+
+class TestHttpSink:
+    def test_chunking_and_payload_shape(self, spark):
+        srv = RecordingServer()
+        try:
+            cfg = PipelineConfig(
+                amplitude_api_key="api-k",
+                hmac_key=KEY,
+                max_events_per_batch=10,
+                endpoint=srv.endpoint,
+            )
+            df = spark.createDataFrame(
+                [(f"u-{i}", "login", float(i)) for i in range(25)],
+                "user_id string, event_type string, time double",
+            ).coalesce(1)
+            http_batch_sink(df, cfg)
+            assert len(srv.bodies) == 3  # 10 + 10 + 5
+            total = sum(len(b["events"]) for b in srv.bodies)
+            assert total == 25
+            assert all(b["api_key"] == "api-k" for b in srv.bodies)
+        finally:
+            srv.close()
+
+    def test_retry_on_5xx_then_success(self):
+        srv = RecordingServer(statuses=[500, 503])
+        try:
+            attempts = send_events_http(
+                [{"a": 1}], srv.endpoint, "k", max_retries=3, backoff_seconds=0.01
+            )
+            assert attempts == 3
+            assert len(srv.bodies) == 1
+        finally:
+            srv.close()
+
+    def test_4xx_not_retried_by_default(self):
+        srv = RecordingServer(statuses=[400])
+        try:
+            with pytest.raises(urllib.error.HTTPError):
+                send_events_http(
+                    [{"a": 1}], srv.endpoint, "k", max_retries=3, backoff_seconds=0.01
+                )
+            assert srv.statuses == []  # exactly one request consumed
+        finally:
+            srv.close()
+
+    def test_4xx_retried_in_reference_mode(self):
+        # reference never bails (synchronous-pull.js:74-86) — retry_all_errors
+        srv = RecordingServer(statuses=[400, 404])
+        try:
+            attempts = send_events_http(
+                [{"a": 1}],
+                srv.endpoint,
+                "k",
+                max_retries=3,
+                retry_all_errors=True,
+                backoff_seconds=0.01,
+            )
+            assert attempts == 3
+        finally:
+            srv.close()
+
+    def test_exhaustion_raises(self):
+        srv = RecordingServer(statuses=[500] * 10)
+        try:
+            with pytest.raises(urllib.error.HTTPError):
+                send_events_http(
+                    [{"a": 1}], srv.endpoint, "k", max_retries=2, backoff_seconds=0.01
+                )
+        finally:
+            srv.close()
+
+
+class TestStreaming:
+    def test_batch_stream_equivalence_and_metrics(self, spark, tmp_path):
+        payloads = payloads_for(30)
+        # every 3rd payload carries an identify verb
+        for i, p in enumerate(payloads):
+            if i % 3 == 0:
+                p["user_properties"]["$set"] = {"plan": "x"}
+        src = str(tmp_path / "in")
+        write_payload_files(payloads, src, files=3)
+
+        batch_df = spark.createDataFrame(
+            [(json.dumps(p),) for p in payloads], "payload string"
+        )
+        expected = {
+            (r.user_id, r.event_type, r.time, r.emit_rank)
+            for r in event_pipeline(batch_df, KEY).collect()
+        }
+
+        got: set = set()
+        metrics: list = []
+
+        def collecting_sink(df, _cfg):
+            got.update(
+                (r.user_id, r.event_type, r.time, r.emit_rank) for r in df.collect()
+            )
+
+        cfg = PipelineConfig(
+            amplitude_api_key="k", hmac_key=KEY, max_events_per_batch=100
+        )
+        stream = read_payload_stream(spark, src, max_files_per_trigger=1)
+        q = run_pipeline(
+            stream,
+            cfg,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            sink=collecting_sink,
+            metrics_log=metrics,
+        )
+        q.awaitTermination(120)
+        assert got == expected
+        assert sum(m["inputCount"] for m in metrics) == 30
+        assert sum(m["outputCount"] for m in metrics) == len(expected)
+        assert len(metrics) == 3  # one micro-batch per file
+
+    def test_streaming_dedup_within_watermark(self, spark, tmp_path):
+        # same logical event in two micro-batches → one survivor
+        payloads = payloads_for(4, dup_of=1)
+        src = str(tmp_path / "in")
+        write_payload_files(payloads, src, files=2)
+
+        stream = read_payload_stream(spark, src, max_files_per_trigger=1)
+        from fxa_amplitude_send_spark.operators.event_pipeline import (
+            parse_envelope,
+            pseudonymize,
+            validity_predicate,
+            with_insert_id,
+        )
+
+        parsed = with_insert_id(
+            pseudonymize(
+                parse_envelope(stream).filter(validity_predicate()), KEY
+            ),
+            KEY,
+        )
+        deduped = dedup_within_watermark(parsed, watermark_delay="2 hours")
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedup_out")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT insert_id FROM dedup_out").collect()
+        assert len(rows) == 1
