@@ -1,0 +1,81 @@
+"""Skew-mitigation patterns (SURVEY.md §4.3): salting for hot keys.
+
+AQE's skew-join splitting handles most runtime skew; these helpers cover the
+cases AQE can't — aggregation skew (one giant group) and broadcast-infeasible
+skewed joins — as API-level patterns, not planner changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: partial-aggregate spec: output_col -> (input_col, fn) with a merge fn
+_MERGEABLE = {
+    "sum": ("sum", "sum"),
+    "count": ("count", "sum"),
+    "min": ("min", "min"),
+    "max": ("max", "max"),
+}
+
+
+def _salt_col(cols: list[str], buckets: int) -> Column:
+    """Deterministic salt: hash of the full row's non-key columns spreads a
+    hot key across ``buckets`` reducers (deterministic → replayable)."""
+    return F.pmod(F.xxhash64(*cols), F.lit(buckets))
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys.
+
+    ``aggs``: output_name -> (input_col, fn) with fn in sum/count/min/max
+    (the mergeable subset). Phase 1 groups on (key, salt) — the hot key's
+    rows split across ``salt_buckets`` reducers; phase 2 merges partials per
+    key. Results are identical to a direct groupBy (these aggregates are
+    associative+commutative), verified in tests.
+    """
+    for fn_name in (fn for _, fn in aggs.values()):
+        if fn_name not in _MERGEABLE:
+            raise ValueError(f"{fn_name!r} is not mergeable; use sum/count/min/max")
+
+    value_cols = [c for c in df.columns if c not in key_cols]
+    salted = df.withColumn("_salt", _salt_col(value_cols or key_cols, salt_buckets))
+
+    phase1 = salted.groupBy(*key_cols, "_salt").agg(
+        *[
+            getattr(F, _MERGEABLE[fn][0])(col).alias(f"_p_{out}")
+            for out, (col, fn) in aggs.items()
+        ]
+    )
+    return phase1.groupBy(*key_cols).agg(
+        *[
+            getattr(F, _MERGEABLE[fn][1])(f"_p_{out}").alias(out)
+            for out, (col, fn) in aggs.items()
+        ]
+    )
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``skewed`` has hot keys and ``small`` is too large to
+    broadcast: salt the skewed side deterministically, replicate the small
+    side across every salt value (explode of a 0..n-1 sequence), join on
+    (key, salt). Row multiplicity is preserved exactly — each skewed row
+    joins the single replica carrying its salt."""
+    value_cols = [c for c in skewed.columns if c != on]
+    left = skewed.withColumn("_salt", _salt_col(value_cols or [on], salt_buckets))
+    right = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("bigint"))
+    out = left.join(right, on=[on, "_salt"], how=how)
+    return out.drop("_salt")

@@ -408,3 +408,51 @@ def llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return frame_sample(decode_image_meta(attach_binary_payload(docs)), every_nth=2)
+
+
+# ---------------------------------------------------------------------------
+# grouped-map UDF surface (applyInPandas)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_group_normalize",
+    oracle="""
+    SELECT doc_id, lang,
+           ROUND((n_chars - AVG(n_chars) OVER (PARTITION BY lang))
+                 / STDDEV_SAMP(n_chars) OVER (PARTITION BY lang), 6) AS z_chars
+    FROM documents
+    """,
+)
+def llm_group_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization via applyInPandas (the grouped-map
+    UDF surface, SURVEY.md §2B): each language group becomes one pandas
+    DataFrame in the Python worker; numerics must match the SQL window
+    formulation to 6 decimals — which the oracle verifies. At scale this
+    shuffles once on the group key; group size bounds worker memory, which
+    is why the key must be chosen with cardinality in mind."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def normalize(pdf):
+        mu = pdf["n_chars"].mean()
+        sd = pdf["n_chars"].std(ddof=1)
+        out = pdf[["doc_id", "lang"]].copy()
+        out["z_chars"] = ((pdf["n_chars"] - mu) / sd).round(6)
+        return out
+
+    return docs.groupBy("lang").applyInPandas(
+        normalize, schema="doc_id long, lang string, z_chars double"
+    )
+
+
+@query("llm_knn_label")  # rows-only: ANN bucket assignment is engine-specific
+def llm_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-label classification over the ANN path (every 50th
+    vector as query) — the standard embedding-quality probe."""
+    from ..operators.similarity import knn_label_vote
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return knn_label_vote(emb, queries_df, k=5, n_planes=4)

@@ -672,3 +672,65 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
     return asof_join(purchases, clicks, on="user_id", left_ts="ts", right_ts="ts")
+
+
+@query(
+    "q_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30 min) per user via F.session_window —
+    the oracle is the classic gaps-and-islands window formulation. Session
+    end = last event + gap (Spark's session_window contract); a gap of
+    exactly 30 min starts a new session on both sides."""
+    from ..streaming.windows import session_windows
+
+    ev = _t(spark, sf_dir, "events")
+    return session_windows(ev, key_col="user_id", ts_col="ts", gap="30 minutes")
+
+
+@query(
+    "q_window_sliding",
+    oracle="""
+    WITH w AS (
+      SELECT unnest([
+               time_bucket(INTERVAL 30 MINUTE, ts),
+               time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE
+             ]) AS window_start
+      FROM events
+    )
+    SELECT window_start,
+           window_start + INTERVAL 60 MINUTE AS window_end,
+           COUNT(*) AS n_events
+    FROM w GROUP BY window_start
+    """,
+)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h wide, 30 min slide): every event lands
+    in exactly 2 windows; the oracle expands both epoch-aligned starts with
+    unnest. Same builder serves streaming with a watermark."""
+    from ..streaming.windows import sliding_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return sliding_counts(ev, ts_col="ts", width="1 hour", slide="30 minutes")

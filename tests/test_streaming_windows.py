@@ -1,0 +1,91 @@
+"""Streaming windowed aggregations: the batch run IS the oracle — same
+builder, same columns, watermark added on the stream side."""
+
+from __future__ import annotations
+
+import json
+
+from fxa_amplitude_send_spark.sources import load_table
+from fxa_amplitude_send_spark.streaming.windows import (
+    session_windows,
+    sliding_counts,
+    tumbling_metrics,
+    with_watermark,
+)
+
+
+def canon(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def _stream_events(spark, tmp_path, sf_dir):
+    """events table → json lines in 3 files → file-source stream."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    pdf = ev.toPandas()
+    files = 3
+    per = (len(pdf) + files - 1) // files
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(files):
+        chunk = pdf.iloc[i * per : (i + 1) * per]
+        with open(src / f"part-{i}.json", "w") as fh:
+            for _, row in chunk.iterrows():
+                fh.write(
+                    json.dumps(
+                        {
+                            "event_id": int(row.event_id),
+                            "ts": row.ts.isoformat(),
+                            "user_id": int(row.user_id),
+                        }
+                    )
+                    + "\n"
+                )
+    return (
+        spark.readStream.format("json")
+        .schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+
+
+def _run_to_memory(spark, df, name, tmp_path, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_stream_equals_batch(spark, sf_smoke, tmp_path):
+    batch = tumbling_metrics(
+        load_table(spark, sf_smoke, "events"), ts_col="ts", width="1 hour"
+    )
+    stream = _stream_events(spark, tmp_path, sf_smoke)
+    streamed = tumbling_metrics(with_watermark(stream, "ts", "0 seconds"), "ts", "1 hour")
+    got = _run_to_memory(spark, streamed, "tumbling_out", tmp_path, mode="complete")
+    assert canon(got.collect()) == canon(batch.collect())
+
+
+def test_session_stream_equals_batch(spark, sf_smoke, tmp_path):
+    batch = session_windows(
+        load_table(spark, sf_smoke, "events"), key_col="user_id", gap="30 minutes"
+    )
+    stream = _stream_events(spark, tmp_path, sf_smoke)
+    streamed = session_windows(
+        with_watermark(stream, "ts", "0 seconds"), key_col="user_id", gap="30 minutes"
+    )
+    got = _run_to_memory(spark, streamed, "session_out", tmp_path, mode="complete")
+    assert canon(got.collect()) == canon(batch.collect())
+
+
+def test_sliding_stream_equals_batch(spark, sf_smoke, tmp_path):
+    batch = sliding_counts(load_table(spark, sf_smoke, "events"))
+    stream = _stream_events(spark, tmp_path, sf_smoke)
+    streamed = sliding_counts(with_watermark(stream, "ts", "0 seconds"))
+    got = _run_to_memory(spark, streamed, "sliding_out", tmp_path, mode="complete")
+    assert canon(got.collect()) == canon(batch.collect())
