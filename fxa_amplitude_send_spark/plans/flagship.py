@@ -74,7 +74,6 @@ def synthesize_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ref_event_pipeline")  # rows-only: HMAC not expressible in DuckDB
 def staged_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialize the synthesized payloads to a staging parquet (once per
     sf_dir), then scan them back.
@@ -103,6 +102,7 @@ def staged_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(staging)
 
 
+@query("ref_event_pipeline")  # rows-only: HMAC not expressible in DuckDB
 def ref_event_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline fan-out; output ordered structure matches the reference's
     [identify, httpapi] emission (emit_rank). CPU-bound (JSON parse + HMAC)

@@ -232,7 +232,7 @@ def llm_doc_events_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT doc_id, list_distinct(list_filter(string_split(text, ' '),
                                    x -> length(x) > 0)) AS toks
-      FROM documents
+      FROM documents WHERE doc_id < 500
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
@@ -246,33 +246,87 @@ def llm_doc_events_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT token-set Jaccard near-dup pairs (threshold 0.9) via
-    inverted-index equi-join — the oracle cross-joins lists (fine at 500
-    docs); the engine path is the one that scales (shuffle join on token,
-    doc-frequency cut available for web-scale posting lists)."""
+    inverted-index equi-join, on a bounded deterministic slice (doc_id<500).
+
+    Exact pair ENUMERATION is inherently quadratic in the near-dup cluster
+    size — this synthetic corpus draws every doc from a 31-token vocabulary,
+    so pair output grows O(n²) with corpus size no matter the algorithm.
+    The slice keeps the exactness demo honest and bounded; the unbounded
+    scale path is llm_dedup_near_clusters (linear, representative-based)."""
     from ..operators.dedup import ngram_jaccard_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     return ngram_jaccard_pairs(docs, threshold=0.9)
 
 
 @query("llm_dedup_near")  # rows-only: MinHash estimates are engine-specific
 def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(k=64) + LSH(8 bands) near-dup candidates at est_jaccard>=0.8.
+    """MinHash(k=64) + LSH(8 bands) near-dup candidate PAIRS at
+    est_jaccard>=0.8, on the same bounded slice as llm_dedup_ngram (pair
+    output is quadratic in cluster size on this corpus — see there).
     Signature construction is shuffle-free per-row expressions; only banding
     shuffles. Deterministic: seeded hash params."""
     from ..operators.dedup import minhash_lsh_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     return minhash_lsh_pairs(docs, k=64, bands=8, threshold=0.8)
+
+
+@query("llm_dedup_near_clusters")  # rows-only: MinHash bucketing is ours
+def llm_dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNBOUNDED near-dup scale path: instead of enumerating pairs,
+    assign every doc a cluster representative = the smallest doc_id sharing
+    any LSH band bucket. Cost is linear in corpus size + bucket aggregation:
+    one groupBy per band bucket (min doc), one join back, one min per doc —
+    no pairwise join anywhere, so output and shuffle stay O(n) even when
+    near-dup clusters are huge. Keep-one dedup = filter doc_id == cluster_rep."""
+    from ..operators.dedup import minhash_signature, shingles_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    k, bands = 64, 8
+    rows_per_band = k // bands
+    sig = docs.select(
+        "doc_id",
+        minhash_signature(shingles_col(F.col("text")), k).alias("_sig"),
+    )
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("_sig", i * rows_per_band + j + 1)
+                                for j in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("_band", "_bhash"),
+    )
+    bucket_rep = banded.groupBy("_band", "_bhash").agg(
+        F.min("doc_id").alias("_bucket_rep")
+    )
+    return (
+        banded.join(bucket_rep, ["_band", "_bhash"])
+        .groupBy("doc_id")
+        .agg(F.min("_bucket_rep").alias("cluster_rep"))
+        .withColumn("is_survivor", F.col("doc_id") == F.col("cluster_rep"))
+    )
 
 
 @query("llm_dedup_simhash")  # rows-only: fingerprint bit layout is ours
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 fingerprints + hamming<=3 pairs via the 4-chunk pigeonhole
-    equi-join (no cartesian)."""
+    equi-join (no cartesian); bounded slice for the same pair-output-growth
+    reason as llm_dedup_ngram."""
     from ..operators.dedup import simhash_near_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     return simhash_near_pairs(docs, max_hamming=3)
 
 
