@@ -734,3 +734,327 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return sliding_counts(ev, ts_col="ts", width="1 hour", slide="30 minutes")
+
+
+# ---------------------------------------------------------------------------
+# breadth: pivot, subqueries, percentiles, conditionals, casts, TPC-H shapes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_P,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0), 2) AS sum_F,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 0), 2) AS sum_O,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 0), 2) AS sum_P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) with an explicit value list — the explicit list
+    avoids the extra distinct-values job AND keeps the output schema static,
+    which is what you want in production (dynamic pivot = schema drift)."""
+    orders = _t(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("sum"),
+        )
+    )
+    # flatten pivot's "<value>_<agg>" names to the oracle's cnt_X/sum_X
+    out = pivoted.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(f"{v}_cnt"), F.lit(0)).alias(f"cnt_{v}")
+            for v in ("F", "O", "P")
+        ],
+        *[
+            F.coalesce(F.col(f"{v}_sum"), F.lit(0.0)).alias(f"sum_{v}")
+            for v in ("F", "O", "P")
+        ],
+    )
+    return out
+
+
+@query(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above 2x the global average. Expressed as a
+    broadcast of the 1-row aggregate — Catalyst executes the subquery once
+    and broadcasts the scalar; no per-row recomputation."""
+    orders = _t(spark, sf_dir, "orders")
+    avg_price = orders.agg(F.avg("o_totalprice").alias("_avg"))
+    return (
+        orders.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > 2 * F.col("_avg"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "q_correlated_exists",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part p
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45
+    )
+    """,
+)
+def q_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS via Spark SQL — Catalyst decorrelates it into a
+    left-semi join (same physical plan as q_join_semi's DataFrame form)."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name FROM part p
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+        """
+    )
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (percentile_cont semantics on both
+    engines). The exact form sorts per group; the approx_percentile variant
+    (see q_agg_approx_distinct for the pattern) is the 100 TB path."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(
+                F.expr(f"percentile(l_extendedprice, {p})"), 4
+            ).alias(f"p{int(p * 100)}")
+            for p in (0.25, 0.5, 0.75, 0.99)
+        ]
+    )
+
+
+@query(
+    "q_null_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           CASE WHEN o_totalprice IS NULL THEN -1 ELSE o_totalprice END AS price_nn,
+           (o_orderstatus IS NOT NULL AND o_orderstatus = 'F') AS is_final,
+           IFNULL(NULL, o_orderkey) AS key_filled
+    FROM orders
+    """,
+)
+def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling surface: coalesce/nullif/ifnull/is-null logic."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_label"
+        ),
+        F.when(F.col("o_totalprice").isNull(), F.lit(-1.0))
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_nn"),
+        (F.col("o_orderstatus").isNotNull() & (F.col("o_orderstatus") == "F")).alias(
+            "is_final"
+        ),
+        F.ifnull(F.lit(None).cast("bigint"), F.col("o_orderkey")).alias("key_filled"),
+    )
+
+
+@query(
+    "q_case_when",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity >= 40 THEN 'bulk'
+                WHEN l_quantity >= 15 THEN 'mid'
+                ELSE 'small' END AS qty_band,
+           CASE l_returnflag WHEN 'A' THEN 'accepted'
+                             WHEN 'R' THEN 'returned'
+                             ELSE 'none' END AS flag_label
+    FROM lineitem
+    """,
+)
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Searched + simple CASE expressions."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") >= 40, "bulk")
+        .when(F.col("l_quantity") >= 15, "mid")
+        .otherwise("small")
+        .alias("qty_band"),
+        F.when(F.col("l_returnflag") == "A", "accepted")
+        .when(F.col("l_returnflag") == "R", "returned")
+        .otherwise("none")
+        .alias("flag_label"),
+    )
+
+
+@query(
+    "q_casts",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(trunc(o_totalprice) AS BIGINT) AS price_int,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_dec,
+           TRY_CAST(o_orderstatus AS DOUBLE) AS bad_cast
+    FROM orders
+    """,
+)
+def q_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast surface incl. try_cast null-on-failure. Dialect note: Spark's
+    CAST(double AS BIGINT) truncates toward zero while DuckDB rounds — the
+    oracle applies trunc() explicitly to pin the Spark semantics."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_totalprice").cast("bigint").alias("price_int"),
+        F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
+        # decimal compared via its string rendering: pandas receives Decimal
+        # from Spark but float from DuckDB, so the raw type can't hash-match
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("price_dec"),
+        F.col("o_orderstatus").try_cast("double").alias("bad_cast"),
+    )
+
+
+@query(
+    "q_tpch_q3",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): selective filters pushed to all three
+    scans, join order customer→orders→lineitem (small→large), top-10 via
+    TakeOrderedAndProject with full tiebreak."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q_tpch_q10",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1994-10-01'
+      AND o.o_orderdate < TIMESTAMP '1995-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): quarter filter + returnflag
+    filter at the scans, broadcast nation, top-20."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1994-10-01") & (F.col("o_orderdate") < "1995-01-01")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q_window_nth",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           NTILE(4) OVER w AS price_quartile,
+           FIRST_VALUE(o_orderkey) OVER w AS first_key,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / first_value / nth_value over a fully-framed window (unbounded
+    frame so nth_value sees the whole partition on both engines)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_ntile = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w_ntile).alias("price_quartile"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )
