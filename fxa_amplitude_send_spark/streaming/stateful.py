@@ -1,0 +1,58 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+This is the engine's escape hatch for stateful semantics the built-in
+operators can't express (SURVEY.md §2B streaming table): user-defined state
+per key, updated per micro-batch, with timeout-based eviction. The built-in
+paths (windowed aggs, dropDuplicatesWithinWatermark, session_window) should
+always be preferred — this exists for the genuinely custom cases, the same
+way the reference's only state (Amplitude-side dedup + per-batch counters,
+synchronous-pull.js:94-101) would generalize if it tracked per-user totals.
+
+State discipline at scale: state lives in the state store partitioned by the
+group key; memory is bounded by (distinct keys x state row size), so keys
+must be chosen with cardinality in mind and timeouts set for eviction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def running_user_totals(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Per-key running totals that survive micro-batch boundaries.
+
+    Emits one updated row per key per batch in which the key appears:
+    (key, n_events, total_value) with counts accumulated since stream start.
+    The state tuple is (n_events, total_value); NoTimeout keeps state for
+    the stream's lifetime (add a ProcessingTimeTimeout for eviction in a
+    production deployment with unbounded key cardinality).
+    """
+
+    def update(key, pdfs, state):
+        # self-contained: stdlib + pandas only (executor pickling discipline)
+        import pandas as pd
+
+        (uid,) = key
+        if state.exists:
+            n_events, total_value = state.get
+        else:
+            n_events, total_value = 0, 0.0
+        for pdf in pdfs:
+            n_events += len(pdf)
+            total_value += float(pdf["value"].sum())
+        state.update((n_events, total_value))
+        yield pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_events": [n_events],
+                "total_value": [round(total_value, 6)],
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n_events long, total_value double",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
