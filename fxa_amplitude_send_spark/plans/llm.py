@@ -510,3 +510,41 @@ def llm_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     return knn_label_vote(emb, queries_df, k=5, n_planes=4)
+
+
+@query(
+    "llm_corpus_curate",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             sha256(text) AS fp
+      FROM documents
+      WHERE lang IN ('en', 'fr', 'es')
+        AND n_chars BETWEEN 100 AND 500
+    ), deduped AS (
+      SELECT MIN(doc_id) AS doc_id FROM scored GROUP BY fp
+    )
+    SELECT s.doc_id, s.lang, s.n_tokens
+    FROM scored s JOIN deduped d ON s.doc_id = d.doc_id
+    """,
+)
+def llm_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation composite: language filter + length gate +
+    fingerprint dedup (keep lowest doc_id) + token counting — the canonical
+    training-data prep pass, expressed as one declarative plan (filters push
+    to the scan; the only shuffle is the dedup aggregate on the 32-byte
+    fingerprint)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.filter(
+        F.col("lang").isin("en", "fr", "es") & F.col("n_chars").between(100, 500)
+    ).select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        F.sha2(F.col("text"), 256).alias("fp"),
+    )
+    survivors = scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return scored.join(survivors, "doc_id", "left_semi").select(
+        "doc_id", "lang", "n_tokens"
+    )

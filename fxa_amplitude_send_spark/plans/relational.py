@@ -1058,3 +1058,78 @@ def q_window_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("first_key"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
     )
+
+
+@query(
+    "q_array_hof",
+    oracle="""
+    SELECT vec_id,
+           ROUND(CAST(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> x * 2.0), 'sum') AS DOUBLE), 4) AS doubled_sum,
+           len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS n_positive,
+           (len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 3.0)) > 0)
+             AS has_large,
+           ROUND(CAST(list_sort(CAST(embedding AS DOUBLE[]))[1] AS DOUBLE), 6)
+             AS smallest,
+           ROUND(CAST(list_slice(CAST(embedding AS DOUBLE[]), 1, 4)[4] AS DOUBLE), 6)
+             AS fourth_val
+    FROM embeddings
+    """,
+)
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions: transform / filter / exists / sort /
+    slice — all whole-stage-codegen JVM lambdas, the array analogue of the
+    scalar function surface."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.round(
+            F.aggregate(
+                F.transform(dbl, lambda x: x * 2.0), F.lit(0.0), lambda a, x: a + x
+            ),
+            4,
+        ).alias("doubled_sum"),
+        F.size(F.filter(dbl, lambda x: x > 0)).cast("bigint").alias("n_positive"),
+        F.exists(dbl, lambda x: x > 3.0).alias("has_large"),
+        F.round(F.element_at(F.array_sort(dbl), 1), 6).alias("smallest"),
+        F.round(F.element_at(F.slice(dbl, 1, 4), 4), 6).alias("fourth_val"),
+    )
+
+
+@query(
+    "q_string_funcs2",
+    oracle="""
+    SELECT c_custkey,
+           split_part(c_name, '#', 1) AS name_head,
+           split_part(c_name, '#', 2) AS name_tail,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+           rpad(c_mktsegment, 12, '.') AS seg_padded,
+           reverse(c_mktsegment) AS seg_rev,
+           repeat('ab', 3) AS repeated,
+           left(c_name, 4) AS name_left,
+           right(c_name, 3) AS name_right,
+           strpos(c_name, '#') AS hash_pos,
+           ascii(c_mktsegment) AS seg_ascii,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated
+    FROM customer
+    """,
+)
+def q_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string surface: split_part/pad/reverse/repeat/left/right/
+    position/ascii/translate."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(1)).alias("name_head"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_tail"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.rpad(F.col("c_mktsegment"), 12, ".").alias("seg_padded"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+        F.repeat(F.lit("ab"), 3).alias("repeated"),
+        F.left(F.col("c_name"), F.lit(4)).alias("name_left"),
+        F.right(F.col("c_name"), F.lit(3)).alias("name_right"),
+        F.instr(F.col("c_name"), "#").cast("bigint").alias("hash_pos"),
+        F.ascii(F.col("c_mktsegment")).cast("int").alias("seg_ascii"),
+        F.translate(F.col("c_mktsegment"), "AEIOU", "aeiou").alias("seg_translated"),
+    )
