@@ -1133,3 +1133,209 @@ def q_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ascii(F.col("c_mktsegment")).cast("int").alias("seg_ascii"),
         F.translate(F.col("c_mktsegment"), "AEIOU", "aeiou").alias("seg_translated"),
     )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM (SELECT * FROM customer WHERE c_custkey % 3 = 0) c
+    FULL OUTER JOIN (SELECT * FROM orders WHERE o_custkey % 2 = 0) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with deliberately disjoint-ish sides so both
+    null-extended directions appear in the result."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 2 == 0)
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "full_outer").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT r1.r_name AS from_region, r2.r_name AS to_region
+    FROM region r1 CROSS JOIN region r2
+    WHERE r1.r_regionkey <> r2.r_regionkey
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product — legitimate ONLY for tiny dims (here 5x5
+    region pairs); the plan-quality tests forbid it everywhere else."""
+    r1 = _t(spark, sf_dir, "region").alias("r1")
+    r2 = _t(spark, sf_dir, "region").alias("r2")
+    return (
+        r1.crossJoin(r2)
+        .filter(F.col("r1.r_regionkey") != F.col("r2.r_regionkey"))
+        .select(
+            F.col("r1.r_name").alias("from_region"),
+            F.col("r2.r_name").alias("to_region"),
+        )
+    )
+
+
+@query(
+    "q_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_spent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12 AND SUM(o_totalprice) > 1000000
+    """,
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group + HAVING (post-aggregation filter)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("_total"),
+        )
+        .filter((F.col("n_orders") >= 12) & (F.col("_total") > 1000000))
+        .select("o_custkey", "n_orders", F.round("_total", 2).alias("total_spent"))
+    )
+
+
+@query(
+    "q_order_multi",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+    FROM orders
+    ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC
+    LIMIT 50
+    """,
+)
+def q_order_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key mixed-direction sort with limit (TakeOrderedAndProject)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(
+            F.col("o_orderstatus").asc(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey").asc(),
+        )
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+        .limit(50)
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_extendedprice), 4) AS std_price,
+           ROUND(VAR_SAMP(l_extendedprice), 2) AS var_price,
+           ROUND(CORR(l_extendedprice, l_quantity), 6) AS corr_price_qty,
+           ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 4) AS covar_price_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/correlation/covariance."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_price_qty"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias(
+            "covar_price_qty"
+        ),
+    )
+
+
+@query(
+    "q_agg_minmax_by",
+    oracle="""
+    SELECT o_orderstatus,
+           arg_max(o_orderkey, o_totalprice) AS biggest_order,
+           arg_min(o_orderkey, o_totalprice) AS smallest_order,
+           MAX(o_totalprice) AS max_price,
+           MIN(o_totalprice) AS min_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax/argmin) aggregates. Deterministic because
+    o_totalprice values are distinct per status group at these scales; ties
+    would need a composite ordering value."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+    SELECT n_nationkey,
+           list_sort(list(s_suppkey)) AS supplier_keys,
+           list_sort(list(DISTINCT s_nationkey)) AS nation_set
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list / collect_set into arrays — sorted post-hoc because
+    collection order is partition-dependent on any parallel engine; the sort
+    is what makes the operator deterministic and therefore testable."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_nationkey")
+        .agg(
+            F.array_sort(F.collect_list("s_suppkey")).alias("supplier_keys"),
+            F.array_sort(F.collect_set("s_nationkey")).alias("nation_set"),
+        )
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube) + grouping() flags
+    to disambiguate real NULLs from subtotal rows."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               CAST(GROUPING(l_returnflag) AS TINYINT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS TINYINT) AS g_status
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "q_distinct",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT (hash aggregate on all projected columns)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").distinct()

@@ -128,3 +128,34 @@ def write_payload_files(payloads: list[dict], directory: str, files: int = 3) ->
         with open(os.path.join(directory, f"part-{i:05d}.txt"), "w") as fh:
             for p in payloads[i : i + per]:
                 fh.write(json.dumps(p) + "\n")
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition.
+
+    Both sides carry watermarks so the join state is bounded: a left row can
+    only match right rows within [left.ts, left.ts + max_delay], and rows
+    older than the watermark are evicted from state. This is the streaming
+    form of q_join_range — same equi-anchor-plus-interval shape, same
+    output, state bounded by watermark x arrival rate instead of the batch
+    partition size.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            f"l.{key} = r.{key} AND l.{left_ts} < r.{right_ts} "
+            f"AND r.{right_ts} <= l.{left_ts} + INTERVAL {max_delay}"
+        ),
+    )

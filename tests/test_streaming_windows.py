@@ -89,3 +89,77 @@ def test_sliding_stream_equals_batch(spark, sf_smoke, tmp_path):
     streamed = sliding_counts(with_watermark(stream, "ts", "0 seconds"))
     got = _run_to_memory(spark, streamed, "sliding_out", tmp_path, mode="complete")
     assert canon(got.collect()) == canon(batch.collect())
+
+
+def test_stream_stream_join_equals_batch(spark, sf_smoke, tmp_path):
+    """Stream-stream interval join output must equal the batch range join."""
+    import pyspark.sql.functions as F
+
+    from fxa_amplitude_send_spark.streaming.pipeline import (
+        stream_stream_interval_join,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    batch_clicks = ev.filter(F.col("event_type") == "click")
+    batch_purch = ev.filter(F.col("event_type") == "purchase")
+    expected = (
+        batch_clicks.alias("l")
+        .join(
+            batch_purch.alias("r"),
+            F.expr(
+                "l.user_id = r.user_id AND l.ts < r.ts "
+                "AND r.ts <= l.ts + INTERVAL 10 MINUTES"
+            ),
+        )
+        .select(F.col("l.event_id").alias("a"), F.col("r.event_id").alias("b"))
+    )
+
+    stream = _stream_events_typed(spark, tmp_path, sf_smoke)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purch = stream.filter(F.col("event_type") == "purchase")
+    joined = stream_stream_interval_join(clicks, purch).select(
+        F.col("l.event_id").alias("a"), F.col("r.event_id").alias("b")
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM ssj_out")
+    assert canon(got.collect()) == canon(expected.collect())
+
+
+def _stream_events_typed(spark, tmp_path, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    pdf = ev.toPandas()
+    src = tmp_path / "in_typed"
+    src.mkdir()
+    files = 2
+    per = (len(pdf) + files - 1) // files
+    for i in range(files):
+        chunk = pdf.iloc[i * per : (i + 1) * per]
+        with open(src / f"part-{i}.json", "w") as fh:
+            for _, row in chunk.iterrows():
+                fh.write(
+                    json.dumps(
+                        {
+                            "event_id": int(row.event_id),
+                            "ts": row.ts.isoformat(),
+                            "user_id": int(row.user_id),
+                            "event_type": row.event_type,
+                        }
+                    )
+                    + "\n"
+                )
+    return (
+        spark.readStream.format("json")
+        .schema("event_id long, ts timestamp, user_id long, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
