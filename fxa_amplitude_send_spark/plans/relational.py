@@ -250,8 +250,13 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2) AS sum_qty,
            ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                    * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))))
+                AS DOUBLE) AS sum_charge,
            ROUND(AVG(l_quantity), 6) AS avg_qty,
            ROUND(AVG(l_extendedprice), 6) AS avg_price,
            ROUND(AVG(l_discount), 6) AS avg_disc,
@@ -264,15 +269,22 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1: the canonical hash aggregate. Spark does partial (map-side)
     + final aggregation automatically; with 4 groups the reduce side is tiny
-    at any scale — the map-side combine is what makes this 100 TB-safe."""
+    at any scale — the map-side combine is what makes this 100 TB-safe.
+
+    The 4/6-decimal money sums aggregate in exact DECIMAL and cast to double
+    at the end: at sf0.1 the charge sum's magnitude (2.8e9) already puts the
+    double ULP at the 6th decimal, so float summation order would make the
+    last digit engine-dependent — decimal aggregation is order-independent
+    at every scale."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    price_d = F.col("l_extendedprice").cast("decimal(12,2)")
+    one_minus_disc = F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    one_plus_tax = F.lit(1).cast("decimal(4,2)") + F.col("l_tax").cast("decimal(4,2)")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-        F.round(F.sum(charge), 6).alias("sum_charge"),
+        F.sum(price_d * one_minus_disc).cast("double").alias("sum_disc_price"),
+        F.sum(price_d * one_minus_disc * one_plus_tax).cast("double").alias("sum_charge"),
         F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
         F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
         F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -1339,3 +1351,153 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT DISTINCT (hash aggregate on all projected columns)."""
     o = _t(spark, sf_dir, "orders")
     return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING), 2) AS nearby_sum,
+           COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS nearby_cnt
+    FROM orders
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): sum over orders within
+    ±1000 of the current price per customer — the frame the ROWS variant
+    cannot express when ties/gaps matter."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, 1000)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("nearby_sum"),
+        F.count(F.lit(1)).over(w).alias("nearby_cnt"),
+    )
+
+
+@query(
+    "q_regex_funcs",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(c_name, '[0-9]+', 'N', 'g') AS name_masked,
+           regexp_replace(c_name, '[0-9]', 'X') AS first_digit_masked,
+           regexp_matches(c_name, '^Customer') AS starts_customer,
+           len(regexp_extract_all(c_name, '[0-9]')) AS n_digits,
+           regexp_extract(c_name, 'Customer#([0-9]+)', 1) AS cust_num
+    FROM customer
+    """,
+)
+def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex battery. Dialect note: Spark regexp_replace is global by
+    default while DuckDB replaces the FIRST match unless the 'g' flag is
+    given — the oracle pins each explicitly."""
+    c = _t(spark, sf_dir, "customer")
+    # Spark has no replace-first variant; emulate with a capture of the rest
+    first_masked = F.regexp_replace(
+        F.col("c_name"), F.lit(r"^(.*?)[0-9]"), F.lit(r"$1X")
+    )
+    return c.select(
+        "c_custkey",
+        F.regexp_replace(F.col("c_name"), F.lit("[0-9]+"), F.lit("N")).alias(
+            "name_masked"
+        ),
+        first_masked.alias("first_digit_masked"),
+        F.col("c_name").rlike("^Customer").alias("starts_customer"),
+        F.size(F.regexp_extract_all(F.col("c_name"), F.lit("[0-9]"), 0))
+        .cast("bigint")
+        .alias("n_digits"),
+        F.regexp_extract(F.col("c_name"), "Customer#([0-9]+)", 1).alias("cust_num"),
+    )
+
+
+@query(
+    "q_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) vs q_union's UNION ALL — dedup across both inputs."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+@query(
+    "q_cogroup_stats",
+    oracle="""
+    SELECT k AS custkey,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(e.n_events, 0) AS n_events
+    FROM (SELECT DISTINCT c_custkey AS k FROM customer) keys
+    LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+               GROUP BY o_custkey) o ON keys.k = o.o_custkey
+    LEFT JOIN (SELECT user_id, COUNT(*) AS n_events FROM events
+               GROUP BY user_id) e ON keys.k = e.user_id
+    """,
+)
+def q_cogroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas (the two-sided grouped-map surface): orders
+    and events cogrouped by customer key, merged per key in pandas. The
+    oracle is the equivalent double left join — proving the cogroup path
+    preserves per-key completeness (keys present on either side)."""
+    customer = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey"
+    )
+    events = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("custkey"), "event_id"
+    )
+
+    def merge(key, left_pdf, right_pdf):
+        import pandas as pd
+
+        (k,) = key
+        return pd.DataFrame(
+            {
+                "custkey": [k],
+                "n_orders": [len(left_pdf)],
+                "n_events": [len(right_pdf)],
+            }
+        )
+
+    cogrouped = (
+        orders.groupBy("custkey")
+        .cogroup(events.groupBy("custkey"))
+        .applyInPandas(merge, schema="custkey long, n_orders long, n_events long")
+    )
+    # restrict to the customer key universe (oracle's `keys` CTE) and fill
+    # customers absent from both sides with zeros
+    return (
+        customer.join(cogrouped, "custkey", "left")
+        .select(
+            "custkey",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+@query("q_sample")  # rows-only: sampling is engine-specific even when seeded
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample — deterministic within Spark (seed fixed) but
+    not across engines, hence rows-only. The constant-fraction scan is the
+    standard first step of any profiling pass at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
