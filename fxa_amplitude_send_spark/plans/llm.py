@@ -548,3 +548,191 @@ def llm_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.join(survivors, "doc_id", "left_semi").select(
         "doc_id", "lang", "n_tokens"
     )
+
+
+# ---------------------------------------------------------------------------
+# training-data preparation operators
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_doc_chunk",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), starts AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks), 1) + 1, 40)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST((start - 1) / 40 AS BIGINT) AS chunk_id,
+           array_to_string(list_slice(toks, start, start + 49), ' ') AS chunk_text,
+           len(list_slice(toks, start, start + 49)) AS n_chunk_tokens
+    FROM starts
+    """,
+)
+def llm_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for training windows: 50-token chunks, stride 40
+    (10-token overlap). Pure explode-of-sequence — one pass, no UDF, output
+    rows ~= corpus_tokens/40 regardless of document skew."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(40))
+    chunked = docs.select(
+        "doc_id",
+        toks.alias("_toks"),
+        F.explode(starts).alias("_start"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start"), 50)
+    return chunked.select(
+        "doc_id",
+        (((F.col("_start") - 1) / 40).cast("bigint")).alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+    )
+
+
+@query(
+    "llm_pii_redact",
+    oracle="""
+    WITH withpii AS (
+      SELECT doc_id,
+             text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-0' || CAST(doc_id AS VARCHAR) AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                            '<EMAIL>', 'g'),
+             '\\+?[0-9][0-9()\\-\\. ]{6,}[0-9]', '<PHONE>', 'g') AS redacted,
+           regexp_matches(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')
+             AS had_email
+    FROM withpii
+    """,
+)
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails, phone numbers) as global regexp_replace — the
+    standard pre-training scrub. The corpus has no natural PII, so a
+    deterministic synthetic contact line is appended first; the oracle
+    applies the identical injection + redaction."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-0"),
+        F.col("doc_id").cast("string"),
+    )
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\+?[0-9][0-9()\-\. ]{6,}[0-9]"
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, F.lit(email_re), F.lit("<EMAIL>")),
+        F.lit(phone_re),
+        F.lit("<PHONE>"),
+    )
+    return docs.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        raw.rlike(email_re).alias("had_email"),
+    )
+
+
+@query(
+    "llm_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g')) AS normalized,
+           length(text) - length(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS n_removed
+    FROM documents
+    """,
+)
+def llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization: lowercase, strip non-alphanumerics,
+    collapse whitespace — the first stage of every dedup/tokenize pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), F.lit("[^a-z0-9 ]"), F.lit("")),
+            F.lit(" +"),
+            F.lit(" "),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("normalized"),
+        (F.length("text") - F.length(norm)).cast("bigint").alias("n_removed"),
+    )
+
+
+CONTAMINATION_PHRASES = ("fast key order", "scan merge part", "benchmark answer key")
+
+
+@query(
+    "llm_contamination",
+    oracle=f"""
+    SELECT doc_id,
+           (CASE WHEN text LIKE '%{CONTAMINATION_PHRASES[0]}%' THEN 1 ELSE 0 END
+          + CASE WHEN text LIKE '%{CONTAMINATION_PHRASES[1]}%' THEN 1 ELSE 0 END
+          + CASE WHEN text LIKE '%{CONTAMINATION_PHRASES[2]}%' THEN 1 ELSE 0 END)
+             AS n_hits,
+           (text LIKE '%{CONTAMINATION_PHRASES[0]}%'
+         OR text LIKE '%{CONTAMINATION_PHRASES[1]}%'
+         OR text LIKE '%{CONTAMINATION_PHRASES[2]}%') AS contaminated
+    FROM documents
+    """,
+)
+def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: flag documents containing any
+    blocklisted phrase. Inline LIKEs here (3 phrases); at a real blocklist's
+    scale (millions of n-grams) this becomes the shingle-explode +
+    broadcast-semi-join plan — same output contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = [F.col("text").contains(p).cast("int") for p in CONTAMINATION_PHRASES]
+    n_hits = sum(hits[1:], hits[0])
+    return docs.select(
+        "doc_id",
+        n_hits.alias("n_hits"),
+        (n_hits > 0).alias("contaminated"),
+    )
+
+
+@query(
+    "llm_repetition",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+             AS distinct_ratio,
+           ROUND(CAST(list_max(list_transform(list_distinct(toks),
+                 t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
+                 / len(toks), 6) AS top_token_ratio
+    FROM t
+    """,
+)
+def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality heuristics (Gopher-style): distinct-token
+    ratio and the most-frequent-token share — computed entirely with array
+    expressions per row, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    distinct_toks = F.array_distinct(toks)
+
+    def count_of(t):
+        return F.size(F.filter(toks, lambda x: x == t))
+
+    top_count = F.array_max(F.transform(distinct_toks, lambda t: count_of(t)))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(distinct_toks).cast("bigint").alias("n_distinct"),
+        F.round(F.size(distinct_toks).cast("double") / F.size(toks), 6).alias(
+            "distinct_ratio"
+        ),
+        F.round(top_count.cast("double") / F.size(toks), 6).alias("top_token_ratio"),
+    )
