@@ -120,3 +120,53 @@ def insert_id_col(key: str, user_id: Column, device_id: Column, session_id: Colu
 def sha256_hex(col: Column) -> Column:
     """Plain SHA-256 (JVM-side, codegen'd) — for non-keyed fingerprints."""
     return F.sha2(col.cast("string"), 256)
+
+
+def hmac_user_and_insert_id(
+    key: str,
+    user_id: Column,
+    device_id: Column,
+    session_id: Column,
+    event_type: Column,
+    time: Column,
+) -> Column:
+    """Fused R7+R8 (utils.js:70-74) in ONE Arrow round trip: returns
+    struct<user_id_hashed, insert_id>.
+
+    Semantics identical to pseudonymize + with_insert_id composed: a truthy
+    user_id is HMAC-hashed first and the HASHED value feeds insert_id; a
+    falsy user_id passes through and is skipped by the falsy-skip concat.
+    Fusing halves the Python-worker transfer for the flagship pipeline.
+    """
+    key_bytes = key.encode("utf-8")
+    coerce = _make_js_string_coerce()  # closure-local → pickled by value
+
+    @pandas_udf("user_id_hashed string, insert_id string")
+    def _fused(*series):
+        import hashlib as _hashlib
+        import hmac as _hm
+
+        import pandas as _pd
+
+        users, devices, sessions, etypes, times = [s.tolist() for s in series]
+        out_user, out_insert = [], []
+        for i in range(len(users)):
+            u = users[i]
+            u_coerced = coerce(u)
+            if u_coerced is not None:
+                mac = _hm.new(key_bytes, u_coerced.encode("utf-8"), _hashlib.sha256)
+                u_final = mac.hexdigest()
+            else:
+                u_final = u  # falsy user passes through unhashed (utils.js:70)
+            mac = _hm.new(key_bytes, digestmod=_hashlib.sha256)
+            for v in (u_final, devices[i], sessions[i], etypes[i], times[i]):
+                c = coerce(v)
+                if c is not None:
+                    mac.update(c.encode("utf-8"))
+            out_user.append(u_final)
+            out_insert.append(mac.hexdigest())
+        return _pd.DataFrame(
+            {"user_id_hashed": out_user, "insert_id": out_insert}
+        )
+
+    return _fused(user_id, device_id, session_id, event_type, time)

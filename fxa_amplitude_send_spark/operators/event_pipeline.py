@@ -272,9 +272,28 @@ def event_pipeline(
     fan-out. Mirrors parseMessage + the poll loop's flatMap
     (utils.js:37-90, synchronous-pull.js:56-72) as ONE declarative plan.
     """
+    from ..functions.hashing import hmac_user_and_insert_id
+
     parsed = parse_envelope(df, payload_col)
     valid = parsed.filter(validity_predicate())
-    hashed = with_insert_id(pseudonymize(valid, hmac_key), hmac_key)
+    # fused R7+R8: one Arrow round trip for user-hash + insert_id (identical
+    # semantics to pseudonymize() ∘ with_insert_id(), golden-tested)
+    fused = valid.withColumn(
+        "_h",
+        hmac_user_and_insert_id(
+            hmac_key,
+            F.col("user_id"),
+            F.col("device_id"),
+            F.col("session_id"),
+            F.col("event_type"),
+            F.col("time"),
+        ),
+    )
+    hashed = (
+        fused.withColumn("user_id", F.col("_h.user_id_hashed"))
+        .withColumn("insert_id", F.col("_h.insert_id"))
+        .drop("_h")
+    )
     return identify_fanout(hashed) if fanout else hashed
 
 
