@@ -1501,3 +1501,126 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@query(
+    "q_date_funcs2",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+           CAST(EXTRACT(week FROM o_orderdate) AS INT) AS week_of_year,
+           CAST(EXTRACT(dayofyear FROM o_orderdate) AS INT) AS day_of_year,
+           strftime(o_orderdate, '%Y-%m') AS year_month,
+           CAST(CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS VARCHAR) AS next_month,
+           CAST(greatest(CAST(o_orderdate AS DATE), DATE '1995-06-01') AS VARCHAR) AS clamped
+    FROM orders
+    """,
+)
+def q_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar surface: last_day / ISO week / day-of-year / formatting /
+    month arithmetic / date clamping. DATE outputs are string-cast on both
+    sides: DuckDB's pandas bridge widens DATE to datetime64 while Spark
+    yields datetime.date — same comparison trap as DECIMAL."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).cast("string").alias("month_end"),
+        F.weekofyear(d).cast("int").alias("week_of_year"),
+        F.dayofyear(d).cast("int").alias("day_of_year"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("year_month"),
+        F.add_months(d, 1).cast("string").alias("next_month"),
+        F.greatest(d, F.lit("1995-06-01").cast("date")).cast("string").alias("clamped"),
+    )
+
+
+@query(
+    "q_json_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           json_valid(props) AS is_valid,
+           CAST(json_array_length(json_array(event_id, user_id)) AS INT)
+             AS arr_len,
+           json_extract_string(
+             '{"nested": {"deep": {"v": 42}}}', '$.nested.deep.v') AS deep_v
+    FROM events
+    """,
+)
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON surface: typed extraction, validity probing, arrays, deep paths."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+        F.get_json_object("props", "$").isNotNull().alias("is_valid"),
+        F.json_array_length(
+            F.to_json(F.array(F.col("event_id"), F.col("user_id")))
+        ).cast("int").alias("arr_len"),
+        F.get_json_object(
+            F.lit('{"nested": {"deep": {"v": 42}}}'), "$.nested.deep.v"
+        ).alias("deep_v"),
+    )
+
+
+@query(
+    "q_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 1 AS with_low_bit,
+           xor(o_orderkey, 21845) AS xored,
+           o_orderkey << 2 AS shifted_left,
+           o_orderkey >> 3 AS shifted_right,
+           CAST(bit_count(o_orderkey) AS INT) AS n_bits
+    FROM orders
+    """,
+)
+def q_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator surface (the partitioner/bucketing primitives)."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(1)).alias("with_low_bit"),
+        k.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft(k, 2).alias("shifted_left"),
+        F.shiftright(k, 3).alias("shifted_right"),
+        F.bit_count(k).alias("n_bits"),
+    )
+
+
+@query(
+    "q_agg_filtered",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 0), 2)
+             AS urgent_total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates: count_if / bool_and / bool_or / FILTER-style
+    conditional sums."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("urgent_total"),
+    )
