@@ -1441,7 +1441,7 @@ def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT k AS custkey,
            COALESCE(o.n_orders, 0) AS n_orders,
            COALESCE(e.n_events, 0) AS n_events
-    FROM (SELECT DISTINCT c_custkey AS k FROM customer) keys
+    FROM (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey <= 1500) keys
     LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
                GROUP BY o_custkey) o ON keys.k = o.o_custkey
     LEFT JOIN (SELECT user_id, COUNT(*) AS n_events FROM events
@@ -1452,14 +1452,19 @@ def q_cogroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped applyInPandas (the two-sided grouped-map surface): orders
     and events cogrouped by customer key, merged per key in pandas. The
     oracle is the equivalent double left join — proving the cogroup path
-    preserves per-key completeness (keys present on either side)."""
-    customer = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("custkey")
-    )
-    orders = _t(spark, sf_dir, "orders").select(
+    preserves per-key completeness (keys present on either side).
+
+    Bounded to 1500 keys: grouped-map UDFs pay per-GROUP Python overhead
+    (~1 ms/group), so tiny-group workloads belong in JVM joins — the pandas
+    path is for groups big enough to amortize (the surface demo stays
+    bounded; llm_group_normalize shows the well-sized case)."""
+    customer = _t(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= 1500
+    ).select(F.col("c_custkey").alias("custkey"))
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 1500).select(
         F.col("o_custkey").alias("custkey"), "o_orderkey"
     )
-    events = _t(spark, sf_dir, "events").select(
+    events = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 1500).select(
         F.col("user_id").alias("custkey"), "event_id"
     )
 
