@@ -94,17 +94,27 @@ def run_pipeline(
     key = hmac_key if hmac_key is not None else config.hmac_key
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        input_count = batch_df.count()
-        out = event_pipeline(batch_df, key)
+        from pyspark.sql import Observation
+
+        # df.observe: input/output counts ride along the sink's single pass
+        # instead of separate count() jobs (R13 metrics without extra scans —
+        # synchronous-pull.js:94-101 computed them inline the same way).
+        in_obs = Observation()
+        observed_in = batch_df.observe(in_obs, F.count(F.lit(1)).alias("n"))
+        out = event_pipeline(observed_in, key)
+        out_obs = Observation()
+        out = out.observe(out_obs, F.count(F.lit(1)).alias("n"))
         if sink is not None:
             sink(out, config)
+        else:
+            out.write.format("noop").mode("overwrite").save()
         if metrics_log is not None:
             metrics_log.append(
                 {
                     "type": "events.processed",
                     "batch_id": batch_id,
-                    "inputCount": input_count,
-                    "outputCount": out.count(),
+                    "inputCount": in_obs.get["n"],
+                    "outputCount": out_obs.get["n"],
                 }
             )
 

@@ -224,3 +224,50 @@ class TestStreaming:
         q.awaitTermination(120)
         rows = spark.sql("SELECT insert_id FROM dedup_out").collect()
         assert len(rows) == 1
+
+
+class TestMetrics:
+    def test_progress_listener_captures_batches(self, spark, tmp_path):
+        from fxa_amplitude_send_spark.streaming.metrics import ProgressListener
+
+        listener = ProgressListener()
+        spark.streams.addListener(listener)
+        try:
+            payloads = payloads_for(12)
+            src = str(tmp_path / "in_metrics")
+            write_payload_files(payloads, src, files=2)
+            cfg = PipelineConfig(
+                amplitude_api_key="k", hmac_key=KEY, max_events_per_batch=100
+            )
+            stream = read_payload_stream(spark, src, max_files_per_trigger=1)
+            metrics: list = []
+            q = run_pipeline(
+                stream,
+                cfg,
+                checkpoint_dir=str(tmp_path / "ckpt_metrics"),
+                metrics_log=metrics,
+            )
+            q.awaitTermination(120)
+            import time
+
+            # listener events are delivered asynchronously
+            deadline = time.time() + 30
+            while time.time() < deadline:
+                progressed = [
+                    r for r in listener.records if r["type"] == "events.processed"
+                ]
+                if len(progressed) >= 2 and any(
+                    r["type"] == "query.terminated" for r in listener.records
+                ):
+                    break
+                time.sleep(0.5)
+            assert any(r["type"] == "query.started" for r in listener.records)
+            progressed = [
+                r for r in listener.records if r["type"] == "events.processed"
+            ]
+            assert sum(r["numInputRows"] for r in progressed) == 12
+            # observe-based per-batch counts agree with the listener totals
+            assert sum(m["inputCount"] for m in metrics) == 12
+            assert all(m["outputCount"] == m["inputCount"] for m in metrics)
+        finally:
+            spark.streams.removeListener(listener)
