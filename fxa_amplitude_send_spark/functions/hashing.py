@@ -170,3 +170,21 @@ def hmac_user_and_insert_id(
         )
 
     return _fused(user_id, device_id, session_id, event_type, time)
+
+
+def rolling_fingerprint(tokens: Column, base: int = 1_000_003, prime: int = (1 << 31) - 1) -> Column:
+    """Rabin-Karp rolling fingerprint over an array<string> of tokens:
+    acc = (acc * base + xxhash64(tok) mod prime) mod prime, left to right.
+
+    Order-sensitive by construction — permuted token streams hash
+    differently, complementing bag-of-words sketches (simhash). The default
+    Mersenne prime 2^31-1 keeps every intermediate < 2^52, safe under ANSI
+    int64 arithmetic. Runs entirely in whole-stage codegen (no UDF).
+    """
+    return F.aggregate(
+        tokens,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(
+            acc * F.lit(base) + F.pmod(F.xxhash64(t), F.lit(prime)), F.lit(prime)
+        ),
+    )

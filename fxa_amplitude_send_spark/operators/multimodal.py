@@ -72,3 +72,65 @@ def frame_sample(meta: DataFrame, every_nth: int = 2) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))
         ).alias("frame_idx"),
     )
+
+
+#: Output schema of the fake resize: the dims a real resizer would emit.
+RESIZE_SCHEMA = "doc_id bigint, width int, height int, out_width int, out_height int, scale double"
+
+
+def resize_meta(meta: DataFrame, target: int = 224) -> DataFrame:
+    """Resize plumbing (STUB — no codec): compute aspect-preserving output
+    dims for a target short side, the exact metadata contract of a real
+    resize. mapInPandas so swapping in PIL's resize keeps the plan shape."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            short = pdf[["width", "height"]].min(axis=1)
+            scale = target / short
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "out_width": (pdf["width"] * scale).round().astype("int32"),
+                    "out_height": (pdf["height"] * scale).round().astype("int32"),
+                    "scale": scale.round(6),
+                }
+            )
+
+    return meta.select("doc_id", "width", "height").mapInPandas(
+        compute, schema=RESIZE_SCHEMA
+    )
+
+
+def extract_features(with_payload: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature-extraction plumbing (STUB): binary payload → deterministic
+    fake embedding (seeded from the payload's SHA-256), emitted as
+    array<float> — the schema/batching contract of a real vision encoder.
+    The output feeds the similarity/ANN operators directly, completing the
+    binary → embedding → ANN pipeline shape."""
+    schema = f"doc_id bigint, features array<float>"
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import struct
+
+        def fake_embed(payload: bytes) -> list[float]:
+            out = []
+            seed = hashlib.sha256(payload).digest()
+            while len(out) < dim:
+                seed = hashlib.sha256(seed).digest()
+                for i in range(0, min(32, (dim - len(out)) * 4), 4):
+                    (v,) = struct.unpack_from("<i", seed, i)
+                    out.append(v / 2**31)
+            return out[:dim]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "features": pdf["payload"].map(fake_embed),
+                }
+            )
+
+    return with_payload.select("doc_id", "payload").mapInPandas(encode, schema=schema)

@@ -71,6 +71,7 @@ def ann_bucketed_topk(
     query_vec_col: str = "qvec",
     n_planes: int = 6,
     seed: int = 7,
+    dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k neighbors for MANY queries at once.
 
@@ -83,12 +84,12 @@ def ann_bucketed_topk(
     e = emb.select(
         F.col(id_col).alias("_eid"),
         F.col(vec_col).alias("_evec"),
-        hyperplane_bucket_col(F.col(vec_col), n_planes=n_planes, seed=seed).alias("_bucket"),
+        hyperplane_bucket_col(F.col(vec_col), dim=dim, n_planes=n_planes, seed=seed).alias("_bucket"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("_qvec"),
-        hyperplane_bucket_col(F.col(query_vec_col), n_planes=n_planes, seed=seed).alias("_bucket"),
+        hyperplane_bucket_col(F.col(query_vec_col), dim=dim, n_planes=n_planes, seed=seed).alias("_bucket"),
     )
     cand = e.join(q, "_bucket").filter(F.col("_eid") != F.col("query_id"))
     sim = cosine_similarity_col(F.col("_evec"), F.col("_qvec"))

@@ -736,3 +736,46 @@ def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(top_count.cast("double") / F.size(toks), 6).alias("top_token_ratio"),
     )
+
+
+@query("llm_multimodal_pipeline")  # rows-only: stub encoder is engine-specific
+def llm_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal chain: binary payload → decode meta → resize dims →
+    feature extraction → ANN self-similarity (top-2 neighbors per doc within
+    LSH buckets). Every decode/encode step is a clearly-marked deterministic
+    STUB (no codecs in this container); the Spark plumbing — binary columns,
+    Arrow batch iteration, array<float> output, bucket join — is real."""
+    from ..operators.multimodal import (
+        attach_binary_payload,
+        decode_image_meta,
+        extract_features,
+        resize_meta,
+    )
+    from ..operators.similarity import ann_bucketed_topk
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    with_payload = attach_binary_payload(docs)
+    meta = resize_meta(decode_image_meta(with_payload))
+    feats = extract_features(with_payload, dim=16)
+    queries_df = feats.select(
+        F.col("doc_id").alias("query_id"), F.col("features").alias("qvec")
+    )
+    emb = feats.select(F.col("doc_id").alias("vec_id"), F.col("features").alias("embedding"))
+    nn = ann_bucketed_topk(emb, queries_df, k=2, n_planes=4, dim=16)
+    return nn.join(meta, nn["query_id"] == meta["doc_id"]).select(
+        "query_id", "vec_id", "cos_sim", "rnk", "out_width", "out_height"
+    )
+
+
+@query("llm_rolling_hash")  # rows-only: xxhash64 base differs across engines
+def llm_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp-style rolling document fingerprint as ONE aggregate
+    expression over the token stream: acc = (acc * B + hash(tok)) mod p.
+    Order-sensitive by construction (unlike the bag-of-words simhash), so
+    re-ordered near-dups get different fingerprints — the complementary
+    sequence-sensitive dedup key."""
+    from ..functions.hashing import rolling_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+    return docs.select("doc_id", rolling_fingerprint(toks).alias("fingerprint"))

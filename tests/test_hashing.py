@@ -70,3 +70,28 @@ def test_udf_matches_python(spark):
     ).collect()
     for r in out:
         assert r["h"] == hmac_sha256_py(KEY, r["user_id"], r["device_id"], r["session_id"])
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    from pyspark.sql import functions as F
+
+    from fxa_amplitude_send_spark.functions.hashing import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [
+            (1, ["the", "quick", "brown", "fox"]),
+            (2, ["the", "quick", "brown", "fox"]),   # identical stream
+            (3, ["fox", "brown", "quick", "the"]),   # same bag, reversed
+            (4, []),                                  # empty stream
+        ],
+        "doc_id long, toks array<string>",
+    )
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", rolling_fingerprint(F.col("toks")).alias("fp")).collect()
+    }
+    assert fps[1] == fps[2]          # deterministic
+    assert fps[1] != fps[3]          # order-sensitive: permutation differs
+    assert fps[4] == 0               # empty stream → identity accumulator
+    P = (1 << 31) - 1
+    assert all(0 <= v < P for v in fps.values())

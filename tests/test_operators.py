@@ -151,3 +151,41 @@ class TestMultimodal:
             decode_image_meta(attach_binary_payload(docs)), every_nth=2
         ).collect()
         assert [f["frame_idx"] for f in frames] == list(range(0, meta["n_frames"], 2))
+
+    def test_resize_preserves_aspect(self, spark):
+        from fxa_amplitude_send_spark.operators.multimodal import (
+            attach_binary_payload,
+            decode_image_meta,
+            resize_meta,
+        )
+
+        docs = spark.createDataFrame([(7, "hello world")], "doc_id long, text string")
+        out = resize_meta(
+            decode_image_meta(attach_binary_payload(docs)), target=224
+        ).collect()[0]
+        short = min(out["width"], out["height"])
+        assert min(out["out_width"], out["out_height"]) in (223, 224, 225)
+        assert abs(out["scale"] - 224 / short) < 1e-5
+        # aspect ratio preserved to rounding
+        assert abs(
+            out["out_width"] / out["out_height"] - out["width"] / out["height"]
+        ) < 0.02
+
+    def test_extract_features_deterministic_unit_free(self, spark):
+        from fxa_amplitude_send_spark.operators.multimodal import (
+            attach_binary_payload,
+            extract_features,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "same text"), (2, "same text"), (3, "other")],
+            "doc_id long, text string",
+        )
+        feats = {
+            r["doc_id"]: r["features"]
+            for r in extract_features(attach_binary_payload(docs), dim=16).collect()
+        }
+        assert len(feats[1]) == 16
+        assert feats[1] == feats[2]  # deterministic: same payload, same vector
+        assert feats[1] != feats[3]
+        assert all(-1.0 <= v <= 1.0 for v in feats[1])
