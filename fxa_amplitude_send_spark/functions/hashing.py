@@ -172,19 +172,37 @@ def hmac_user_and_insert_id(
     return _fused(user_id, device_id, session_id, event_type, time)
 
 
-def rolling_fingerprint(tokens: Column, base: int = 1_000_003, prime: int = (1 << 31) - 1) -> Column:
+def rolling_fingerprint(
+    tokens: Column,
+    base: int = 1_000_003,
+    prime: int = (1 << 31) - 1,
+    portable: bool = False,
+) -> Column:
     """Rabin-Karp rolling fingerprint over an array<string> of tokens:
-    acc = (acc * base + xxhash64(tok) mod prime) mod prime, left to right.
+    acc = (acc * base + hash(tok) mod prime) mod prime, left to right.
 
     Order-sensitive by construction — permuted token streams hash
     differently, complementing bag-of-words sketches (simhash). The default
     Mersenne prime 2^31-1 keeps every intermediate < 2^52, safe under ANSI
     int64 arithmetic. Runs entirely in whole-stage codegen (no UDF).
+
+    ``portable=False`` (production) hashes tokens with xxhash64 — fast,
+    well-dispersed, engine-specific. ``portable=True`` hashes each token
+    with a base-31 polynomial over its code points — bit-identical across
+    engines (DuckDB: nested list_reduce over unicode()), so results are
+    differential-testable; defined for ASCII/BMP text.
     """
+    if portable:
+        tok_hash = lambda t: F.aggregate(
+            F.split(t, ""),
+            F.lit(0).cast("long"),
+            lambda a, c: F.pmod(a * F.lit(31) + F.ascii(c).cast("long"), F.lit(prime)),
+        )
+        hashed = F.transform(tokens, tok_hash)
+    else:
+        hashed = F.transform(tokens, lambda t: F.pmod(F.xxhash64(t), F.lit(prime)))
     return F.aggregate(
-        tokens,
+        hashed,
         F.lit(0).cast("long"),
-        lambda acc, t: F.pmod(
-            acc * F.lit(base) + F.pmod(F.xxhash64(t), F.lit(prime)), F.lit(prime)
-        ),
+        lambda acc, h: F.pmod(acc * F.lit(base) + h, F.lit(prime)),
     )

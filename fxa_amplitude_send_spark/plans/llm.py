@@ -767,15 +767,35 @@ def llm_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_rolling_hash")  # rows-only: xxhash64 base differs across engines
+@query(
+    "llm_rolling_hash",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 list_filter(string_split(text, ' '), t -> len(t) > 0),
+                 t -> list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                          list_transform(string_split(t, ''),
+                                         c -> CAST(unicode(c) AS BIGINT))),
+                        (a, c) -> (a * 31 + c) % 2147483647))),
+             (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fingerprint
+    FROM documents
+    """,
+)
 def llm_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rabin-Karp-style rolling document fingerprint as ONE aggregate
     expression over the token stream: acc = (acc * B + hash(tok)) mod p.
     Order-sensitive by construction (unlike the bag-of-words simhash), so
     re-ordered near-dups get different fingerprints — the complementary
-    sequence-sensitive dedup key."""
+    sequence-sensitive dedup key. Uses the portable base-31 token hash so
+    DuckDB reproduces it bit-for-bit (nested list_reduce oracle); swap
+    portable=False for xxhash64 dispersion in production."""
     from ..functions.hashing import rolling_fingerprint
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
-    return docs.select("doc_id", rolling_fingerprint(toks).alias("fingerprint"))
+    return docs.select(
+        "doc_id", rolling_fingerprint(toks, portable=True).alias("fingerprint")
+    )

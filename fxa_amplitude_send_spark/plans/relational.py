@@ -1006,8 +1006,8 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
-    WHERE o.o_orderdate >= TIMESTAMP '1994-10-01'
-      AND o.o_orderdate < TIMESTAMP '1995-01-01'
+    WHERE o.o_orderdate >= TIMESTAMP '1995-10-01'
+      AND o.o_orderdate < TIMESTAMP '1996-01-01'
       AND l.l_returnflag = 'R'
     GROUP BY c.c_custkey, c.c_name, n.n_name
     ORDER BY revenue DESC, c.c_custkey
@@ -1019,7 +1019,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter at the scans, broadcast nation, top-20."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= "1994-10-01") & (F.col("o_orderdate") < "1995-01-01")
+        (F.col("o_orderdate") >= "1995-10-01") & (F.col("o_orderdate") < "1996-01-01")
     )
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = _t(spark, sf_dir, "nation")
@@ -1637,8 +1637,8 @@ def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                     * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
     FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-      AND l_shipdate < TIMESTAMP '1995-01-01'
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
     """,
@@ -1649,8 +1649,8 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     Decimal aggregation for order-independent exactness at any scale."""
     li = _t(spark, sf_dir, "lineitem")
     return li.filter(
-        (F.col("l_shipdate") >= "1994-01-01")
-        & (F.col("l_shipdate") < "1995-01-01")
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
@@ -1668,8 +1668,8 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS order_count
     FROM orders o
-    WHERE o.o_orderdate >= TIMESTAMP '1994-07-01'
-      AND o.o_orderdate < TIMESTAMP '1994-10-01'
+    WHERE o.o_orderdate >= TIMESTAMP '1995-07-01'
+      AND o.o_orderdate < TIMESTAMP '1995-10-01'
       AND EXISTS (SELECT 1 FROM lineitem l
                   WHERE l.l_orderkey = o.o_orderkey
                     AND l.l_shipdate > o.o_orderdate)
@@ -1681,7 +1681,7 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXISTS with an inequality — as a left-semi join whose residual condition
     carries the correlation."""
     o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= "1994-07-01") & (F.col("o_orderdate") < "1994-10-01")
+        (F.col("o_orderdate") >= "1995-07-01") & (F.col("o_orderdate") < "1995-10-01")
     )
     l = _t(spark, sf_dir, "lineitem")
     semi = o.join(
@@ -1704,8 +1704,8 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
                          THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    WHERE l.l_shipdate >= TIMESTAMP '1994-01-01'
-      AND l.l_shipdate < TIMESTAMP '1995-01-01'
+    WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l.l_shipdate < TIMESTAMP '1996-01-01'
       AND l.l_linestatus = 'F'
     GROUP BY l.l_returnflag
     """,
@@ -1716,8 +1716,8 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_returnflag stands in as the grouping proxy."""
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1994-01-01")
-        & (F.col("l_shipdate") < "1995-01-01")
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
         & (F.col("l_linestatus") == "F")
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
@@ -1727,5 +1727,453 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H composites, second batch (Q7/Q8/Q13/Q14/Q15/Q17/Q18/Q19/Q21/Q22
+# shapes, adapted to the synthetic schema: no partsupp / l_shipmode /
+# c_phone / p_container columns — proxies keep each query's PLAN shape:
+# self-joined dims, disjunctive pushdown, correlated scalar subqueries,
+# semi/anti joins, having-subqueries).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tpch_q7",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 4) AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume
+          FROM supplier s
+          JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                                 AND TIMESTAMP '1997-12-31') shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): nation self-joined twice (both broadcast),
+    disjunctive nation-pair predicate evaluated post-join, year rollup."""
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31 23:59:59")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        s.join(l, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q_tpch_q8",
+    oracle="""
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share
+    FROM (SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume,
+                 n2.n_name AS nation
+          FROM part p
+          JOIN lineitem l ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+          JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+          JOIN region r ON n1.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'AMERICA'
+            AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                                  AND TIMESTAMP '1996-12-31'
+            AND p.p_type = 'ECONOMY') all_nations
+    GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): 8-way join with region gating the
+    customer nation and a second nation lookup naming the supplier side;
+    conditional share = SUM(CASE)/SUM."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31 23:59:59")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        p.join(l, F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_1", volume).otherwise(0.0))
+                / F.sum(volume),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q_tpch_q13",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                            AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey) c_orders
+    GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): left outer join with a
+    residual predicate ON the join (not a post-filter — customers with zero
+    qualifying orders must survive with count 0), double aggregation.
+    o_orderpriority stands in for the comment NOT LIKE filter."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q_tpch_q14",
+    oracle="""
+    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): month-sliced join + conditional ratio
+    aggregate in one pass (no second scan for the denominator)."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.join(p, F.col("l_partkey") == F.col("p_partkey")).agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
+            / F.sum(disc),
+            6,
+        ).alias("promo_revenue")
+    )
+
+
+@query(
+    "q_tpch_q15",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarter revenue per supplier reused twice —
+    once for the global MAX (broadcast scalar), once for the equality filter.
+    Rounded before the compare so equality is well-defined on both engines."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(top), F.col("total_revenue") == F.col("_max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q_tpch_q17",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_threshold
+          FROM lineitem GROUP BY l_partkey) t ON t.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#23' AND p.p_size < 5
+      AND l.l_quantity < t.qty_threshold
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): correlated scalar subquery
+    (per-part 20% of avg quantity) decorrelated into an aggregate + join —
+    the standard rewrite every optimizer applies; p_size stands in for
+    p_container."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 5)
+    )
+    thresholds = l.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(thresholds, F.col("t_partkey") == F.col("p_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q_tpch_q18",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           ROUND(SUM(l.l_quantity), 2) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): HAVING-subquery as an aggregate →
+    left-semi join (the IN list is itself an aggregation, so it must
+    materialize before probing), then the reporting join + top-100."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 300)
+        .select(F.col("l_orderkey").alias("_big_key"))
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(big, F.col("o_orderkey") == F.col("_big_key"), "left_semi")
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q19",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): three-way disjunctive predicate mixing
+    columns from BOTH sides of the join — Catalyst can still push the
+    per-side implied disjuncts (brand/size to part, quantity to lineitem)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q_tpch_q21",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND n.n_name = 'NATION_3'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): correlated EXISTS
+    → left-semi, correlated NOT EXISTS → left-anti, both with non-equi
+    residuals (suppkey <>). l_returnflag='R' proxies the late-receipt
+    predicate (schema has no commit/receipt dates)."""
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    l = _t(spark, sf_dir, "lineitem")
+    l1 = l.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("l1_orderkey"),
+        F.col("l_suppkey").alias("l1_suppkey"),
+    )
+    l2 = l.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = l.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l2_orderkey") == F.col("l1_orderkey"))
+            & (F.col("l2_suppkey") != F.col("l1_suppkey")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("l3_orderkey") == F.col("l1_orderkey"))
+            & (F.col("l3_suppkey") != F.col("l1_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(o, F.col("o_orderkey") == F.col("l1_orderkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l1_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "q_tpch_q22",
+    oracle="""
+    SELECT c.c_nationkey AS cntrycode, COUNT(*) AS numcust,
+           ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      AND c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0.0
+                           AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): uncorrelated scalar AVG
+    (broadcast), anti join against RECENT orders (customers dormant since
+    2000 — every synthetic customer has some order, so the pure
+    never-ordered predicate is vacuous). c_nationkey proxies the phone
+    country code (schema has no c_phone)."""
+    codes = [1, 3, 5, 7, 9, 11, 13]
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(codes))
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
