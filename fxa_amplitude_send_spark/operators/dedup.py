@@ -213,27 +213,38 @@ def ngram_jaccard_pairs(
 def simhash_col(text: Column, bits: int = 64) -> Column:
     """SimHash fingerprint as one per-row expression chain (no UDF, no
     shuffle): each token votes ±1 on each bit of its xxhash64; the sign of
-    the per-bit sum is the fingerprint bit."""
+    the per-bit sum is the fingerprint bit.
+
+    Single traversal of the token array: the accumulator is the whole
+    64-slot vote vector, updated via zip_with against a bit-mask literal
+    array (the naive form — one aggregate per bit — re-walks the token
+    hashes 64×; this walks them once)."""
     toks = tokens_col(text)
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def _vote(b):
-        # closure (NOT a default arg: pyspark counts lambda params)
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    bit_votes = [_vote(b) for b in range(bits)]
-    out = F.lit(0).cast("long")
-    for b, vote in enumerate(bit_votes):
-        # shiftleft (not lit(1 << b)): bit 63 overflows a Java long literal
-        # but wraps correctly (sign bit) under the shift.
-        bit = F.shiftleft(F.lit(1).cast("long"), b)
-        out = out + F.when(vote > 0, bit).otherwise(F.lit(0).cast("long"))
-    return out
+    # bit b's mask as a signed long; bit 63 is the sign bit (-2^63).
+    masks = F.array(
+        *[
+            F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
+            for b in range(bits)
+        ]
+    )
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        # nested lambda: h (outer) stays in scope inside zip_with
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a
+            + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    weighted = F.zip_with(
+        votes,
+        masks,
+        lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def simhash_near_pairs(

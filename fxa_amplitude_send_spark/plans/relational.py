@@ -856,16 +856,20 @@ def q_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (percentile_cont semantics on both
-    engines). The exact form sorts per group; the approx_percentile variant
-    (see q_agg_approx_distinct for the pattern) is the 100 TB path."""
+    engines). ONE percentile(col, array(...)) aggregate — a single per-group
+    value buffer serves all four cut points, vs 4 independent sort buffers
+    for four scalar percentile calls. The approx_percentile variant (see
+    q_agg_approx_distinct for the pattern) is the 100 TB path."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    pcts = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99))").alias("_p")
+    )
+    return pcts.select(
+        "l_returnflag",
         *[
-            F.round(
-                F.expr(f"percentile(l_extendedprice, {p})"), 4
-            ).alias(f"p{int(p * 100)}")
-            for p in (0.25, 0.5, 0.75, 0.99)
-        ]
+            F.round(F.col("_p")[i], 4).alias(f"p{int(p * 100)}")
+            for i, p in enumerate((0.25, 0.5, 0.75, 0.99))
+        ],
     )
 
 

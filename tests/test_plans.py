@@ -121,3 +121,40 @@ def test_whole_stage_codegen_active(spark, sf_smoke):
     # the formatted plan (AQE plans defer codegen ids until finalization)
     plan = physical_plan(QUERIES["q_scan_project"](spark, sf_smoke))
     assert "[codegen id :" in plan  # formatted explain's codegen-span marker
+
+
+def test_q18_topk_and_semi_join(spark, sf_smoke):
+    plan = physical_plan(QUERIES["q_tpch_q18"](spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan       # top-100, not a global sort
+    assert "LeftSemi" in plan                    # HAVING-subquery as semi join
+
+
+def test_q21_semi_and_anti_joins(spark, sf_smoke):
+    plan = physical_plan(QUERIES["q_tpch_q21"](spark, sf_smoke))
+    assert "LeftSemi" in plan                    # EXISTS
+    assert "LeftAnti" in plan                    # NOT EXISTS
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_pushes_per_side_predicates(spark, sf_smoke):
+    """The disjunction mixes part and lineitem columns; Catalyst must still
+    push the implied per-side disjuncts to each scan (brand/size to part,
+    quantity to lineitem) instead of filtering only above the join."""
+    plan = physical_plan(QUERIES["q_tpch_q19"](spark, sf_smoke))
+    # part scan: brand/size disjuncts pushed
+    assert "EqualTo(p_brand,Brand#12)" in plan
+    # lineitem scan: quantity range disjuncts pushed
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, sf_smoke):
+    plan = physical_plan(QUERIES["q_tpch_q22"](spark, sf_smoke))
+    assert "LeftAnti" in plan                    # dormant-customer NOT EXISTS
+    assert "BroadcastExchange" in plan           # scalar AVG broadcast
+
+
+def test_q13_left_join_preserved(spark, sf_smoke):
+    """The priority filter sits in the JOIN condition, not above the left
+    join — a post-filter would silently drop zero-order customers."""
+    plan = physical_plan(QUERIES["q_tpch_q13"](spark, sf_smoke))
+    assert "LeftOuter" in plan
