@@ -799,3 +799,20 @@ def llm_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", rolling_fingerprint(toks, portable=True).alias("fingerprint")
     )
+
+
+@query("llm_sim_ivf")  # rows-only: learned cells are engine-specific
+def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: spherical-kmeans coarse quantizer (trained on a bounded
+    deterministic sample), distributed cell assignment via one vectorized
+    pandas UDF, candidate pairing by equi-join on cell id, exact cosine
+    re-rank — the learned-partition counterpart to llm_sim_ann's random
+    hyperplanes. Same query set as llm_sim_ann for recall comparison."""
+    from ..operators.similarity import ivf_topk, train_ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(emb, n_centroids=16, n_iter=5, sample_n=512)
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivf_topk(emb, queries_df, centroids, k=5, n_probe=2)

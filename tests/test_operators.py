@@ -189,3 +189,60 @@ class TestMultimodal:
         assert feats[1] == feats[2]  # deterministic: same payload, same vector
         assert feats[1] != feats[3]
         assert all(-1.0 <= v <= 1.0 for v in feats[1])
+
+
+class TestIVF:
+    def test_ivf_finds_planted_neighbor(self, spark):
+        from pyspark.sql import functions as F
+
+        from fxa_amplitude_send_spark.operators.similarity import (
+            ivf_topk,
+            train_ivf_centroids,
+        )
+
+        # two well-separated clusters + a planted near-dup of vector 1
+        base = [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+        vecs = []
+        for i in range(40):
+            c = base[i % 2]
+            vecs.append((i, [v + 0.01 * ((i * 7) % 5) for v in c]))
+        vecs.append((100, [1.0, 0.001, 0.0, 0.0]))  # near-dup of cluster 0
+        emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        cents = train_ivf_centroids(emb, n_centroids=2, n_iter=4, sample_n=64)
+        assert len(cents) == 2
+        queries = emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        rows = ivf_topk(emb, queries, cents, k=10, n_probe=1).collect()
+        ids = [r["vec_id"] for r in rows]
+        assert 100 in ids  # planted near-dup lands in the same learned cell
+        # no cluster-1 vector may appear: one probe = one learned cell
+        assert not any(i % 2 == 1 for i in ids if i < 100)
+        assert all(r["query_id"] == 0 for r in rows)
+
+    def test_ivf_assignment_is_cellwise_join(self, spark):
+        """Candidate generation must be an equi-join on cell id, never a
+        cartesian product."""
+        import io
+        from contextlib import redirect_stdout
+
+        from pyspark.sql import functions as F
+
+        from fxa_amplitude_send_spark.operators.similarity import (
+            ivf_topk,
+            train_ivf_centroids,
+        )
+
+        emb = spark.createDataFrame(
+            [(i, [float(i % 3), 1.0, 0.0, 0.0]) for i in range(12)],
+            "vec_id long, embedding array<float>",
+        )
+        cents = train_ivf_centroids(emb, n_centroids=2, n_iter=2, sample_n=12)
+        q = emb.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        df = ivf_topk(emb, q, cents, k=2, n_probe=1)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        assert "CartesianProduct" not in buf.getvalue()
