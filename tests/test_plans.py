@@ -158,3 +158,12 @@ def test_q13_left_join_preserved(spark, sf_smoke):
     join — a post-filter would silently drop zero-order customers."""
     plan = physical_plan(QUERIES["q_tpch_q13"](spark, sf_smoke))
     assert "LeftOuter" in plan
+
+
+def test_q7_q8_broadcast_all_dims(spark, sf_smoke):
+    """Nation appears twice (supplier-side and customer-side); both lookups
+    plus region must be broadcast — no shuffle for dimension joins."""
+    for name in ("q_tpch_q7", "q_tpch_q8"):
+        plan = physical_plan(QUERIES[name](spark, sf_smoke))
+        assert plan.count("BroadcastHashJoin") >= 2, name
+        assert "CartesianProduct" not in plan, name
