@@ -191,3 +191,34 @@ def test_parse_envelope_distinguishes_string_time(spark):
     df = payload_df(spark, dict(BASE_EVENT, time="1704067200000"))
     parsed = parse_envelope(df).collect()[0]
     assert parsed.time is None  # string time is not a number (is.positive fails)
+
+
+def test_decode_pubsub_base64_roundtrip(spark):
+    """R3 (synchronous-pull.js:57): base64 message data → JSON → jsonPayload
+    projection, feeding the same pipeline as pre-decoded payloads."""
+    import base64
+
+    from fxa_amplitude_send_spark.operators.event_pipeline import decode_pubsub
+
+    msg = {"jsonPayload": {"Fields": dict(BASE_EVENT)}, "other": "ignored"}
+    data = base64.b64encode(json.dumps(msg).encode()).decode()
+    df = spark.createDataFrame([(data,)], "data string")
+    decoded = decode_pubsub(df)
+    payload = decoded.collect()[0]["payload"]
+    assert json.loads(payload) == {"Fields": BASE_EVENT}
+
+    # end-to-end: decoded payload runs the full pipeline (identify + httpapi)
+    rows = event_pipeline(decoded, KEY).collect()
+    assert [r["event_type"] for r in rows] == ["$identify", "fxa_login - complete"]
+    assert rows[1]["user_id"] == hmac_sha256_py(KEY, "u-1")
+
+
+def test_decode_pubsub_plaintext_mode(spark):
+    """base64_encoded=False covers sources that deliver JSON text directly
+    (file replays, memory streams)."""
+    from fxa_amplitude_send_spark.operators.event_pipeline import decode_pubsub
+
+    msg = json.dumps({"jsonPayload": {"Fields": dict(BASE_EVENT)}})
+    df = spark.createDataFrame([(msg,)], "data string")
+    payload = decode_pubsub(df, base64_encoded=False).collect()[0]["payload"]
+    assert json.loads(payload)["Fields"]["device_id"] == "d-1"
