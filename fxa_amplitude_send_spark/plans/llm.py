@@ -308,11 +308,16 @@ def llm_dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("_band", "_bhash"),
     )
-    bucket_rep = banded.groupBy("_band", "_bhash").agg(
-        F.min("doc_id").alias("_bucket_rep")
-    )
+    # window-min over the bucket, then min per doc: ONE pass over `banded`.
+    # The groupBy+join-back formulation duplicates the banded subtree in the
+    # plan, recomputing every minhash signature twice (Spark has no auto
+    # subplan reuse here) — the window form shuffles the same bytes but
+    # hashes each document once.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_band", "_bhash")
     return (
-        banded.join(bucket_rep, ["_band", "_bhash"])
+        banded.withColumn("_bucket_rep", F.min("doc_id").over(w))
         .groupBy("doc_id")
         .agg(F.min("_bucket_rep").alias("cluster_rep"))
         .withColumn("is_survivor", F.col("doc_id") == F.col("cluster_rep"))
