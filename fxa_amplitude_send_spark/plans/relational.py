@@ -194,15 +194,24 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= DATE '2000-01-01'
+    )
     """,
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Negation join — customers with no orders at all."""
+    """Negation join — customers with no *recent* orders (none since
+    2000-01-01). The date filter keeps the result non-empty at every test
+    scale factor (every customer has at least one order overall, so an
+    unfiltered anti-join would vacuously return 0 rows and prove nothing)."""
     customer = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("date")
+    )
     return customer.join(
-        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
     ).select("c_custkey", "c_name")
 
 
@@ -512,17 +521,20 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_except",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT o_custkey AS custkey FROM orders
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
     """,
 )
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set difference (distinct) — nations with customers but no suppliers."""
-    customer = _t(spark, sf_dir, "customer")
-    supplier = _t(spark, sf_dir, "supplier")
-    return customer.select(F.col("c_nationkey").alias("nationkey")).subtract(
-        supplier.select(F.col("s_nationkey").alias("nationkey"))
+    """Set difference (distinct) — customers who placed orders but never an
+    URGENT one. (Nation-level EXCEPT is vacuous on this data: every customer
+    nation also has suppliers, so the result would be empty at every SF.)"""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(F.col("o_custkey").alias("custkey")).subtract(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+            F.col("o_custkey").alias("custkey")
+        )
     )
 
 
@@ -800,18 +812,20 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_totalprice
     FROM orders
-    WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+    WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
     """,
 )
 def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar subquery: orders above 2x the global average. Expressed as a
+    """Scalar subquery: orders above 1.5x the global average. Expressed as a
     broadcast of the 1-row aggregate — Catalyst executes the subquery once
-    and broadcasts the scalar; no per-row recomputation."""
+    and broadcasts the scalar; no per-row recomputation. (Threshold is 1.5x,
+    not 2x: the price distribution tops out below 2x the mean on this data,
+    so a 2x cut would vacuously return 0 rows.)"""
     orders = _t(spark, sf_dir, "orders")
     avg_price = orders.agg(F.avg("o_totalprice").alias("_avg"))
     return (
         orders.crossJoin(F.broadcast(avg_price))
-        .filter(F.col("o_totalprice") > 2 * F.col("_avg"))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("_avg"))
         .select("o_orderkey", "o_totalprice")
     )
 
@@ -1845,7 +1859,10 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         p.join(l, F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        # no broadcast hint on supplier: it grows linearly with SF (sf x 10k
+        # rows), so a hard hint would OOM executors at the 100 TB design
+        # point. AQE's size-based choice broadcasts it only while it's small.
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
@@ -2132,7 +2149,9 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         waiting.join(o, F.col("o_orderkey") == F.col("l1_orderkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l1_suppkey"))
+        # supplier scales with SF — no hard broadcast hint (AQE decides);
+        # the single-nation filter table stays hinted (constant 25 rows).
+        .join(s, F.col("s_suppkey") == F.col("l1_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

@@ -167,3 +167,36 @@ def test_q7_q8_broadcast_all_dims(spark, sf_smoke):
         plan = physical_plan(QUERIES[name](spark, sf_smoke))
         assert plan.count("BroadcastHashJoin") >= 2, name
         assert "CartesianProduct" not in plan, name
+
+
+def _broadcast_exchange_inputs(plan: str) -> list[str]:
+    """Collect the `Input [...]` detail line of every BroadcastExchange node
+    in a formatted explain (each node's details run until the next header)."""
+    import re
+
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    return [
+        b
+        for b in blocks
+        if re.match(r"\(\d+\) BroadcastExchange", b)
+    ]
+
+
+@pytest.mark.parametrize("name", ["q_tpch_q8", "q_tpch_q21"])
+def test_unfiltered_supplier_never_hint_broadcast(spark, sf_smoke, name):
+    """supplier grows linearly with SF (sf x 10k rows): a hard broadcast hint
+    on the unfiltered table would OOM at the 100 TB design point. With the
+    size-based threshold disabled, any remaining BroadcastExchange comes from
+    an explicit hint — none of them may carry supplier columns."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = physical_plan(QUERIES[name](spark, sf_smoke))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    exchanges = _broadcast_exchange_inputs(plan)
+    assert exchanges, f"{name}: dimension hints (nation/region) should remain"
+    for block in exchanges:
+        assert "s_suppkey" not in block and "s_name" not in block, (
+            f"{name}: supplier feeds a BroadcastExchange:\n{block}"
+        )
