@@ -1,9 +1,13 @@
 """Benchmark harness: runs every registered engine query at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
-and prints ONE JSON line:
+and prints ONE compact JSON line as the FINAL stdout line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {name: sec, ...}, "sf": 0.1}
+
+The inline "queries" map is capped to the slowest 10 (the round-1 driver
+truncated the full 107-entry line to an unparseable tail string); the full
+per-query map is written to bench_results.json next to this script.
 
 Execution is forced with the noop sink (full plan runs, nothing materializes
 on the driver) — measures engine throughput, not pandas conversion.
@@ -61,19 +65,36 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     wall = round(time.perf_counter() - wall_start, 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "method": "best_of_2_noop_sink",
-                "wall_seconds": wall,
-            }
-        )
+    errors = sorted(n for n, t in timings.items() if t < 0)
+
+    full = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+        "errors": errors,
+        "method": "best_of_2_noop_sink",
+        "wall_seconds": wall,
+    }
+    with open(os.path.join(REPO, "bench_results.json"), "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+
+    slowest = dict(
+        sorted(
+            ((n, t) for n, t in timings.items() if t >= 0),
+            key=lambda kv: -kv[1],
+        )[:10]
     )
+    compact = dict(full)
+    compact["queries"] = slowest
+    compact["queries_note"] = "slowest 10 of n_queries; full map in bench_results.json"
+    # Single compact line, flushed last — the driver parses the final stdout
+    # line as JSON and truncates overly long ones.
+    line = json.dumps(compact, separators=(",", ":"))
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

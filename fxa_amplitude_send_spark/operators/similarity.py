@@ -62,6 +62,60 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_many(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Exact cosine top-k for MANY queries: broadcast the (bounded) query
+    sample against the corpus, exact cosine, window top-k per query. O(n·q)
+    — the recall ground truth for the approximate paths, run on a sampled
+    query set (the standard ANN evaluation protocol), not a serving path."""
+    from pyspark.sql import Window
+
+    joined = emb.select(
+        F.col(id_col).alias("_eid"), F.col(vec_col).alias("_evec")
+    ).crossJoin(F.broadcast(queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qvec")
+    ))).filter(F.col("_eid") != F.col("query_id"))
+    sim = cosine_similarity_col(F.col("_evec"), F.col("_qvec"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        joined.select(
+            "query_id", F.col("_eid").alias(id_col), F.round(sim, 6).alias("cos_sim")
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", id_col, "cos_sim", "rnk")
+    )
+
+
+def recall_at_k(approx_topk: DataFrame, exact_topk: DataFrame, k: int) -> DataFrame:
+    """recall@k of an approximate top-k result against the exact ground
+    truth: |approx ∩ exact| / k averaged over queries. Both inputs carry
+    (query_id, vec_id). A semi-join + two aggregates — no collect."""
+    hits = approx_topk.select("query_id", "vec_id").join(
+        exact_topk.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
+    )
+    per_query = (
+        exact_topk.select("query_id").distinct()
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")),
+            "query_id",
+            "left",
+        )
+        .select("query_id", F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"))
+    )
+    return per_query.agg(
+        F.round(F.avg(F.col("n_hits") / F.lit(float(k))), 4).alias("recall_at_k"),
+        F.count(F.lit(1)).alias("n_queries"),
+    )
+
+
 def ann_bucketed_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -71,28 +125,68 @@ def ann_bucketed_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "qvec",
     n_planes: int = 6,
+    n_tables: int = 1,
+    multiprobe: bool = False,
     seed: int = 7,
     dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k neighbors for MANY queries at once.
 
-    Both sides are bucketed by the same hyperplanes; candidates come from the
-    bucket equi-join; exact cosine re-ranks within buckets and a ranking
-    window takes k per query. Sub-linear candidate generation, deterministic
-    output (seeded planes, total ordering with id tiebreak)."""
+    Both sides are bucketed by the same seeded hyperplanes; candidates come
+    from the bucket equi-join; exact cosine re-ranks within buckets and a
+    ranking window takes k per query. Sub-linear candidate generation,
+    deterministic output (seeded planes, total ordering with id tiebreak).
+
+    Recall is tuned by three standard LSH knobs (Indyk-Motwani multi-table,
+    Lv et al. multi-probe):
+
+    * ``n_planes`` — bits per code: more planes → smaller buckets → fewer
+      candidates and lower per-table recall.
+    * ``n_tables`` — independent hash tables (different seeds); a neighbor
+      is a candidate if it collides in ANY table:
+      recall ≈ 1-(1-p^b)^L for per-bit agreement p.
+    * ``multiprobe`` — queries also probe every bucket at Hamming distance
+      1 from their code (flip each bit), catching neighbors that disagree
+      on exactly one plane without paying for another table.
+
+    Plan shape stays one equi-join regardless of the knobs: the corpus side
+    explodes to (table, bucket) — n_tables rows per vector — and the query
+    side to (table, probe_bucket); both join on the composite key, then
+    candidate pairs are deduped before the exact re-rank. No cross join at
+    any setting."""
     from pyspark.sql import Window
+
+    def codes(vec: Column, probe: bool) -> Column:
+        """array of (table_idx, bucket) structs — probe=True adds the
+        Hamming-1 neighborhood of each table's code."""
+        entries = []
+        for t in range(n_tables):
+            code = hyperplane_bucket_col(
+                vec, dim=dim, n_planes=n_planes, seed=seed + 9973 * t
+            )
+            buckets = [code]
+            if probe:
+                buckets += [code.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+            entries += [
+                F.struct(F.lit(t).alias("t"), b.alias("b")) for b in buckets
+            ]
+        return F.array(*entries)
 
     e = emb.select(
         F.col(id_col).alias("_eid"),
         F.col(vec_col).alias("_evec"),
-        hyperplane_bucket_col(F.col(vec_col), dim=dim, n_planes=n_planes, seed=seed).alias("_bucket"),
+        F.explode(codes(F.col(vec_col), probe=False)).alias("_tb"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("_qvec"),
-        hyperplane_bucket_col(F.col(query_vec_col), dim=dim, n_planes=n_planes, seed=seed).alias("_bucket"),
+        F.explode(codes(F.col(query_vec_col), probe=multiprobe)).alias("_tb"),
     )
-    cand = e.join(q, "_bucket").filter(F.col("_eid") != F.col("query_id"))
+    cand = (
+        e.join(q, e["_tb"] == q["_tb"])
+        .filter(F.col("_eid") != F.col("query_id"))
+        .dropDuplicates(["query_id", "_eid"])
+    )
     sim = cosine_similarity_col(F.col("_evec"), F.col("_qvec"))
     scored = cand.select(
         "query_id", F.col("_eid").alias(id_col), F.round(sim, 6).alias("cos_sim")

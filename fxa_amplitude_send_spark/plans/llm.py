@@ -351,18 +351,65 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: Tuned LSH/IVF knobs, shared by the serving queries and the recall probe.
+#: The synthetic embeddings are uniform random on the sphere — the known
+#: worst case for LSH (true neighbors sit at cosine ~0.35, barely above the
+#: noise floor), so hitting recall ≥ 0.8 costs 10 tables + Hamming-1 probes
+#: (measured: 0.84 @ sf0.01, 0.925 @ sf0.1). On a real clustered embedding
+#: corpus the same recall needs far fewer tables — tune down, not up.
+ANN_PARAMS = {"n_planes": 6, "n_tables": 10, "multiprobe": True}
+IVF_PARAMS = {"n_centroids": 16, "n_probe": 10}
+
+
 @query("llm_sim_ann")  # rows-only: approximate by construction
 def llm_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Many-query ANN: every 50th vector queries the corpus; hyperplane-LSH
-    bucket join generates candidates, exact cosine re-ranks, window takes
-    top-5. The scale path for llm_sim_topk's exact baseline."""
+    """Many-query ANN: every 50th vector queries the corpus; multi-table
+    multi-probe hyperplane-LSH bucket join generates candidates, exact
+    cosine re-ranks, window takes top-5. The scale path for llm_sim_topk's
+    exact baseline; recall vs that baseline is measured by llm_sim_recall
+    (floor-asserted in tests)."""
     from ..operators.similarity import ann_bucketed_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    return ann_bucketed_topk(emb, queries_df, k=5, n_planes=4)
+    return ann_bucketed_topk(emb, queries_df, k=5, **ANN_PARAMS)
+
+
+@query("llm_sim_recall")  # rows-only: measures engine-specific approx paths
+def llm_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate: recall@5 of the two approximate paths (hyperplane
+    LSH, learned IVF) against the exact brute-force ground truth on the
+    sampled query set — the first number an ANN user asks. Ground truth is
+    O(n·q) but q is the bounded query sample (standard ANN evaluation
+    protocol); the recall aggregation itself is a semi-join + avg, no
+    collect."""
+    from ..operators.similarity import (
+        ann_bucketed_topk,
+        brute_force_topk_many,
+        ivf_topk,
+        recall_at_k,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = brute_force_topk_many(emb, queries_df, k=5)
+    ann = ann_bucketed_topk(emb, queries_df, k=5, **ANN_PARAMS)
+    centroids = train_ivf_centroids(
+        emb, n_centroids=IVF_PARAMS["n_centroids"], n_iter=5, sample_n=512
+    )
+    ivf = ivf_topk(emb, queries_df, centroids, k=5, n_probe=IVF_PARAMS["n_probe"])
+    return recall_at_k(ann, exact, 5).select(
+        F.lit("lsh_multiprobe").alias("path"), "recall_at_k", "n_queries"
+    ).unionByName(
+        recall_at_k(ivf, exact, 5).select(
+            F.lit("ivf").alias("path"), "recall_at_k", "n_queries"
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -514,7 +561,7 @@ def llm_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    return knn_label_vote(emb, queries_df, k=5, n_planes=4)
+    return knn_label_vote(emb, queries_df, k=5, **ANN_PARAMS)
 
 
 @query(
@@ -816,8 +863,10 @@ def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_topk, train_ivf_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = train_ivf_centroids(emb, n_centroids=16, n_iter=5, sample_n=512)
+    centroids = train_ivf_centroids(
+        emb, n_centroids=IVF_PARAMS["n_centroids"], n_iter=5, sample_n=512
+    )
     queries_df = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    return ivf_topk(emb, queries_df, centroids, k=5, n_probe=2)
+    return ivf_topk(emb, queries_df, centroids, k=5, n_probe=IVF_PARAMS["n_probe"])

@@ -15,16 +15,17 @@ Mapping (SURVEY.md §3.4):
 | Amplitude insert_id dedup (utils:74)   | dropDuplicatesWithinWatermark        |
 | events.processed metrics (:94-101)     | per-batch counts + min/max publish   |
 
-The file source stands in for Pub/Sub (no emulator in this container); the
-source abstraction is one function so a Kafka/queue source swaps in without
-touching the pipeline. ``maxFilesPerTrigger`` is the MAX_EVENTS_PER_BATCH
-analogue at the source side.
+Sources are declared via ``QueueSource`` + ``read_queue_stream``: the kafka
+kind (maxOffsetsPerTrigger = MAX_EVENTS_PER_BATCH) is the production queue
+reader; the file kind (maxFilesPerTrigger, no connector jar needed) stands
+in for it in this container through the identical interface.
 """
 
 from __future__ import annotations
 
 import json
 from collections.abc import Callable
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,6 +49,67 @@ def read_payload_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.load(path).select(F.col("value").alias("payload"))
+
+
+@dataclass(frozen=True)
+class QueueSource:
+    """Declarative description of the upstream message queue (R1).
+
+    The reference pulls from a durable queue with a per-pull cap
+    (synchronous-pull.js:24-34,45-52: MAX_EVENTS_PER_BATCH=10 000). The
+    public-knowledge equivalent on Spark is the Kafka source with
+    ``maxOffsetsPerTrigger``; the file kind is the container-testable
+    stand-in that rides the exact same interface (``read_queue_stream``),
+    so swapping file → kafka touches configuration only, not the pipeline.
+
+    ``max_per_trigger`` is the MAX_EVENTS_PER_BATCH analogue: records per
+    micro-batch for kafka (maxOffsetsPerTrigger), files per micro-batch for
+    the file stand-in (maxFilesPerTrigger).
+    """
+
+    kind: str = "file"  # "file" | "kafka"
+    path: str | None = None  # file kind: directory of payload lines
+    brokers: str | None = None  # kafka kind: bootstrap servers
+    topic: str | None = None  # kafka kind: subscription
+    max_per_trigger: int | None = None
+    starting_offsets: str = "earliest"
+
+    def __post_init__(self):
+        if self.kind == "file" and not self.path:
+            raise ValueError("file source requires path")
+        if self.kind == "kafka" and not (self.brokers and self.topic):
+            raise ValueError("kafka source requires brokers and topic")
+        if self.kind not in ("file", "kafka"):
+            raise ValueError(f"unknown queue source kind: {self.kind}")
+
+
+def kafka_reader_options(src: QueueSource) -> dict[str, str]:
+    """The exact option map handed to ``readStream.format("kafka")`` —
+    factored out so the rate-limit parity (maxOffsetsPerTrigger ↔
+    MAX_EVENTS_PER_BATCH, synchronous-pull.js:33) is unit-testable without
+    the Kafka connector jar."""
+    opts = {
+        "kafka.bootstrap.servers": src.brokers,
+        "subscribe": src.topic,
+        "startingOffsets": src.starting_offsets,
+    }
+    if src.max_per_trigger:
+        opts["maxOffsetsPerTrigger"] = str(src.max_per_trigger)
+    return opts
+
+
+def read_queue_stream(spark: SparkSession, src: QueueSource) -> DataFrame:
+    """One entry point for every queue kind; always yields the same shape —
+    a single ``payload`` string column (the post-decode form of
+    synchronous-pull.js:57) — so ``event_pipeline`` composes unchanged."""
+    if src.kind == "kafka":
+        reader = spark.readStream.format("kafka")
+        for key, value in kafka_reader_options(src).items():
+            reader = reader.option(key, value)
+        # Kafka values are bytes; payloads are UTF-8 JSON (R3 decode happens
+        # downstream in event_pipeline, same as for the file kind).
+        return reader.load().select(F.col("value").cast("string").alias("payload"))
+    return read_payload_stream(spark, src.path, max_files_per_trigger=src.max_per_trigger)
 
 
 def streaming_event_pipeline(stream_df: DataFrame, hmac_key: str) -> DataFrame:

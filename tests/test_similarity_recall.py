@@ -1,0 +1,78 @@
+"""ANN quality gate (VERDICT r1 item 3): the approximate similarity paths
+must actually find good neighbors, not just run deterministically.
+
+recall@5 of both approximate paths vs the exact brute-force ground truth is
+floor-asserted at sf0.01. The synthetic embeddings are uniform random on the
+sphere — LSH's worst case — so the tuned knobs (10 tables + Hamming-1
+multi-probe; 10/16 IVF probes) are deliberately aggressive; see
+plans/llm.py ANN_PARAMS for the measured numbers and the tune-down note for
+clustered real-world corpora.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fxa_amplitude_send_spark.operators.similarity import (
+    ann_bucketed_topk,
+    brute_force_topk_many,
+    ivf_topk,
+    recall_at_k,
+    train_ivf_centroids,
+)
+from fxa_amplitude_send_spark.plans.llm import ANN_PARAMS, IVF_PARAMS
+from fxa_amplitude_send_spark.sources.tables import load_table
+
+RECALL_FLOOR = 0.8
+K = 5
+
+
+@pytest.fixture(scope="module")
+def ground_truth(spark, sf_correctness):
+    emb = load_table(spark, sf_correctness, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = brute_force_topk_many(emb, queries, k=K).cache()
+    exact.count()
+    yield emb, queries, exact
+    exact.unpersist()
+
+
+def test_lsh_recall_floor(ground_truth):
+    emb, queries, exact = ground_truth
+    approx = ann_bucketed_topk(emb, queries, k=K, **ANN_PARAMS)
+    row = recall_at_k(approx, exact, K).collect()[0]
+    assert row.n_queries == 10
+    assert row.recall_at_k >= RECALL_FLOOR, f"LSH recall@{K}={row.recall_at_k}"
+
+
+def test_ivf_recall_floor(ground_truth):
+    emb, queries, exact = ground_truth
+    centroids = train_ivf_centroids(
+        emb, n_centroids=IVF_PARAMS["n_centroids"], n_iter=5, sample_n=512
+    )
+    approx = ivf_topk(emb, queries, centroids, k=K, n_probe=IVF_PARAMS["n_probe"])
+    row = recall_at_k(approx, exact, K).collect()[0]
+    assert row.recall_at_k >= RECALL_FLOOR, f"IVF recall@{K}={row.recall_at_k}"
+
+
+def test_registered_recall_query_reports_both_paths(spark, sf_correctness):
+    from fxa_amplitude_send_spark.plans import all_queries
+
+    df = all_queries()["llm_sim_recall"](spark, sf_correctness)
+    rows = {r.path: r.recall_at_k for r in df.collect()}
+    assert set(rows) == {"lsh_multiprobe", "ivf"}
+    assert all(v >= RECALL_FLOOR for v in rows.values()), rows
+
+
+def test_single_table_recall_collapses_on_uniform_data(ground_truth):
+    """Sanity check that the recall metric discriminates: one 6-bit table
+    without probing must score far below the multi-table configuration."""
+    emb, queries, exact = ground_truth
+    approx = ann_bucketed_topk(
+        emb, queries, k=K, n_planes=6, n_tables=1, multiprobe=False
+    )
+    row = recall_at_k(approx, exact, K).collect()[0]
+    assert row.recall_at_k < 0.5

@@ -23,6 +23,51 @@ from fxa_amplitude_send_spark.streaming.pipeline import (
 KEY = "test-key"
 
 
+class KeepAliveCountingServer:
+    """HTTP/1.1 keep-alive server that counts distinct TCP connections and
+    records request bodies — proves the sink reuses one connection per
+    partition instead of handshaking per chunk."""
+
+    def __init__(self):
+        self.bodies: list[dict] = []
+        self.connections = 0
+        self.lock = threading.Lock()
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"  # keep-alive by default
+
+            def setup(self):  # one setup() per TCP connection
+                with outer.lock:
+                    outer.connections += 1
+                super().setup()
+
+            def do_POST(self):  # noqa: N802
+                length = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(length)
+                with outer.lock:
+                    outer.bodies.append(json.loads(raw))
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", "2")
+                self.end_headers()
+                self.wfile.write(b"{}")
+
+            def log_message(self, *args):
+                pass
+
+        self.server = HTTPServer(("127.0.0.1", 0), Handler)
+        self.thread = threading.Thread(target=self.server.serve_forever, daemon=True)
+        self.thread.start()
+
+    @property
+    def endpoint(self) -> str:
+        return f"http://127.0.0.1:{self.server.server_port}/batch"
+
+    def close(self):
+        self.server.shutdown()
+
+
 class RecordingServer:
     """In-process HTTP server: records request bodies, replays a scripted
     status sequence (then 200s forever)."""
@@ -100,6 +145,39 @@ class TestHttpSink:
         finally:
             srv.close()
 
+    def test_one_connection_per_partition(self, spark):
+        srv = KeepAliveCountingServer()
+        try:
+            cfg = PipelineConfig(
+                amplitude_api_key="api-k",
+                hmac_key=KEY,
+                max_events_per_batch=10,
+                endpoint=srv.endpoint,
+            )
+            df = spark.createDataFrame(
+                [(f"u-{i}", "login", float(i)) for i in range(50)],
+                "user_id string, event_type string, time double",
+            ).repartition(2)
+            http_batch_sink(df, cfg)
+            assert sum(len(b["events"]) for b in srv.bodies) == 50
+            assert len(srv.bodies) >= 4  # >=2 chunks per partition
+            # exactly one TCP connection per partition, reused across chunks
+            assert srv.connections <= 2
+        finally:
+            srv.close()
+
+    def test_conn_box_reuses_connection_across_calls(self):
+        srv = KeepAliveCountingServer()
+        try:
+            box: list = [None]
+            for _ in range(5):
+                send_events_http([{"a": 1}], srv.endpoint, "k", conn_box=box)
+            assert len(srv.bodies) == 5
+            assert srv.connections == 1
+            box[0].close()
+        finally:
+            srv.close()
+
     def test_retry_on_5xx_then_success(self):
         srv = RecordingServer(statuses=[500, 503])
         try:
@@ -147,6 +225,73 @@ class TestHttpSink:
                 )
         finally:
             srv.close()
+
+
+class TestQueueSourceAdapter:
+    def test_kafka_options_carry_rate_cap(self):
+        from fxa_amplitude_send_spark.streaming.pipeline import (
+            QueueSource,
+            kafka_reader_options,
+        )
+
+        src = QueueSource(
+            kind="kafka", brokers="b1:9092,b2:9092", topic="fxa-events",
+            max_per_trigger=10_000,
+        )
+        opts = kafka_reader_options(src)
+        assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+        assert opts["subscribe"] == "fxa-events"
+        assert opts["startingOffsets"] == "earliest"
+        # MAX_EVENTS_PER_BATCH parity (synchronous-pull.js:33)
+        assert opts["maxOffsetsPerTrigger"] == "10000"
+        assert "maxOffsetsPerTrigger" not in kafka_reader_options(
+            QueueSource(kind="kafka", brokers="b", topic="t")
+        )
+
+    def test_config_validation(self):
+        from fxa_amplitude_send_spark.streaming.pipeline import QueueSource
+
+        with pytest.raises(ValueError):
+            QueueSource(kind="kafka", brokers="b")  # topic missing
+        with pytest.raises(ValueError):
+            QueueSource(kind="file")  # path missing
+        with pytest.raises(ValueError):
+            QueueSource(kind="pubsub", path="x")
+
+    def test_batch_stream_equivalence_through_adapter(self, spark, tmp_path):
+        from fxa_amplitude_send_spark.streaming.pipeline import (
+            QueueSource,
+            read_queue_stream,
+        )
+
+        payloads = payloads_for(12)
+        src_dir = str(tmp_path / "queue_in")
+        write_payload_files(payloads, src_dir, files=2)
+
+        batch_df = spark.createDataFrame(
+            [(json.dumps(p),) for p in payloads], "payload string"
+        )
+        expected = {
+            (r.user_id, r.event_type, r.time)
+            for r in event_pipeline(batch_df, KEY).collect()
+        }
+
+        got: set = set()
+
+        def collecting_sink(df, _cfg):
+            got.update((r.user_id, r.event_type, r.time) for r in df.collect())
+
+        stream = read_queue_stream(
+            spark, QueueSource(kind="file", path=src_dir, max_per_trigger=1)
+        )
+        cfg = PipelineConfig(
+            amplitude_api_key="k", hmac_key=KEY, max_events_per_batch=100
+        )
+        q = run_pipeline(
+            stream, cfg, checkpoint_dir=str(tmp_path / "ckpt_q"), sink=collecting_sink
+        )
+        q.awaitTermination(120)
+        assert got == expected
 
 
 class TestStreaming:
