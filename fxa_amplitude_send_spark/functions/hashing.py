@@ -13,8 +13,11 @@ Contract details that MUST be replicated for insert_id parity (SURVEY.md §2A):
 * **Falsy args are skipped**, not empty-stringified: null/undefined, '', 0,
   0.0, NaN and false contribute nothing to the digest (utils.js:20).
 * Non-string args are coerced with JS template-string semantics: integral
-  numbers render without a decimal point (`String(5.0) === '5'`), floats use
-  shortest round-trip form (same as Python repr for the normal range).
+  numbers render without a decimal point (`String(5.0) === '5'`); other
+  doubles follow ECMA-262 Number::toString exactly — shortest round-trip
+  digits laid out with JS thresholds (decimal notation through 1e-7..1e21,
+  unpadded exponents, 'Infinity' spelling), which differs from Python repr
+  for small fractions ('0.00005' vs '5e-05').
 * There is **no separator** between concatenated properties.
 * user_id is hashed FIRST and the already-hashed value feeds insert_id
   (utils.js:70-74).
@@ -45,6 +48,45 @@ def _make_js_string_coerce():
     """
     import math as _math
 
+    def js_number_to_string(value):
+        """ECMA-262 Number::toString(10) (§6.1.6.1.20) for finite non-zero,
+        doubles: shortest round-trip digits (shared with Python repr), but
+        JS layout rules — decimal notation for -6 < n <= 21 (so 5e-05
+        renders '0.00005', not Python's '5e-05'; integral doubles render
+        digit-padded, '5.0' -> '5'), exponential outside with an UNPADDED
+        exponent ('1e-7', not '1e-07')."""
+        if _math.isinf(value):
+            return "Infinity" if value > 0 else "-Infinity"
+        sign = "-" if value < 0 else ""
+        r = repr(abs(value))
+        mant, _, exp_s = r.partition("e")
+        exp = int(exp_s) if exp_s else 0
+        int_part, _, frac = mant.partition(".")
+        int_stripped = int_part.lstrip("0")
+        # value = 0.<digits> * 10^n with digits free of edge zeros
+        if int_stripped:
+            n = len(int_stripped) + exp
+        else:
+            n = -(len(frac) - len(frac.lstrip("0"))) + exp
+        digits = (int_part + frac).strip("0")
+        k = len(digits)
+        if k <= n <= 21:
+            s = digits + "0" * (n - k)
+        elif 0 < n <= 21:
+            s = digits[:n] + "." + digits[n:]
+        elif -6 < n <= 0:
+            s = "0." + "0" * (-n) + digits
+        else:
+            e = n - 1
+            s = (
+                digits[0]
+                + ("." + digits[1:] if k > 1 else "")
+                + "e"
+                + ("+" if e >= 0 else "-")
+                + str(abs(e))
+            )
+        return sign + s
+
     def js_string_coerce(value):
         if value is None:
             return None
@@ -57,9 +99,11 @@ def _make_js_string_coerce():
         if isinstance(value, float):
             if value == 0.0 or _math.isnan(value):
                 return None
-            if value.is_integer() and abs(value) < 1e21:
-                return str(int(value))  # String(5.0) === '5'
-            return repr(value)  # shortest round-trip, same rule as JS doubles
+            # js_number_to_string also covers integral doubles: String(5.0)
+            # === '5', and String(1.2345678901234568e18) pads the SHORTEST
+            # round-trip digits with zeros ('...800'), unlike Python's exact
+            # int() ('...768') — doubles >= 2^53 only look exact.
+            return js_number_to_string(value)
         return str(value)
 
     return js_string_coerce

@@ -247,7 +247,14 @@ def identify_fanout(df: DataFrame) -> DataFrame:
         F.col("time").alias("time"),
         F.col("session_id").alias("session_id"),
         F.col("event_properties").alias("event_properties"),
-        F.when(up.isNotNull(), rest_props).otherwise(null_map).alias("user_properties"),
+        # verb keys are stripped ONLY when an identify event is emitted — the
+        # reference calls splitIdentifyPayload solely inside the has-verb
+        # branch (utils.js:76-84), so a lone null-valued verb key like
+        # {"$set": null} stays on the httpapi copy untouched.
+        F.when(has_verb, rest_props)
+        .when(up.isNotNull(), up)
+        .otherwise(null_map)
+        .alias("user_properties"),
         F.col("insert_id").alias("insert_id"),
         F.lit(1).alias("emit_rank"),
     )

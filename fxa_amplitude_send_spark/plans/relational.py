@@ -538,6 +538,50 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_agg_salted",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation-skew pattern: events has only 5 event_type values, each a
+    giant group — a direct groupBy would land the whole table on 5 reducers
+    no matter how many executors exist. salted_aggregate runs two phases:
+    (key, salt) partial aggregation spreads every giant group across 16
+    buckets, then a per-key merge combines the partials. The result is
+    bit-identical to the direct groupBy for the mergeable aggregate set
+    (oracle-verified); at 100 TB this is the difference between 5 straggler
+    reducers and full cluster width."""
+    from ..operators.skew import salted_aggregate
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "ts")
+    out = salted_aggregate(
+        ev,
+        key_cols=["event_type"],
+        aggs={
+            "n_events": ("ts", "count"),
+            "total_value": ("value", "sum"),
+            "first_ts": ("ts", "min"),
+            "last_ts": ("ts", "max"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+        "first_ts",
+        "last_ts",
+    )
+
+
 # ---------------------------------------------------------------------------
 # scalar function coverage
 # ---------------------------------------------------------------------------

@@ -148,6 +148,20 @@ def test_no_identify_for_plain_props(spark):
     assert rows[0].event_type == "fxa_login - complete"
 
 
+def test_null_verb_without_assignment_kept_on_httpapi(spark):
+    # {"$set": null} with no ASSIGNED verb: the reference never calls
+    # splitIdentifyPayload (utils.js:76-84 gates on a non-null verb value),
+    # so no identify event is emitted AND the null verb key survives on the
+    # httpapi copy — verb stripping must be gated on has_verb.
+    ev = dict(BASE_EVENT, user_properties={"$set": None, "flow_id": "f-1"})
+    rows = run(spark, ev)
+    assert len(rows) == 1
+    assert rows[0].event_type == "fxa_login - complete"
+    assert set(rows[0].user_properties) == {"$set", "flow_id"}
+    assert rows[0].user_properties["$set"] is None
+    assert rows[0].user_properties["flow_id"] == "f-1"
+
+
 def test_missing_user_properties_divergence(spark):
     # reference throws (utils.js:77); engine emits httpapi only (SURVEY.md §2A)
     ev = dict(BASE_EVENT)

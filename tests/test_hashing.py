@@ -44,6 +44,50 @@ def test_js_number_coercion():
     assert js_string_coerce(True) == "true"
 
 
+def test_ecmascript_number_to_string_thresholds():
+    """Golden vectors from ECMA-262 Number::toString(10) — the ranges where
+    Python repr and JS diverge (ADVICE r1): decimal notation down to 1e-7,
+    unpadded exponents, 'Infinity' spelling. Expected strings are exactly
+    what Node's String(v) returns."""
+    vectors = {
+        5e-05: "0.00005",        # Python repr: '5e-05'
+        -5e-05: "-0.00005",
+        1.5e-05: "0.000015",
+        1e-06: "0.000001",       # last decimal magnitude
+        1e-07: "1e-7",           # first exponential, unpadded (repr: '1e-07')
+        1.5e-07: "1.5e-7",
+        2.5e-10: "2.5e-10",
+        0.1: "0.1",
+        123.456: "123.456",
+        1e21: "1e+21",           # integral but >= 1e21 → exponential
+        1.5e21: "1.5e+21",
+        -1e21: "-1e+21",
+        1.2345678901234568e18: "1234567890123456800",
+        float("inf"): "Infinity",
+        float("-inf"): "-Infinity",
+    }
+    for value, want in vectors.items():
+        assert js_string_coerce(value) == want, (value, js_string_coerce(value))
+
+
+def test_hmac_parity_on_small_fractions(spark):
+    """The divergence range is reachable through time/session_id doubles —
+    the UDF and the driver reference must agree on the JS layout."""
+    df = spark.createDataFrame(
+        [("u", 5e-05), ("u", 1e-07), ("u", 1.5e21)],
+        "user_id string, session_id double",
+    )
+    out = df.select(
+        "user_id",
+        "session_id",
+        hmac_sha256(KEY, F.col("user_id"), F.col("session_id")).alias("h"),
+    ).collect()
+    for r in out:
+        assert r["h"] == hmac_sha256_py(KEY, r["user_id"], r["session_id"])
+    assert hmac_sha256_py(KEY, "u", 5e-05) == expected("u0.00005")
+    assert hmac_sha256_py(KEY, "u", 1e-07) == expected("u1e-7")
+
+
 def test_insert_id_shape():
     # insert_id = hash(key, hashed_user, device, session, type, time) — the
     # session_id/time arrive as doubles but hash as integer strings.

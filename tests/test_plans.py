@@ -169,6 +169,20 @@ def test_q7_q8_broadcast_all_dims(spark, sf_smoke):
         assert "CartesianProduct" not in plan, name
 
 
+def test_salted_aggregate_two_phase(spark, sf_smoke):
+    """q_agg_salted must show the two-phase shape: a (key, salt) partial
+    aggregation shuffle followed by the per-key merge — i.e. the salt column
+    appears in the first hashpartitioning and two aggregate pairs exist."""
+    plan = physical_plan(QUERIES["q_agg_salted"](spark, sf_smoke))
+    assert "_salt" in plan
+    # each groupBy contributes a partial+final HashAggregate pair
+    assert plan.count("HashAggregate") >= 4
+    salted_exchanges = [
+        l for l in plan.splitlines() if "hashpartitioning" in l and "_salt" in l
+    ]
+    assert salted_exchanges, "first shuffle must partition on (key, _salt)"
+
+
 def _broadcast_exchange_inputs(plan: str) -> list[str]:
     """Collect the `Input [...]` detail line of every BroadcastExchange node
     in a formatted explain (each node's details run until the next header)."""
