@@ -44,6 +44,90 @@ def hyperplane_bucket_col(
     return bucket
 
 
+def _lsh_codes_udf(n_planes: int, n_tables: int, seed: int):
+    """Vectorized LSH encoder: one pandas UDF returning every table's code
+    for a vector as ``array<long>`` (index = table). Per Arrow batch this is
+    a single (B×d)@(d×T·P) matmul + sign-bit pack — replacing T·P
+    interpreted 64-element aggregate-fold expressions per row. Planes are
+    regenerated inside the worker from (seed, observed dim) — deterministic,
+    identical on the corpus and query sides, and dimension-agnostic like the
+    fold-based encoder it replaces."""
+    from pyspark.sql.functions import pandas_udf
+
+    _n_tables, _n_planes, _seed = int(n_tables), int(n_planes), int(seed)
+
+    @pandas_udf("array<long>")
+    def codes(vecs: pd.Series) -> pd.Series:
+        import random
+
+        import numpy as np
+
+        X = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        planes = []
+        for t in range(_n_tables):  # same sequence as _hyperplanes()
+            rng = random.Random(_seed + 9973 * t)
+            planes += [
+                [rng.gauss(0.0, 1.0) for _ in range(X.shape[1])]
+                for _ in range(_n_planes)
+            ]
+        P = np.array(planes, dtype=np.float64)  # (T·planes, d)
+        bits = (X @ P.T) > 0  # (B, T·planes)
+        bits = bits.reshape(len(X), _n_tables, _n_planes)
+        weights = (1 << np.arange(_n_planes)).astype(np.int64)
+        out = (bits * weights).sum(axis=2).astype(np.int64)  # (B, T)
+        return pd.Series(list(out))
+
+    return codes
+
+
+def _bucket_rerank(e: DataFrame, q: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Bucket-local exact re-rank: cogroup corpus (_eid, _evec) and query
+    (query_id, _qvec) rows on (_t, _b); one numpy matmul scores every pair
+    INSIDE the bucket and only the per-query top-k leaves it. Avoids
+    materializing the candidate-pair relation entirely — the all-pairs work
+    is block-local arithmetic, the shuffle is bounded by buckets·queries·k
+    output rows. Deterministic: corpus sorted by id, stable argsort, sims
+    rounded before selection so ties break exactly like the global window
+    (cos_sim desc, id asc)."""
+    _k = int(k)
+
+    def score(key, cdf: pd.DataFrame, qdf: pd.DataFrame):
+        import numpy as np
+        import pandas as _pd
+
+        if cdf.empty or qdf.empty:
+            return _pd.DataFrame(
+                {"query_id": _pd.Series(dtype="int64"),
+                 id_col: _pd.Series(dtype="int64"),
+                 "cos_sim": _pd.Series(dtype="float64")}
+            )
+        cdf = cdf.sort_values("_eid", kind="stable")
+        eids = cdf["_eid"].to_numpy(dtype=np.int64)
+        X = np.stack(cdf["_evec"].map(lambda v: np.asarray(v, np.float64)))
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        qids = qdf["query_id"].to_numpy(dtype=np.int64)
+        Q = np.stack(qdf["_qvec"].map(lambda v: np.asarray(v, np.float64)))
+        Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        sims = np.round(X @ Q.T, 6)  # (C, q)
+        sims[eids[:, None] == qids[None, :]] = -np.inf  # self-match
+        kk = min(_k, len(eids))
+        top = np.argsort(-sims, axis=0, kind="stable")[:kk]  # (kk, q)
+        out = _pd.DataFrame(
+            {
+                "query_id": np.repeat(qids[None, :], kk, axis=0).ravel(),
+                id_col: eids[top].ravel(),
+                "cos_sim": np.take_along_axis(sims, top, axis=0).ravel(),
+            }
+        )
+        return out[out["cos_sim"] > -np.inf]
+
+    return (
+        e.groupBy("_t", "_b")
+        .cogroup(q.groupBy("_t", "_b"))
+        .applyInPandas(score, schema=f"query_id long, {id_col} long, cos_sim double")
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     query: DataFrame,
@@ -71,24 +155,60 @@ def brute_force_topk_many(
     query_id_col: str = "query_id",
     query_vec_col: str = "qvec",
 ) -> DataFrame:
-    """Exact cosine top-k for MANY queries: broadcast the (bounded) query
-    sample against the corpus, exact cosine, window top-k per query. O(n·q)
-    — the recall ground truth for the approximate paths, run on a sampled
-    query set (the standard ANN evaluation protocol), not a serving path."""
+    """Exact cosine top-k for MANY queries — blocked matrix multiply.
+
+    The query set is a BOUNDED evaluation sample (standard ANN recall
+    protocol), so it is collected once and shipped by value in the UDF
+    closure; the O(n·q·d) scoring runs as one numpy matmul per Arrow batch
+    inside ``mapInPandas`` with per-batch local top-k, then a global window
+    keeps k per query. The corpus is read exactly once, nothing shuffles
+    except n_batches·q·k candidate rows — at 100 TB this is scan-bandwidth
+    bound, the optimum for exact many-query kNN. (A crossJoin + per-pair
+    interpreted fold computes the same thing ~10× slower.)"""
+    import numpy as np
     from pyspark.sql import Window
 
-    joined = emb.select(
-        F.col(id_col).alias("_eid"), F.col(vec_col).alias("_evec")
-    ).crossJoin(F.broadcast(queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qvec")
-    ))).filter(F.col("_eid") != F.col("query_id"))
-    sim = cosine_similarity_col(F.col("_evec"), F.col("_qvec"))
+    qrows = sorted(
+        queries.select(query_id_col, query_vec_col).collect(), key=lambda r: r[0]
+    )
+    qids = [int(r[0]) for r in qrows]
+    Q = np.array([list(map(float, r[1])) for r in qrows], dtype=np.float64)
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    _k = int(k)
+
+    def scan(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        Qn = _np.asarray(Q)
+        ids = _np.asarray(qids, dtype=_np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(id_col, kind="stable")
+            eids = pdf[id_col].to_numpy(dtype=_np.int64)
+            X = _np.stack(pdf[vec_col].map(lambda v: _np.asarray(v, _np.float64)))
+            X /= _np.maximum(_np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            sims = _np.round(X @ Qn.T, 6)  # (B, q)
+            sims[eids[:, None] == ids[None, :]] = -_np.inf  # self-match
+            kk = min(_k, len(eids))
+            # stable argsort: ties break to the lowest vec_id (rows pre-sorted)
+            top = _np.argsort(-sims, axis=0, kind="stable")[:kk]  # (kk, q)
+            out = _pd.DataFrame(
+                {
+                    "query_id": _np.repeat(ids[None, :], kk, axis=0).ravel(),
+                    id_col: eids[top].ravel(),
+                    "cos_sim": _np.take_along_axis(sims, top, axis=0).ravel(),
+                }
+            )
+            yield out[out["cos_sim"] > -_np.inf]
+
+    local = emb.select(id_col, vec_col).mapInPandas(
+        scan, schema=f"query_id long, {id_col} long, cos_sim double"
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return (
-        joined.select(
-            "query_id", F.col("_eid").alias(id_col), F.round(sim, 6).alias("cos_sim")
-        )
-        .withColumn("rnk", F.row_number().over(w))
+        local.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", id_col, "cos_sim", "rnk")
     )
@@ -149,51 +269,43 @@ def ann_bucketed_topk(
       1 from their code (flip each bit), catching neighbors that disagree
       on exactly one plane without paying for another table.
 
-    Plan shape stays one equi-join regardless of the knobs: the corpus side
-    explodes to (table, bucket) — n_tables rows per vector — and the query
-    side to (table, probe_bucket); both join on the composite key, then
-    candidate pairs are deduped before the exact re-rank. No cross join at
-    any setting."""
+    Physical strategy (scale-first): per-table codes for ALL tables come
+    from ONE vectorized pandas-UDF matmul (sign bits of X @ planesᵀ) — not
+    n_tables·n_planes interpreted 64-element fold expressions; Hamming-1
+    probe buckets are derived JVM-side by XOR on the materialized code
+    column. Candidate scoring never materializes per-pair rows: corpus and
+    query rows are cogrouped by (table, bucket) and each bucket re-ranks
+    with one local numpy matmul, emitting only its per-query top-k. The
+    global answer is a dedup + window over n_buckets·q·k small rows. The
+    only wide exchange is the corpus replicated n_tables ways — the
+    standard multi-table LSH storage cost."""
     from pyspark.sql import Window
 
-    def codes(vec: Column, probe: bool) -> Column:
-        """array of (table_idx, bucket) structs — probe=True adds the
-        Hamming-1 neighborhood of each table's code."""
-        entries = []
-        for t in range(n_tables):
-            code = hyperplane_bucket_col(
-                vec, dim=dim, n_planes=n_planes, seed=seed + 9973 * t
-            )
-            buckets = [code]
-            if probe:
-                buckets += [code.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
-            entries += [
-                F.struct(F.lit(t).alias("t"), b.alias("b")) for b in buckets
-            ]
-        return F.array(*entries)
-
+    codes = _lsh_codes_udf(n_planes, n_tables, seed)
     e = emb.select(
         F.col(id_col).alias("_eid"),
         F.col(vec_col).alias("_evec"),
-        F.explode(codes(F.col(vec_col), probe=False)).alias("_tb"),
-    )
+        codes(F.col(vec_col)).alias("_codes"),
+    ).select("_eid", "_evec", F.posexplode("_codes").alias("_t", "_b"))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("_qvec"),
-        F.explode(codes(F.col(query_vec_col), probe=multiprobe)).alias("_tb"),
-    )
-    cand = (
-        e.join(q, e["_tb"] == q["_tb"])
-        .filter(F.col("_eid") != F.col("query_id"))
-        .dropDuplicates(["query_id", "_eid"])
-    )
-    sim = cosine_similarity_col(F.col("_evec"), F.col("_qvec"))
-    scored = cand.select(
-        "query_id", F.col("_eid").alias(id_col), F.round(sim, 6).alias("cos_sim")
-    )
+        codes(F.col(query_vec_col)).alias("_codes"),
+    ).select("query_id", "_qvec", F.posexplode("_codes").alias("_t", "_b0"))
+    if multiprobe:
+        probe_arr = F.array(
+            F.col("_b0"),
+            *[F.col("_b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+    else:
+        probe_arr = F.array(F.col("_b0"))
+    q = q.select("query_id", "_qvec", "_t", F.explode(probe_arr).alias("_b"))
+
+    scored = _bucket_rerank(e, q, k=k, id_col=id_col)
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.dropDuplicates(["query_id", id_col])
+        .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", id_col, "cos_sim", "rnk")
     )
@@ -306,30 +418,30 @@ def ivf_topk(
     so clustered corpora get balanced partitions and higher recall at the
     same candidate budget. At 100 TB the cell column is a natural partition/
     cluster key for the stored index (write once, probe by partition
-    pruning)."""
+    pruning). Scoring rides the same bucket-local matmul re-rank as the LSH
+    path (cell = bucket, single table) — no per-pair rows materialize."""
     from pyspark.sql import Window
 
     e = assign_ivf_cells(emb, centroids, vec_col=vec_col, n_probe=1).select(
         F.col(id_col).alias("_eid"),
         F.col(vec_col).alias("_evec"),
-        F.col("cell")[0].alias("_cell"),
+        F.lit(0).alias("_t"),
+        F.col("cell")[0].cast("long").alias("_b"),
     )
     q = assign_ivf_cells(
         queries, centroids, vec_col=query_vec_col, n_probe=n_probe
     ).select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("_qvec"),
-        F.explode("cell").alias("_cell"),
-    )
-    cand = e.join(q, "_cell").filter(F.col("_eid") != F.col("query_id"))
-    sim = cosine_similarity_col(F.col("_evec"), F.col("_qvec"))
+        F.lit(0).alias("_t"),
+        F.explode("cell").alias("_b"),
+    ).withColumn("_b", F.col("_b").cast("long"))
+    scored = _bucket_rerank(e, q, k=k, id_col="vec_id")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id")
     )
     return (
-        cand.select(
-            "query_id", F.col("_eid").alias("vec_id"), F.round(sim, 6).alias("cos_sim")
-        )
+        scored.dropDuplicates(["query_id", "vec_id"])
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
