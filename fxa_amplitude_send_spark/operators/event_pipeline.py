@@ -59,6 +59,22 @@ def decode_pubsub(df: DataFrame, data_col: str = "data", base64_encoded: bool = 
     return df.withColumn("payload", F.get_json_object(raw, "$.jsonPayload"))
 
 
+def _once(col: Column) -> Column:
+    """Evaluate-once barrier for an expensive expression.
+
+    ``rand() >= -1`` is always true, so the value is unchanged — but the
+    nondeterministic marker stops the optimizer from (a) collapsing the
+    projection into neighbors and (b) substituting the expression into every
+    downstream reference when filters are pushed past it. This matters
+    because JSON parsing (``from_json``/``get_json_object``) is
+    CodegenFallback in Spark: operators containing it run INTERPRETED, with
+    no whole-stage codegen and therefore no subexpression elimination —
+    an inlined parse really is re-executed per occurrence (measured: the
+    validity filter alone re-parsed each payload ~12× at sf0.1, ~4× the
+    whole pipeline's cost)."""
+    return F.when(F.rand(7) >= -1.0, col)
+
+
 def parse_envelope(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """R4: resolve the three envelope variants into typed event columns.
 
@@ -70,16 +86,26 @@ def parse_envelope(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
     ``get_json_object`` returns the JSON text of a sub-object AND the unwrapped
     content of a string-encoded field, so variants 3/4 collapse into one
-    expression — no UDF, no schema inference, single pass per field.
+    expression — no UDF, no schema inference.
+
+    Plan discipline: each JSON parse is materialized EXACTLY ONCE behind an
+    ``_once`` barrier (see above) — five parses per row total (Fields
+    extract, op/data probe, text-typed event, number-typed event,
+    user_properties map), instead of the ~20 an inlined expression tree
+    degenerates to once filters/fan-out reference the parsed columns.
 
     Output columns: device_id, user_id, event_type, time (double),
     session_id (double, repaired), event_properties (JSON string),
-    user_properties (map<string,string> — nested values kept as JSON text),
-    and ``_time_is_number`` used by the validity predicate.
+    user_properties (map<string,string> — nested values kept as JSON text).
     """
     payload = F.col(payload_col)
-    fields_txt = F.get_json_object(payload, "$.Fields")
-    opdata = F.from_json(fields_txt, "op string, data string")
+
+    staged = df.withColumn("_fields", _once(F.get_json_object(payload, "$.Fields")))
+    staged = staged.withColumn(
+        "_opdata", _once(F.from_json(F.col("_fields"), "op string, data string"))
+    )
+    fields_txt = F.col("_fields")
+    opdata = F.col("_opdata")
 
     # JS truthiness: `event.op && event.data` (utils.js:41) — empty strings fail.
     event_str = (
@@ -92,8 +118,7 @@ def parse_envelope(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         .when(fields_txt.isNotNull(), fields_txt)
         .otherwise(payload)
     )
-
-    out = df.withColumn("_event", event_str)
+    staged = staged.withColumn("_event", _once(event_str))
     ev = F.col("_event")
 
     # Two parses of the event, by design (not per-column extraction):
@@ -103,13 +128,18 @@ def parse_envelope(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     # * ``nums``: numeric-TYPE detection — from_json yields NULL where the
     #   JSON value is a string, replicating `is.positive(event.time)` (numbers
     #   only, utils.js:34) and `is.string(event.session_id)` (utils.js:59).
-    # Codegen CSE evaluates each parse once per operator.
-    text = F.from_json(
-        ev,
-        "device_id string, user_id string, event_type string,"
-        " session_id string, event_properties string, user_properties string",
-    )
-    nums = F.from_json(ev, "time double, session_id double")
+    staged = staged.withColumn(
+        "_text",
+        _once(
+            F.from_json(
+                ev,
+                "device_id string, user_id string, event_type string,"
+                " session_id string, event_properties string, user_properties string",
+            )
+        ),
+    ).withColumn("_nums", _once(F.from_json(ev, "time double, session_id double")))
+    text = F.col("_text")
+    nums = F.col("_nums")
 
     # parseInt(x, 10): optional sign, leading digit run, else NaN → -1
     # (utils.js:61-65). Regexp replicates the leading-prefix parse
@@ -125,7 +155,7 @@ def parse_envelope(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
     return (
-        out.withColumn("device_id", text["device_id"])
+        staged.withColumn("device_id", text["device_id"])
         .withColumn("user_id", text["user_id"])
         .withColumn("event_type", text["event_type"])
         .withColumn("time", nums["time"])
@@ -133,9 +163,9 @@ def parse_envelope(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         .withColumn("event_properties", text["event_properties"])
         .withColumn(
             "user_properties",
-            F.from_json(text["user_properties"], "map<string,string>"),
+            _once(F.from_json(text["user_properties"], "map<string,string>")),
         )
-        .drop("_event")
+        .drop("_fields", "_opdata", "_event", "_text", "_nums")
     )
 
 
