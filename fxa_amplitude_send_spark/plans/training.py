@@ -1,0 +1,300 @@
+"""Training-data curation operators: weighted source mixing, stratified /
+uniform sampling, sequence packing, and TF-IDF term weighting.
+
+These are the corpus-assembly steps that sit between dedup/quality filtering
+(plans/llm.py) and the trainer: decide how much of each source to keep,
+rebalance languages, pack documents into fixed token-budget sequences, and
+surface each document's most characteristic terms.
+
+Determinism discipline: every sampling decision derives from a multiplicative
+hash of doc_id — ``h(id) = (id * odd_const) mod 2^32`` (Fibonacci hashing;
+an odd multiplier is invertible mod 2^32 so distinct ids never collide).
+Pure integer arithmetic evaluates identically in Spark and DuckDB, which is
+what makes these *sampling* operators oracle-checkable at all — no rand(),
+no engine-specific hash builtin. Different operators use different odd
+multipliers so their keep/drop decisions are mutually independent.
+
+Scale notes are per-operator; the common theme is that every decision is a
+narrow per-row expression (no shuffle) and every aggregate is map-side
+combinable, so the operators are scan-bound at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+# Odd 32-bit multipliers (Knuth / xxhash primes) — one per operator family.
+_MIX_MULT = 2654435761
+_STRAT_MULT = 2246822519
+_SAMPLE_MULT = 3266489917
+_MOD = 4294967296  # 2^32
+
+
+def _h(col, mult: int):
+    """Deterministic uniform hash in [0, 2^32): (id * mult) mod 2^32."""
+    return (col.cast("long") * F.lit(mult)) % F.lit(_MOD)
+
+
+@query(
+    "llm_source_mix",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, lang,
+             (doc_id * {_MIX_MULT}) % {_MOD} AS h
+      FROM documents
+    ), weighted AS (
+      SELECT doc_id, source, lang,
+             CASE
+               WHEN source IN ('src0', 'src1', 'src2')
+                 THEN 1 + CASE WHEN h % 1000 < 600 THEN 1 ELSE 0 END
+               WHEN source IN ('src3', 'src4', 'src5') THEN 1
+               ELSE CASE WHEN h % 1000 < 400 THEN 1 ELSE 0 END
+             END AS n_copies
+      FROM base
+    )
+    SELECT doc_id, source, lang,
+           CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_n
+    FROM weighted
+    WHERE n_copies >= 1
+    """,
+)
+def llm_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing: each source gets a target weight and documents
+    are up- or down-sampled to hit it — weight 1.6 emits a second copy of 60%
+    of rows (hash-decided), weight 0.4 keeps 40%. This is the standard
+    corpus-mixture step (e.g. upweight curated sources, downweight crawl).
+
+    Scale: the decision is a per-row integer expression and the upsample is a
+    row-local explode — zero shuffle, output size = sum(weights·rows). The
+    weights table here is a literal CASE; in production it would be a
+    broadcast-joined dimension of O(sources) rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = _h(F.col("doc_id"), _MIX_MULT)
+    extra = lambda permille: F.when(h % 1000 < permille, 1).otherwise(0)  # noqa: E731
+    n_copies = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), F.lit(1) + extra(600))
+        .when(F.col("source").isin("src3", "src4", "src5"), F.lit(1))
+        .otherwise(extra(400))
+    )
+    return (
+        docs.select("doc_id", "source", "lang", n_copies.alias("n_copies"))
+        .filter(F.col("n_copies") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("n_copies").cast("long"))
+            ).alias("copy_n"),
+        )
+    )
+
+
+@query(
+    "llm_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, source, lang
+    FROM (
+      SELECT doc_id, source, lang,
+             (doc_id * {_STRAT_MULT}) % {_MOD} AS h
+      FROM documents
+    )
+    WHERE h % 1000 < CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 800 ELSE 1000 END
+    """,
+)
+def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-language) sampling to rebalance a corpus: keep 30% of
+    the dominant 'en' stratum, 80% of 'de', all of the rest. The keep
+    decision is a deterministic hash threshold, so the sample is reproducible
+    run-to-run and engine-to-engine — a hard requirement for training-data
+    lineage.
+
+    Scale: a narrow filter — predicate-pushdown-friendly, no shuffle, and
+    because the hash is per-row it needs no per-stratum state (contrast
+    df.sampleBy, whose Bernoulli draw is seed- and partitioning-dependent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = _h(F.col("doc_id"), _STRAT_MULT)
+    rate = (
+        F.when(F.col("lang") == "en", 300)
+        .when(F.col("lang") == "de", 800)
+        .otherwise(1000)
+    )
+    return docs.filter(h % 1000 < rate).select("doc_id", "source", "lang")
+
+
+@query(
+    "llm_sample_bottomk",
+    oracle=f"""
+    SELECT doc_id, source, lang, sort_key
+    FROM (
+      SELECT doc_id, source, lang,
+             (doc_id * {_SAMPLE_MULT}) % {_MOD} AS sort_key
+      FROM documents
+    )
+    ORDER BY sort_key
+    LIMIT 100
+    """,
+)
+def llm_sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform fixed-size sample via bottom-k-by-hash: the k rows with the
+    smallest hash values are a uniform k-subset, and — unlike reservoir
+    sampling — the choice is deterministic, mergeable across partitions, and
+    stable under re-partitioning (the classic distributed-sample trick).
+
+    Scale: Spark executes orderBy+limit as TakeOrderedAndProject — each
+    partition keeps a local k-heap and only k rows per partition reach the
+    driver-side merge; no global sort ever materializes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            _h(F.col("doc_id"), _SAMPLE_MULT).alias("sort_key"),
+        )
+        .orderBy("sort_key")
+        .limit(100)
+    )
+
+
+@query(
+    "llm_seq_pack",
+    oracle="""
+    WITH toks AS (
+      SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), cum AS (
+      SELECT source, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM toks
+    )
+    SELECT source,
+           CAST(FLOOR(cum_before / 512.0) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM cum
+    GROUP BY source, pack_id
+    """,
+)
+def llm_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concatenate-then-chunk): within each source shard,
+    documents are laid end-to-end in doc_id order and a document belongs to
+    the fixed-token-budget pack its first token falls in — the standard
+    pretraining packing layout (documents may straddle pack boundaries; the
+    pack id marks where each one starts).
+
+    Scale: the running sum is windowed PER SOURCE — one shuffle on the shard
+    key, then each shard packs independently and in parallel. A single global
+    ordering would serialize on one partition; sharded packing is how real
+    pipelines do it (pack within input file/shard, never across the corpus).
+    The final per-pack rollup is a map-side-combinable hash aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = toks.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return (
+        cum.withColumn(
+            "pack_id", F.floor(F.col("cum_before") / F.lit(512.0)).cast("long")
+        )
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@query(
+    "llm_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM tok WHERE len(token) > 0
+      GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), n AS (
+      SELECT COUNT(*) AS n_total FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             ROUND(tf.tf * LN(CAST(n.n_total AS DOUBLE) / df.df), 6) AS score
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, df, score, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+      FROM scored)
+    WHERE rnk <= 3
+    """,
+)
+def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document — the classic keyword/fingerprint
+    weighting (tf · ln(N/df)), used for topic tagging and near-dup triage.
+
+    Scale: term frequencies aggregate map-side on (doc_id, token); document
+    frequencies aggregate on token (shuffle bounded by vocabulary, not
+    corpus); the corpus size joins in as a broadcast scalar. Ranking ties
+    break on the rounded score then token text, so the top-3 set is total-
+    ordered and engine-independent (raw float ordering would expose last-ulp
+    differences between ln() implementations)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * F.log(F.col("n_total").cast("double") / F.col("df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "tf", "df", "score", "rnk")
+    )
+
+
+@query("llm_pq_codes")  # rows-only: learned codebooks are engine-specific
+def llm_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode of the embedding corpus: 64 floats → 4
+    one-byte codes (64× compression) plus per-vector reconstruction error —
+    the storage format behind billion-scale ANN indexes (IVF-PQ).
+
+    Codebooks train on a bounded driver-side sample (O(centroids), like the
+    IVF coarse quantizer); the encode pass is one vectorized pandas UDF,
+    fully distributed, no shuffle. Deterministic (fixed sample, first-k
+    init, ties to lowest code) but the learned codebooks are engine-
+    specific, so the check is rows-only."""
+    from ..operators.quantization import encode_pq, train_pq_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, m=4, k=16)
+    return encode_pq(emb, books).select("vec_id", "pq_code", "recon_err")
