@@ -2244,3 +2244,167 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# breadth round 2: unpivot, map/struct expression batteries, distribution
+# windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT l_returnflag, metric, val FROM (
+      SELECT l_returnflag,
+             ROUND(SUM(l_quantity), 2) AS sum_qty,
+             ROUND(SUM(l_extendedprice), 2) AS sum_price,
+             ROUND(AVG(l_discount), 6) AS avg_disc
+      FROM lineitem GROUP BY l_returnflag
+    ) UNPIVOT (val FOR metric IN (sum_qty, sum_price, avg_disc))
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (unpivot/melt): aggregate first, then turn the
+    metric columns into (metric, val) rows — the standard shape for feeding
+    generic metric stores. DataFrame.unpivot is a zero-shuffle Expand node;
+    doing it AFTER the aggregate keeps the exploded rowcount at
+    groups×metrics instead of rows×metrics."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "avg_disc"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@query(
+    "q_map_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           ['priority', 'status'] AS ks,
+           2 AS n_entries,
+           o_orderstatus AS status_val,
+           lower(o_orderpriority) AS priority_lower,
+           CAST(o_totalprice AS VARCHAR) AS price_txt,
+           3 AS n_merged
+    FROM orders
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map expression battery: map_from_arrays construction, map_keys
+    (sorted for engine-independence), size, element_at lookup,
+    transform_values (higher-order rewrite), map_concat merge. The oracle
+    states the algebraically-expected outputs directly, so any deviation in
+    Spark's map semantics surfaces as a hash mismatch. All row-local
+    expressions — no shuffle, fully codegen-able."""
+    o = _t(spark, sf_dir, "orders")
+    m = F.map_from_arrays(
+        F.array(F.lit("status"), F.lit("priority")),
+        F.array(F.col("o_orderstatus"), F.col("o_orderpriority")),
+    )
+    lowered = F.transform_values(m, lambda k, v: F.lower(v))
+    merged = F.map_concat(
+        m, F.create_map(F.lit("price"), F.col("o_totalprice").cast("string"))
+    )
+    return o.select(
+        "o_orderkey",
+        F.array_sort(F.map_keys(m)).alias("ks"),
+        F.size(m).alias("n_entries"),
+        F.element_at(m, "status").alias("status_val"),
+        F.element_at(lowered, "priority").alias("priority_lower"),
+        F.element_at(merged, "price").alias("price_txt"),
+        F.size(merged).alias("n_merged"),
+    )
+
+
+@query(
+    "q_struct_funcs",
+    oracle="""
+    SELECT c_nationkey, top_bal, top_key, top_bal * 2 AS dbl_bal FROM (
+      SELECT c_nationkey, c_acctbal AS top_bal, c_custkey AS top_key,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+      FROM customer)
+    WHERE rn = 1
+    """,
+)
+def q_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct expression battery: struct construction, lexicographic struct
+    MAX as an argmax aggregate (the classic 'top row per group without a
+    window' trick — a plain hash aggregate, cheaper than rank-and-filter at
+    scale), withField derivation, and field access. Struct MAX ties on bal
+    resolve to the highest custkey, mirrored by the oracle's DESC, DESC
+    row_number."""
+    c = _t(spark, sf_dir, "customer")
+    top = c.groupBy("c_nationkey").agg(
+        F.max(
+            F.struct(
+                F.col("c_acctbal").alias("bal"), F.col("c_custkey").alias("key")
+            )
+        ).alias("top")
+    )
+    enriched = top.withColumn(
+        "top", F.col("top").withField("dbl", F.col("top.bal") * 2)
+    )
+    return enriched.select(
+        "c_nationkey",
+        F.col("top.bal").alias("top_bal"),
+        F.col("top.key").alias("top_key"),
+        F.col("top.dbl").alias("dbl_bal"),
+    )
+
+
+@query(
+    "q_window_ntile",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           NTILE(4) OVER (PARTITION BY c_nationkey
+                          ORDER BY c_acctbal, c_custkey) AS quartile
+    FROM customer
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quartile assignment via ntile — bucketing customers by
+    balance within each nation. Partitioned by nation so the sort
+    parallelizes across groups (a GLOBAL ntile would serialize on one
+    partition at 100 TB); c_custkey tiebreak totalizes the order."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_nationkey", "c_custkey", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+@query(
+    "q_window_dist",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal, c_custkey), 6)
+             AS pct_rank,
+           ROUND(CUME_DIST() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal, c_custkey), 6)
+             AS cume
+    FROM customer
+    """,
+)
+def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: percent_rank ((rank-1)/(n-1)) and cume_dist
+    (rank_hi/n) within nation — the building blocks for percentile-based
+    quality cuts. Rounded to 6 decimals so the shared-formula floats hash
+    identically across engines."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
