@@ -383,3 +383,77 @@ def embedding_near_pairs(
     return bucketed.groupBy("_bucket").applyInPandas(
         pairs, schema="vec_a long, vec_b long, cos_sim double"
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    nodes: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation — the
+    transitive-closure step that turns near-dup PAIRS into dedup CLUSTERS
+    (a pair list says a~b and b~c; the component says {a,b,c} are one
+    document).
+
+    Each iteration every node adopts min(own label, neighbors' labels),
+    then labels pointer-jump (L(v) := L(L(v)) — a label is always a real
+    node id, so the indirection is well-defined): the neighbor step moves
+    information one hop, the jump halves label-chain depth, and together
+    they converge in O(log diameter) rounds (the standard Pregel-CC
+    shortcut; large-star/small-star of Kiveris et al. is the same idea with
+    edge rewriting). Per round: two shuffle joins + one hash aggregate.
+    The driver loop is inherent to any fixpoint algorithm: one scalar
+    action per iteration detects convergence — labels only ever decrease,
+    so an unchanged label SUM is exactly a fixpoint, which is one agg
+    instead of a change-count join. ``localCheckpoint`` truncates the
+    growing lineage each step (on a real cluster use ``checkpoint`` to
+    survive executor loss).
+
+    Output: (id_col, cluster) for every node, cluster = min node id in the
+    component; singleton nodes keep their own id.
+    """
+    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    sym = sym.union(sym.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    # materialize once: the edge relation (often an expensive similarity
+    # join) is re-read every round — without this it would re-EXECUTE every
+    # round
+    sym = sym.localCheckpoint(eager=True)
+    if nodes is None:
+        nodes = sym.select(F.col("s").alias(id_col)).distinct()
+    labels = nodes.select(
+        F.col(id_col), F.col(id_col).cast("long").alias("cluster")
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("cluster")).collect()[0][0]
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym["s"] == labels[id_col])
+            .groupBy(F.col("d").alias(id_col))
+            .agg(F.min("cluster").alias("_nmin"))
+        )
+        stepped = labels.join(neigh, id_col, "left").select(
+            F.col(id_col),
+            F.least(
+                F.col("cluster"), F.coalesce(F.col("_nmin"), F.col("cluster"))
+            ).alias("cluster"),
+        )
+        # pointer jump: follow the label one more level (L(L(v)))
+        parent = stepped.select(
+            F.col(id_col).alias("_pid"), F.col("cluster").alias("_pcluster")
+        )
+        labels_new = (
+            stepped.join(parent, stepped["cluster"] == parent["_pid"], "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("_pcluster"), F.col("cluster")).alias("cluster"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels_new.agg(F.sum("cluster")).collect()[0][0]
+        labels = labels_new
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels

@@ -870,3 +870,49 @@ def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     return ivf_topk(emb, queries_df, centroids, k=5, n_probe=IVF_PARAMS["n_probe"])
+
+
+@query(
+    "llm_dedup_cc",
+    oracle="""
+    WITH RECURSIVE t AS MATERIALIZED (
+      SELECT doc_id, list_distinct(list_filter(string_split(text, ' '),
+                                   x -> length(x) > 0)) AS toks
+      FROM documents WHERE doc_id < 500
+    ), pairs AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM t a, t b
+      WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+            >= 0.9
+    ), edges AS MATERIALIZED (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION ALL
+      SELECT doc_b AS s, doc_a AS d FROM pairs
+    ), walk(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM t
+      UNION
+      SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.doc_id
+    )
+    SELECT doc_id, MIN(label) AS cluster FROM walk GROUP BY doc_id
+    """,
+)
+def llm_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup CLUSTERS from near-dup pairs: connected components over the
+    exact token-set Jaccard graph (same bounded slice + threshold as
+    llm_dedup_ngram), every doc labeled with the min doc_id reachable
+    through chains of near-duplicates — pairs say a~b, the component says
+    {a,b,c,...} are one logical document even when a and c never pair
+    directly.
+
+    The ENGINE side is an honest iterative fixpoint (min-label propagation,
+    one join+agg per round, lineage truncated per step — see
+    operators/dedup.py connected_components); the ORACLE expresses the same
+    transitive closure as a DuckDB recursive CTE, making this the one
+    iterative-algorithm query that is still hash-checked end-to-end."""
+    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    edges = ngram_jaccard_pairs(docs, threshold=0.9).select("doc_a", "doc_b")
+    return connected_components(edges, nodes=docs.select("doc_id"))

@@ -100,3 +100,29 @@ def test_pq_codes_geometry(spark, sf_smoke):
     # vector norm (random coding would sit near sqrt(2) for unit vectors)
     mean_err = sum(r.recon_err for r in out) / len(out)
     assert mean_err < 1.0
+
+
+def test_connected_components_chain_transitivity(spark):
+    """a~b, b~c, c~d (no direct a~d pair) must collapse into one cluster;
+    isolated nodes keep their own label."""
+    from fxa_amplitude_send_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["doc_a", "doc_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]], ["doc_id"])
+    out = {r.doc_id: r.cluster for r in connected_components(edges, nodes=nodes).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 64-node path graph exercises the pointer-jumping path (log rounds,
+    not 64 neighbor rounds)."""
+    from fxa_amplitude_send_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], ["doc_a", "doc_b"]
+    )
+    out = connected_components(edges, max_iter=10).collect()
+    assert len(out) == 64
+    assert {r.cluster for r in out} == {0}
