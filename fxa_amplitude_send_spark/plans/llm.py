@@ -403,11 +403,24 @@ def llm_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, n_centroids=IVF_PARAMS["n_centroids"], n_iter=5, sample_n=512
     )
     ivf = ivf_topk(emb, queries_df, centroids, k=5, n_probe=IVF_PARAMS["n_probe"])
-    return recall_at_k(ann, exact, 5).select(
-        F.lit("lsh_multiprobe").alias("path"), "recall_at_k", "n_queries"
-    ).unionByName(
-        recall_at_k(ivf, exact, 5).select(
-            F.lit("ivf").alias("path"), "recall_at_k", "n_queries"
+    from ..operators.quantization import ivfpq_topk, train_pq_codebooks
+
+    books = train_pq_codebooks(emb, m=4, k=16)
+    ivfpq = ivfpq_topk(
+        emb, queries_df, centroids, books, k=5, n_probe=IVF_PARAMS["n_probe"]
+    )
+    return (
+        recall_at_k(ann, exact, 5)
+        .select(F.lit("lsh_multiprobe").alias("path"), "recall_at_k", "n_queries")
+        .unionByName(
+            recall_at_k(ivf, exact, 5).select(
+                F.lit("ivf").alias("path"), "recall_at_k", "n_queries"
+            )
+        )
+        .unionByName(
+            recall_at_k(ivfpq, exact, 5).select(
+                F.lit("ivfpq").alias("path"), "recall_at_k", "n_queries"
+            )
         )
     )
 
@@ -916,3 +929,26 @@ def llm_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     edges = ngram_jaccard_pairs(docs, threshold=0.9).select("doc_a", "doc_b")
     return connected_components(edges, nodes=docs.select("doc_id"))
+
+
+@query("llm_sim_ivfpq")  # rows-only: learned cells + codebooks are engine-specific
+def llm_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN: learned cells route candidates, 4×16 PQ codes score them
+    via asymmetric-distance lookup tables — completing the similarity
+    family's memory ladder (exact → LSH buckets → IVF cells → IVF over
+    compressed codes). Candidate payload per vector is 4 code bytes, not
+    64 floats; recall@5 vs exact is measured by llm_sim_recall."""
+    from ..operators.quantization import ivfpq_topk, train_pq_codebooks
+    from ..operators.similarity import train_ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    centroids = train_ivf_centroids(
+        emb, n_centroids=IVF_PARAMS["n_centroids"], n_iter=5, sample_n=512
+    )
+    books = train_pq_codebooks(emb, m=4, k=16)
+    return ivfpq_topk(
+        emb, queries_df, centroids, books, k=5, n_probe=IVF_PARAMS["n_probe"]
+    )

@@ -58,12 +58,32 @@ def test_ivf_recall_floor(ground_truth):
     assert row.recall_at_k >= RECALL_FLOOR, f"IVF recall@{K}={row.recall_at_k}"
 
 
-def test_registered_recall_query_reports_both_paths(spark, sf_correctness):
+def test_ivfpq_recall_floor(ground_truth):
+    """PQ-compressed candidates + exact refine must not lose recall vs the
+    cell routing that bounds it (FAISS refine pattern)."""
+    from fxa_amplitude_send_spark.operators.quantization import (
+        ivfpq_topk,
+        train_pq_codebooks,
+    )
+
+    emb, queries, exact = ground_truth
+    centroids = train_ivf_centroids(
+        emb, n_centroids=IVF_PARAMS["n_centroids"], n_iter=5, sample_n=512
+    )
+    books = train_pq_codebooks(emb, m=4, k=16)
+    approx = ivfpq_topk(
+        emb, queries, centroids, books, k=K, n_probe=IVF_PARAMS["n_probe"]
+    )
+    row = recall_at_k(approx, exact, K).collect()[0]
+    assert row.recall_at_k >= RECALL_FLOOR, f"IVFPQ recall@{K}={row.recall_at_k}"
+
+
+def test_registered_recall_query_reports_all_paths(spark, sf_correctness):
     from fxa_amplitude_send_spark.plans import all_queries
 
     df = all_queries()["llm_sim_recall"](spark, sf_correctness)
     rows = {r.path: r.recall_at_k for r in df.collect()}
-    assert set(rows) == {"lsh_multiprobe", "ivf"}
+    assert set(rows) == {"lsh_multiprobe", "ivf", "ivfpq"}
     assert all(v >= RECALL_FLOOR for v in rows.values()), rows
 
 
