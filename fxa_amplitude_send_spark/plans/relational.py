@@ -2408,3 +2408,42 @@ def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-text entry point: one dialect-portable string is both the engine query
+# (spark.sql) and the oracle (DuckDB) — see sql_api.py
+# ---------------------------------------------------------------------------
+
+_TPCH_Q5_SQL = """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+"""
+
+
+@query("q_tpch_q5", oracle=_TPCH_Q5_SQL)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume), run through the SQL-TEXT entry
+    point: the exact oracle string executes via spark.sql over temp views —
+    no DataFrame translation at all, so parser/analyzer/Catalyst handle the
+    6-way star join directly (join reordering + AQE pick the physical
+    order; nation/region are broadcast by size). Revenue aggregates in
+    exact DECIMAL and casts to double at the end, same money discipline as
+    q_agg_group. The l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    correlation is what makes Q5 the canonical join-order stress test."""
+    from ..sql_api import run_sql
+
+    return run_sql(spark, sf_dir, _TPCH_Q5_SQL)
