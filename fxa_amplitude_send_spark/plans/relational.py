@@ -2386,27 +2386,34 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_dist",
     oracle="""
     SELECT c_nationkey, c_custkey,
-           ROUND(PERCENT_RANK() OVER (PARTITION BY c_nationkey
-                                      ORDER BY c_acctbal, c_custkey), 6)
-             AS pct_rank,
-           ROUND(CUME_DIST() OVER (PARTITION BY c_nationkey
-                                   ORDER BY c_acctbal, c_custkey), 6)
-             AS cume
+           FLOOR(PERCENT_RANK() OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal, c_custkey)
+                 * 1000000 + 0.5) / 1000000 AS pct_rank,
+           FLOOR(CUME_DIST() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal, c_custkey)
+                 * 1000000 + 0.5) / 1000000 AS cume
     FROM customer
     """,
 )
 def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution windows: percent_rank ((rank-1)/(n-1)) and cume_dist
     (rank_hi/n) within nation — the building blocks for percentile-based
-    quality cuts. Rounded to 6 decimals so the shared-formula floats hash
-    identically across engines."""
+    quality cuts. Rounded via floor(x·1e6 + 0.5)/1e6 in BOTH engines:
+    ratios like 333/640 = 0.5203125 are exact round-to-6 TIES, where
+    engine ROUND implementations legitimately disagree (decimal half-up vs
+    half-even); the floor formula is a pure double computation that is
+    bitwise-identical on identical inputs."""
     c = _t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+
+    def r6(col):
+        return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
     return c.select(
         "c_nationkey",
         "c_custkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        r6(F.percent_rank().over(w)).alias("pct_rank"),
+        r6(F.cume_dist().over(w)).alias("cume"),
     )
 
 
