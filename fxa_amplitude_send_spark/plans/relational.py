@@ -2454,3 +2454,52 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sql_api import run_sql
 
     return run_sql(spark, sf_dir, _TPCH_Q5_SQL)
+
+
+@query(
+    "q_tpch_q9",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS sum_profit
+    FROM part, supplier, lineitem, orders, nation
+    WHERE s_suppkey = l_suppkey
+      AND p_partkey = l_partkey
+      AND o_orderkey = l_orderkey
+      AND s_nationkey = n_nationkey
+      AND p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year): the 5-way
+    join fanning lineitem out to part (filtered by name pattern), supplier,
+    orders, nation, grouped on (nation, order-year). Profit proxies to
+    revenue — testdata has no partsupp, so the ps_supplycost·l_quantity
+    term is omitted (shape preserved, documented divergence like the other
+    proxied TPC-H columns). Plan shape: the p_name filter prunes part
+    before its join (predicate pushdown), nation broadcasts (constant 25
+    rows), the three fact-side joins shuffle on their keys — no hints, AQE
+    picks build sides by runtime size."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    price_d = F.col("l_extendedprice").cast("decimal(12,2)")
+    one_minus_disc = F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast(
+        "decimal(4,2)"
+    )
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(price_d * one_minus_disc).cast("double").alias("sum_profit"))
+    )

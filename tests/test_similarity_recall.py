@@ -96,3 +96,22 @@ def test_single_table_recall_collapses_on_uniform_data(ground_truth):
     )
     row = recall_at_k(approx, exact, K).collect()[0]
     assert row.recall_at_k < 0.5
+
+
+def test_vectorized_lsh_codes_match_expression_fold(spark, sf_correctness):
+    """The batched sign-bit matmul encoder must reproduce the documented
+    expression-fold encoder bit-for-bit (same seeded planes, same packing) —
+    the parity contract that justified replacing the fold in the hot path."""
+    from fxa_amplitude_send_spark.operators.similarity import (
+        _lsh_codes_udf,
+        hyperplane_bucket_col,
+    )
+
+    emb = load_table(spark, sf_correctness, "embeddings").limit(200)
+    both = emb.select(
+        hyperplane_bucket_col(F.col("embedding"), n_planes=8, seed=7).alias("fold"),
+        _lsh_codes_udf(n_planes=8, n_tables=1, seed=7)(F.col("embedding"))[0].alias(
+            "udf"
+        ),
+    )
+    assert both.filter(F.col("fold") != F.col("udf")).count() == 0
