@@ -2503,3 +2503,102 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(price_d * one_minus_disc).cast("double").alias("sum_profit"))
     )
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(t_view) AS stage_view,
+           CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+             AS stage_click,
+           CAST(SUM(CASE WHEN t_click > t_view AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase
+    FROM per_user
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel (view → click → purchase): a user advances a stage
+    only if the stage's FIRST event happens after the previous stage's
+    first event — the standard product-analytics funnel semantics, and the
+    bread-and-butter query of the reference's downstream (Amplitude).
+
+    One conditional-MIN aggregate per user (map-side combinable, one
+    shuffle on user_id) followed by a scalar rollup — no joins, no
+    windows; at 100 TB this is the cheapest possible funnel plan. NULL
+    comparisons drop non-participants automatically (t_click > t_view is
+    NULL-false when either stage is missing)."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    click_ok = F.col("t_click") > F.col("t_view")
+    purchase_ok = click_ok & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("stage_view"),
+        F.sum(F.when(click_ok, 1).otherwise(0)).alias("stage_click"),
+        F.sum(F.when(purchase_ok, 1).otherwise(0)).alias("stage_purchase"),
+    )
+
+
+@query(
+    "q_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(time_bucket(INTERVAL 7 DAY, ts, TIMESTAMP '1970-01-01'))
+               AS cohort_week
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week,
+                          time_bucket(INTERVAL 7 DAY, e.ts,
+                                      TIMESTAMP '1970-01-01')) / 7 AS BIGINT)
+             AS week_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users are cohorted by the week of their first
+    event; each later active week counts them at its offset — the classic
+    retention triangle.
+
+    Two aggregations sharing the user_id partitioning (cohort derivation,
+    then the cohort×offset distinct count) joined on user_id. time_bucket/
+    window(7 days) keeps both engines on the same epoch-aligned week
+    boundaries (to_timestamp week truncation is TZ-sensitive — the
+    documented dialect trap)."""
+    ev = _t(spark, sf_dir, "events")
+    week = F.window("ts", "7 days").getField("start")
+    firsts = (
+        ev.select("user_id", week.alias("w"))
+        .groupBy("user_id")
+        .agg(F.min("w").alias("cohort_week"))
+    )
+    return (
+        ev.select("user_id", week.alias("event_week"))
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("event_week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

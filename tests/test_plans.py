@@ -214,3 +214,48 @@ def test_unfiltered_supplier_never_hint_broadcast(spark, sf_smoke, name):
         assert "s_suppkey" not in block and "s_name" not in block, (
             f"{name}: supplier feeds a BroadcastExchange:\n{block}"
         )
+
+
+def test_seq_pack_single_shuffle(spark, sf_smoke):
+    """Window-per-source then rollup must reuse ONE hash partitioning on the
+    shard key — a second exchange would double the shuffle at 100 TB."""
+    import re
+
+    plan = physical_plan(QUERIES["llm_seq_pack"](spark, sf_smoke))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Window" in plan
+
+
+def test_unpivot_is_expand_after_aggregate(spark, sf_smoke):
+    """melt must run on groups x metrics rows (post-aggregate Expand), never
+    exploding the fact table row count."""
+    import re
+
+    plan = physical_plan(QUERIES["q_unpivot"](spark, sf_smoke))
+    assert "Expand" in plan
+    # the Expand consumes the aggregate output, so exactly one shuffle
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_tfidf_gets_window_topk_pushdown(spark, sf_smoke):
+    """Spark's WindowGroupLimit must prune per-doc rows to the top-3 before
+    the final window sort — without it every (doc, token) row sorts."""
+    plan = physical_plan(QUERIES["llm_tfidf"](spark, sf_smoke))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan  # scalar N joins as broadcast
+
+
+def test_funnel_is_two_aggregates_no_join(spark, sf_smoke):
+    """The sequential funnel must compile to conditional aggregation — any
+    join or window in the plan means the cheap formulation regressed."""
+    plan = physical_plan(QUERIES["q_funnel"](spark, sf_smoke))
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_sql_text_q5_no_cartesian(spark, sf_smoke):
+    """The comma-join SQL text must analyze into equi-joins (Catalyst pulls
+    the WHERE conjuncts into join conditions), never a cross product."""
+    plan = physical_plan(QUERIES["q_tpch_q5"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
