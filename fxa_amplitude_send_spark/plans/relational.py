@@ -2602,3 +2602,33 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    SELECT event_type, next_type, COUNT(*) AS n_transitions
+    FROM (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition matrix (Markov counts): for each user's time-ordered
+    stream, count (event, next-event) pairs — the input to path analysis
+    and next-action models. One window shuffle on user_id, then a
+    25-cell aggregate; event_id breaks timestamp ties so LEAD is total-
+    ordered and engine-independent."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
