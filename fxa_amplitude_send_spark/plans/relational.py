@@ -2632,3 +2632,129 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+@query(
+    "q_data_quality",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_quantity,
+           CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS nonpositive_quantity,
+           CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS out_of_range_discount,
+           CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1995-01-01'
+                           OR l_shipdate >= TIMESTAMP '2002-01-01'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS out_of_range_shipdate,
+           COUNT(DISTINCT l_orderkey * 10 + l_linenumber) AS distinct_line_ids,
+           CAST(COUNT(*) - COUNT(DISTINCT l_orderkey * 10 + l_linenumber)
+                AS BIGINT) AS duplicate_line_ids
+    FROM lineitem
+    """,
+)
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint profile (deequ-style expectations) computed in
+    ONE pass: null counts, range violations, and key-uniqueness over the
+    composite line id — every check is a conditional aggregate sharing the
+    same scan, so validating N constraints costs one table read regardless
+    of N. At 100 TB this is the cheapest possible audit; per-partition
+    results combine map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    line_id = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias(
+            "null_quantity"
+        ),
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias(
+            "nonpositive_quantity"
+        ),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+            .otherwise(0)
+        ).alias("out_of_range_discount"),
+        F.sum(
+            F.when(
+                (F.col("l_shipdate") < "1995-01-01")
+                | (F.col("l_shipdate") >= "2002-01-01"),
+                1,
+            ).otherwise(0)
+        ).alias("out_of_range_shipdate"),
+        F.countDistinct(line_id).alias("distinct_line_ids"),
+        (F.count(F.lit(1)) - F.countDistinct(line_id)).alias("duplicate_line_ids"),
+    )
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey,
+             c_name,
+             ROUND(c_acctbal + 100.0, 2) AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 3
+      UNION ALL
+      SELECT 9000000 + c_custkey, 'new-' || c_name,
+             ROUND(c_acctbal, 2), c_mktsegment
+      FROM customer WHERE c_custkey % 100 = 7
+    )
+    SELECT COALESCE(u.c_custkey, t.c_custkey) AS c_custkey,
+           COALESCE(u.c_name, t.c_name) AS c_name,
+           COALESCE(u.c_acctbal, ROUND(t.c_acctbal, 2)) AS c_acctbal,
+           COALESCE(u.c_mktsegment, t.c_mktsegment) AS c_mktsegment,
+           CASE WHEN t.c_custkey IS NULL THEN 'insert'
+                WHEN u.c_custkey IS NULL THEN 'keep'
+                ELSE 'update' END AS merge_action
+    FROM customer t FULL OUTER JOIN updates u USING (c_custkey)
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert (the CDC apply step) without a table format: target
+    FULL OUTER JOIN updates on the key, update columns coalesce
+    update-side-first, and every output row is tagged insert/update/keep.
+    The updates here are synthesized deterministically from the target
+    (balance bump for key%10=3, brand-new keys for key%100=7) so the merge
+    is oracle-checkable.
+
+    Scale: one shuffle join on the merge key — exactly what Delta/Iceberg
+    MERGE compiles to before file rewriting; with a bucketed target
+    (sinks/parquet_layout.py) the shuffle disappears on the target side."""
+    t = _t(spark, sf_dir, "customer")
+    u = (
+        t.filter(F.col("c_custkey") % 10 == 3)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        .unionByName(
+            t.filter(F.col("c_custkey") % 100 == 7).select(
+                (F.col("c_custkey") + 9000000).alias("c_custkey"),
+                F.concat(F.lit("new-"), F.col("c_name")).alias("c_name"),
+                F.round(F.col("c_acctbal"), 2).alias("c_acctbal"),
+                "c_mktsegment",
+            )
+        )
+    )
+    tt = t.alias("t")
+    uu = u.alias("u")
+    merged = tt.join(uu, on="c_custkey", how="full_outer")
+    action = (
+        F.when(F.col("t.c_name").isNull(), "insert")
+        .when(F.col("u.c_name").isNull(), "keep")
+        .otherwise("update")
+    )
+    return merged.select(
+        F.col("c_custkey"),
+        F.coalesce(F.col("u.c_name"), F.col("t.c_name")).alias("c_name"),
+        F.coalesce(F.col("u.c_acctbal"), F.round(F.col("t.c_acctbal"), 2)).alias(
+            "c_acctbal"
+        ),
+        F.coalesce(F.col("u.c_mktsegment"), F.col("t.c_mktsegment")).alias(
+            "c_mktsegment"
+        ),
+        action.alias("merge_action"),
+    )
