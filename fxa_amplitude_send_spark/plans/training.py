@@ -298,3 +298,107 @@ def llm_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     books = train_pq_codebooks(emb, m=4, k=16)
     return encode_pq(emb, books).select("vec_id", "pq_code", "recon_err")
+
+
+def _r6(col):
+    """Portable 6-decimal rounding: floor(x·1e6 + 0.5)/1e6 — pure double
+    math, bitwise-identical across engines, immune to the decimal-tie
+    divergence between Spark (half-up) and DuckDB ROUND (see
+    q_window_dist)."""
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+@query(
+    "llm_bigram_lm",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), pairs AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)
+    ), counted AS (
+      SELECT w1, w2, COUNT(*) AS n_pairs FROM pairs GROUP BY w1, w2
+    )
+    SELECT w1, w2, n_pairs,
+           FLOOR(n_pairs / SUM(n_pairs) OVER (PARTITION BY w1)
+                 * 1000000 + 0.5) / 1000000 AS p_cond
+    FROM counted
+    """,
+)
+def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language model: within-document adjacent token pairs →
+    conditional probability P(w2|w1) = count(w1,w2)/count(w1,·) — the
+    n-gram statistics pass behind contamination screens, perplexity
+    proxies, and classic LM baselines.
+
+    Pair extraction is a per-row array transform (indices 1..len-1 against
+    the token array — no window, no per-doc shuffle, order guaranteed by
+    the array itself); counting is one map-side-combinable aggregate on
+    (w1,w2); normalization is a window over w1 partitions, size-bounded by
+    vocabulary not corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    pair_structs = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.struct(
+            F.element_at(t, i.cast("int")).alias("w1"),
+            F.element_at(t, (i + 1).cast("int")).alias("w2"),
+        ),
+    )
+    pairs = docs.select(F.explode(pair_structs).alias("p")).select("p.w1", "p.w2")
+    counted = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pairs"))
+    w = Window.partitionBy("w1")
+    return counted.select(
+        "w1",
+        "w2",
+        "n_pairs",
+        _r6(F.col("n_pairs") / F.sum("n_pairs").over(w)).alias("p_cond"),
+    )
+
+
+@query(
+    "llm_vocab_build",
+    oracle="""
+    WITH counts AS (
+      SELECT token, COUNT(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+      ) WHERE length(token) > 0
+      GROUP BY token
+    )
+    SELECT token, n,
+           ROW_NUMBER() OVER (ORDER BY n DESC, token) AS vocab_rank,
+           FLOOR(SUM(n) OVER (ORDER BY n DESC, token
+                              ROWS UNBOUNDED PRECEDING)
+                 / (SELECT SUM(n) FROM counts)
+                 * 1000000 + 0.5) / 1000000 AS coverage
+    FROM counts
+    """,
+)
+def llm_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary with cumulative corpus coverage — the
+    tokenizer-building step that answers "how many types cover 99% of
+    tokens". The global ordering runs over VOCABULARY-sized data (the
+    token aggregate is corpus-bounded and map-side combined first), so the
+    single-partition window is ordering thousands of rows, not the corpus;
+    the corpus-total denominator joins in as a broadcast scalar."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("_total"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "n",
+            F.row_number().over(w).alias("vocab_rank"),
+            _r6(
+                F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+                / F.col("_total")
+            ).alias("coverage"),
+        )
+    )
