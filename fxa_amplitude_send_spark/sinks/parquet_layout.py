@@ -52,3 +52,75 @@ def read_partition_pruned(
     from pyspark.sql import functions as F
 
     return spark.read.parquet(path).filter(F.col(partition_col) == value)
+
+
+def zorder_key(a, b, bits: int = 16):
+    """Z-order (Morton) key: bit-interleave two non-negative ints so rows
+    close in BOTH dimensions get close keys. Sorting files by this key gives
+    every file a bounded min/max box in each dimension — parquet row-group
+    statistics then prune multi-dimensional range predicates, which a
+    single-column sort can only do for its leading column (the technique
+    behind Delta/Iceberg OPTIMIZE ZORDER).
+
+    Pure bitwise expressions (2·bits shift/mask/add terms), whole-stage
+    codegen'd; inputs are truncated to ``bits`` low bits, so map real
+    domains onto [0, 2^bits) first (e.g. bucketized doubles)."""
+    from pyspark.sql import functions as F
+
+    key = F.lit(0).cast("long")
+    aa = a.cast("long")
+    bb = b.cast("long")
+    for i in range(bits):
+        abit = F.shiftright(aa, i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(bb, i).bitwiseAND(F.lit(1))
+        key = key + F.shiftleft(abit, 2 * i + 1) + F.shiftleft(bbit, 2 * i)
+    return key
+
+
+def _rank_bucket(df: DataFrame, col: str, bits: int):
+    """Column expression mapping ``col`` onto [0, 2^bits) by approximate
+    quantile rank. Morton interleaving only gives locality when both
+    dimensions FILL their bit domain uniformly — raw long-tailed or
+    narrow-range values collapse the curve (measured: z-order on raw
+    values produced WORSE boxes than a linear sort). The boundaries come
+    from one sketch-based approxQuantile pass (driver memory O(2^bits),
+    corpus-size independent — the same sampling trick behind Delta's
+    range-id clustering)."""
+    from pyspark.sql import functions as F
+
+    n = 1 << bits
+    probs = [i / n for i in range(1, n)]
+    bounds = df.stat.approxQuantile(col, probs, 0.001)
+    bounds_arr = F.array(*[F.lit(float(b)) for b in bounds])
+    return F.size(
+        F.filter(bounds_arr, lambda b: b <= F.col(col).cast("double"))
+    ).cast("long")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    bits: int = 6,
+    n_files: int = 8,
+) -> None:
+    """Cluster a table for 2-dimensional data skipping: rank-normalize both
+    columns to [0, 2^bits) (see _rank_bucket), interleave to a Morton key,
+    range-partition by the key (contiguous key ranges per file → tight
+    per-file boxes) and sort within partitions so row groups inherit the
+    locality. One quantile sketch + one range shuffle at write time buys
+    min/max pruning on BOTH columns for every query after."""
+    from pyspark.sql import functions as F
+
+    keyed = df.withColumn(
+        "_zkey",
+        zorder_key(_rank_bucket(df, col_a, bits), _rank_bucket(df, col_b, bits), bits),
+    )
+    (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -73,3 +73,70 @@ def test_bucketed_join_has_no_shuffle(spark, sf_smoke, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_zorder_bounds_both_dimensions(spark, sf_smoke, tmp_path):
+    """Per-file min/max boxes (read from the parquet footers) must be tight
+    in BOTH dimensions under z-order, while a linear sort leaves its
+    trailing dimension unbounded — the property that makes multi-dim range
+    predicates prunable."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from fxa_amplitude_send_spark.sinks.parquet_layout import write_zordered
+
+    ev = (
+        spark.read.parquet(f"{sf_smoke}/events.parquet")
+        .select(
+            (F.col("user_id") % 1024).cast("long").alias("a"),
+            F.floor(F.col("value") * 10).cast("long").alias("b"),
+        )
+    )
+    lin_path, z_path = str(tmp_path / "linear"), str(tmp_path / "zorder")
+    (
+        ev.repartitionByRange(16, "a")
+        .sortWithinPartitions("a")
+        .write.mode("overwrite")
+        .parquet(lin_path)
+    )
+    write_zordered(ev, z_path, "a", "b", bits=6, n_files=16)
+
+    def file_boxes(path):
+        boxes = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins = {"a": None, "b": None}
+            maxs = {"a": None, "b": None}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    st = col.statistics
+                    if name in mins and st is not None:
+                        mins[name] = st.min if mins[name] is None else min(mins[name], st.min)
+                        maxs[name] = st.max if maxs[name] is None else max(maxs[name], st.max)
+            boxes.append((mins, maxs))
+        return boxes
+
+    def overlapping(boxes, col, lo, hi):
+        return sum(
+            1 for mins, maxs in boxes if not (maxs[col] < lo or mins[col] > hi)
+        )
+
+    lin, zed = file_boxes(lin_path), file_boxes(z_path)
+    n_lin, n_z = len(lin), len(zed)
+    assert n_lin >= 4 and n_z >= 4  # range partitions can merge empty slots
+    # ~10%-selective range on the TRAILING dimension b (20th-30th
+    # percentile): the a-sorted layout cannot prune at all; z-order must
+    # skip at least half the files (16 files fix two bits per dimension —
+    # quarter-domain boxes; a window can straddle one quarter boundary)
+    b20, b30 = ev.stat.approxQuantile("b", [0.20, 0.30], 0.0)
+    assert overlapping(lin, "b", b20, b30) == n_lin
+    assert overlapping(zed, "b", b20, b30) <= n_z // 2
+    # same-width range on the leading dimension a: linear prunes near-
+    # perfectly, z-order must still skip at least half
+    a20, a30 = ev.stat.approxQuantile("a", [0.20, 0.30], 0.0)
+    assert overlapping(lin, "a", a20, a30) <= max(2, n_lin // 4)
+    assert overlapping(zed, "a", a20, a30) <= n_z // 2
