@@ -2758,3 +2758,54 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         action.alias("merge_action"),
     )
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    SELECT e.event_type, n.n_name AS type_label,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events e
+    JOIN nation n ON n.n_nationkey = length(e.event_type)
+    GROUP BY e.event_type, n.n_name
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join under EXTREME key skew: events carries only 5 distinct
+    event types, so the length-derived join key concentrates the whole fact
+    table on 4 values — a plain shuffle join lands everything on 4
+    reducers. The salted plan splits each hot key across 16 salt buckets
+    (deterministic row-hash salt) and replicates the dimension per bucket;
+    the aggregate result hash-matches the unsalted oracle exactly (salting
+    must never change multiplicity). This registers operators/skew.py's
+    salted_join under the correctness gate; q_agg_salted covers the
+    aggregation variant."""
+    from ..operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "join_key", F.length("event_type").cast("long")
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("join_key"),
+        F.col("n_name").alias("type_label"),
+    )
+    joined = salted_join(ev, n, on="join_key", salt_buckets=16)
+    return joined.groupBy("event_type", "type_label").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query("q_agg_approx_quantile")  # rows-only: sketch estimates are engine-specific
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style sketch): the constant-memory quantile
+    path for 100 TB — q_percentiles' exact buffers hold a whole group in
+    memory, the sketch never does. Estimate differs per engine → rows-only
+    determinism check."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.9)), 10000
+        ).alias("approx_price_quantiles")
+    )
