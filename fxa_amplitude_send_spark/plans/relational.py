@@ -2809,3 +2809,44 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.9)), 10000
         ).alias("approx_price_quantiles")
     )
+
+
+@query(
+    "q_window_locf",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(sparse_val IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS filled_val
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN value < 50 THEN NULL ELSE value END AS sparse_val
+      FROM events
+    )
+    """,
+)
+def q_window_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward gap filling: last_value IGNORE NULLS
+    over a running frame forward-fills sparse sensor-style readings — the
+    missing-data pattern every time-series pipeline needs. The synthetic
+    sparsity (value<50 → NULL) is deterministic so the fill is
+    oracle-checkable; (ts, event_id) totalizes the order."""
+    ev = _t(spark, sf_dir, "events")
+    sparse = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("value") < 50, None).otherwise(F.col("value")).alias(
+            "sparse_val"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return sparse.select(
+        "event_id",
+        "user_id",
+        F.last("sparse_val", ignorenulls=True).over(w).alias("filled_val"),
+    )
