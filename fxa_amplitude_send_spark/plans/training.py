@@ -34,9 +34,17 @@ _SAMPLE_MULT = 3266489917
 _MOD = 4294967296  # 2^32
 
 
+_PREMOD = 2147483648  # 2^31: bounds (id % 2^31) * mult < 2^62 — no int64
+# overflow (ANSI error) at any id; identical output for id < 2^31
+
+
 def _h(col, mult: int):
-    """Deterministic uniform hash in [0, 2^32): (id * mult) mod 2^32."""
-    return (col.cast("long") * F.lit(mult)) % F.lit(_MOD)
+    """Deterministic uniform hash in [0, 2^32): ((id mod 2^31) * mult)
+    mod 2^32. The pre-reduction keeps the product inside int64 for
+    arbitrarily large ids (a raw id*mult overflows past id ≈ 3.4e9 —
+    reachable at trillion-row scale) without changing any value for
+    ids below 2^31."""
+    return ((col.cast("long") % F.lit(_PREMOD)) * F.lit(mult)) % F.lit(_MOD)
 
 
 @query(
@@ -44,7 +52,7 @@ def _h(col, mult: int):
     oracle=f"""
     WITH base AS (
       SELECT doc_id, source, lang,
-             (doc_id * {_MIX_MULT}) % {_MOD} AS h
+             ((doc_id % {_PREMOD}) * {_MIX_MULT}) % {_MOD} AS h
       FROM documents
     ), weighted AS (
       SELECT doc_id, source, lang,
@@ -100,7 +108,7 @@ def llm_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, source, lang
     FROM (
       SELECT doc_id, source, lang,
-             (doc_id * {_STRAT_MULT}) % {_MOD} AS h
+             ((doc_id % {_PREMOD}) * {_STRAT_MULT}) % {_MOD} AS h
       FROM documents
     )
     WHERE h % 1000 < CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 800 ELSE 1000 END
@@ -132,7 +140,7 @@ def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, source, lang, sort_key
     FROM (
       SELECT doc_id, source, lang,
-             (doc_id * {_SAMPLE_MULT}) % {_MOD} AS sort_key
+             ((doc_id % {_PREMOD}) * {_SAMPLE_MULT}) % {_MOD} AS sort_key
       FROM documents
     )
     ORDER BY sort_key
