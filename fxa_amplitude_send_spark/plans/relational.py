@@ -2696,7 +2696,7 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
              c_mktsegment
       FROM customer WHERE c_custkey % 10 = 3
       UNION ALL
-      SELECT 9000000 + c_custkey, 'new-' || c_name,
+      SELECT 1000000000000 + c_custkey, 'new-' || c_name,
              ROUND(c_acctbal, 2), c_mktsegment
       FROM customer WHERE c_custkey % 100 = 7
     )
@@ -2715,7 +2715,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     FULL OUTER JOIN updates on the key, update columns coalesce
     update-side-first, and every output row is tagged insert/update/keep.
     The updates here are synthesized deterministically from the target
-    (balance bump for key%10=3, brand-new keys for key%100=7) so the merge
+    (balance bump for key%10=3, brand-new keys for key%100=7 at a 1e12 offset clear of any real custkey at any scale factor) so the merge
     is oracle-checkable.
 
     Scale: one shuffle join on the merge key — exactly what Delta/Iceberg
@@ -2732,7 +2732,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             t.filter(F.col("c_custkey") % 100 == 7).select(
-                (F.col("c_custkey") + 9000000).alias("c_custkey"),
+                (F.col("c_custkey") + 1000000000000).alias("c_custkey"),
                 F.concat(F.lit("new-"), F.col("c_name")).alias("c_name"),
                 F.round(F.col("c_acctbal"), 2).alias("c_acctbal"),
                 "c_mktsegment",
