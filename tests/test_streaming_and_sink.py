@@ -416,3 +416,60 @@ class TestMetrics:
             assert all(m["outputCount"] == m["inputCount"] for m in metrics)
         finally:
             spark.streams.removeListener(listener)
+
+
+class TestIncrementalView:
+    def test_view_equals_batch_aggregate_and_survives_restarts(
+        self, spark, sf_smoke, tmp_path
+    ):
+        """After draining the stream in rate-limited micro-batches, the
+        maintained parquet view must equal the one-shot batch rollup; a
+        second availableNow run over the same checkpoint must be a no-op
+        (no double counting — the merge is driven by committed offsets)."""
+        import pyspark.sql.functions as F
+
+        from fxa_amplitude_send_spark.streaming.incremental import (
+            batch_rollup,
+            maintain_incremental_view,
+        )
+
+        events = spark.read.parquet(f"{sf_smoke}/events.parquet").select(
+            "event_type", "value"
+        )
+        src_dir = str(tmp_path / "events_in")
+        # several input files so availableNow processes multiple batches
+        events.repartition(4).write.mode("overwrite").parquet(src_dir)
+
+        store = str(tmp_path / "view_store")
+        ckpt = str(tmp_path / "ckpt")
+        stream = (
+            spark.readStream.schema("event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = maintain_incremental_view(stream, store, ckpt)
+        q.awaitTermination(120)
+
+        expected = {
+            (r.event_type, r.n_events, r.total_value)
+            for r in batch_rollup(events).collect()
+        }
+        got = {
+            (r.event_type, r.n_events, r.total_value)
+            for r in spark.read.parquet(store).collect()
+        }
+        assert got == expected
+
+        # restart over the same checkpoint: nothing new to process
+        stream2 = (
+            spark.readStream.schema("event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q2 = maintain_incremental_view(stream2, store, ckpt)
+        q2.awaitTermination(120)
+        again = {
+            (r.event_type, r.n_events, r.total_value)
+            for r in spark.read.parquet(store).collect()
+        }
+        assert again == expected
