@@ -236,3 +236,33 @@ def test_decode_pubsub_plaintext_mode(spark):
     df = spark.createDataFrame([(msg,)], "data string")
     payload = decode_pubsub(df, base64_encoded=False).collect()[0]["payload"]
     assert json.loads(payload)["Fields"]["device_id"] == "d-1"
+
+
+def test_garbage_payloads_dropped_not_crashed(spark):
+    """Whole-payload corruption (non-JSON, truncated, empty, wrong shapes)
+    must flow through decode → parse → validity as NULL-extracted fields
+    and be DROPPED, never raise — the engine analogue of the reference's
+    per-message try/catch surviving a poisoned queue message."""
+    import json as _json
+
+    from fxa_amplitude_send_spark.operators.event_pipeline import event_pipeline
+
+    garbage = [
+        "this is not json",
+        '{"Fields": {"op"',  # truncated mid-key
+        "",
+        "null",
+        "[1, 2, 3]",
+        '"just a string"',
+        _json.dumps({"Fields": "not-an-object"}),
+        _json.dumps({"unrelated": {"deeply": ["nested"]}}),
+    ]
+    df = spark.createDataFrame([(g,) for g in garbage], "payload string")
+    out = event_pipeline(df, KEY).collect()
+    assert out == []
+
+    # a valid event surrounded by garbage still comes through
+    mixed = garbage[:4] + [_json.dumps(BASE_EVENT)] + garbage[4:]
+    df2 = spark.createDataFrame([(g,) for g in mixed], "payload string")
+    out2 = event_pipeline(df2, KEY).collect()
+    assert {r.emit_rank for r in out2} == {0, 1}  # identify + httpapi
