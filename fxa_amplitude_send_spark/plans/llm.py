@@ -346,6 +346,96 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_pairs(emb, threshold=0.3, n_planes=6)
 
 
+@query("llm_dedup_quality")  # rows-only: measures engine-specific sketch paths
+def llm_dedup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-dedup quality gate: pair-level precision/recall of the
+    MinHash+LSH candidate path against the EXACT token-set Jaccard ground
+    truth (threshold 0.8) on the bounded slice — the dedup analogue of
+    llm_sim_recall's ANN floors. Without this the sketch paths prove
+    stability, not that they find the right duplicates. Set algebra is two
+    semi-joins + counts; floors are pytest-asserted
+    (tests/test_similarity_recall.py)."""
+    from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    truth = ngram_jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    est = minhash_lsh_pairs(docs, k=64, bands=8, threshold=0.8).select(
+        "doc_a", "doc_b"
+    )
+    hits = est.join(truth, ["doc_a", "doc_b"], "left_semi")
+    counts = (
+        est.agg(F.count(F.lit(1)).alias("n_est"))
+        .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_truth")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+    )
+    return counts.select(
+        F.lit("minhash_lsh_k64_b8").alias("path"),
+        "n_truth",
+        "n_est",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_est"), 4).alias("precision"),
+        F.round(F.col("n_hits") / F.col("n_truth"), 4).alias("recall"),
+    )
+
+
+@query(
+    "llm_cluster_assign",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+      SELECT e.vec_id,
+             c.centroid_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6)
+               AS cos_sim
+      FROM embeddings e, c
+      WHERE e.vec_id >= 8
+    ), ranked AS (
+      SELECT vec_id, centroid_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, centroid_id) AS rn
+      FROM scored
+    )
+    SELECT vec_id, centroid_id, cos_sim FROM ranked WHERE rn = 1
+    """,
+)
+def llm_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid semantic cluster assignment: every vector is
+    assigned to the most-cosine-similar of 8 deterministic centroids (the
+    first 8 corpus vectors — a fixed quantizer, so the result is exactly
+    SQL-expressible, unlike the learned-IVF path). Physical shape is the
+    100 TB-correct one: broadcast the centroid set, score map-side, argmax
+    via a per-vector window — one shuffle of (n × 8) scored rows, no
+    centroid-side shuffle. Ranking uses the ROUNDED similarity with a
+    centroid_id tiebreak so Spark and DuckDB agree bit-for-bit."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") >= 8)
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.round(
+                cosine_similarity_col(F.col("embedding"), F.col("cvec")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", "cos_sim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search / ANN (operators/similarity.py)
 # ---------------------------------------------------------------------------

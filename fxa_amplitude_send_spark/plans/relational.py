@@ -2850,3 +2850,129 @@ def q_window_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.last("sparse_val", ignorenulls=True).over(w).alias("filled_val"),
     )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(l_extendedprice / 5000) AS BIGINT) AS bucket,
+           CAST(FLOOR(l_extendedprice / 5000) AS BIGINT) * 5000.0 AS bucket_lo,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram: fixed-width value buckets as a plain hash
+    aggregate — the profiling primitive behind every data-distribution
+    dashboard. Bucketing is a codegen'd floor division (no UDF, no
+    width_bucket portability trap), and the aggregate combines map-side,
+    so the reduce shuffle carries only (n_buckets × partitions) rows at
+    any corpus size."""
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / 5000).cast("bigint")
+    return (
+        li.groupBy(
+            bucket.alias("bucket"),
+            (bucket * 5000.0).alias("bucket_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+    )
+
+
+@query(
+    "q_interp_linear",
+    oracle="""
+    WITH sparse AS (
+      SELECT event_id, user_id,
+             epoch(ts) AS tsec,
+             CASE WHEN value < 50 THEN NULL ELSE value END AS sparse_val
+      FROM events
+    ), neighbors AS (
+      SELECT event_id, user_id, tsec, sparse_val,
+             last_value(sparse_val IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY tsec, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
+             last_value(CASE WHEN sparse_val IS NOT NULL THEN tsec END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY tsec, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts,
+             first_value(sparse_val IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY tsec, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val,
+             first_value(CASE WHEN sparse_val IS NOT NULL THEN tsec END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY tsec, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
+      FROM sparse
+    )
+    SELECT event_id, user_id,
+           ROUND(CASE
+             WHEN sparse_val IS NOT NULL THEN sparse_val
+             WHEN prev_val IS NULL THEN next_val
+             WHEN next_val IS NULL THEN prev_val
+             ELSE prev_val + (next_val - prev_val) * (tsec - prev_ts)
+                             / (next_ts - prev_ts)
+           END, 6) AS interp_val
+    FROM neighbors
+    """,
+)
+def q_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing time-series values: each NULL gap is
+    filled on the line between its nearest non-null neighbors, weighted by
+    timestamp distance — the step up from q_window_locf's flat fill. Two
+    window passes (backward + forward) over one partition shuffle; edge
+    gaps degrade to nearest-neighbor fill. The timestamp enters the math as
+    fractional epoch seconds (Spark CAST(ts AS DOUBLE) ≡ DuckDB epoch(ts)),
+    so the arithmetic is bit-reproducible and oracle-checkable at 6
+    decimals."""
+    ev = _t(spark, sf_dir, "events")
+    sparse = ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("double").alias("tsec"),
+        F.when(F.col("value") < 50, None).otherwise(F.col("value")).alias(
+            "sparse_val"
+        ),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("tsec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("tsec", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    ts_of_val = F.when(F.col("sparse_val").isNotNull(), F.col("tsec"))
+    nb = sparse.select(
+        "event_id",
+        "user_id",
+        "tsec",
+        "sparse_val",
+        F.last("sparse_val", ignorenulls=True).over(w_prev).alias("prev_val"),
+        F.last(ts_of_val, ignorenulls=True).over(w_prev).alias("prev_ts"),
+        F.first("sparse_val", ignorenulls=True).over(w_next).alias("next_val"),
+        F.first(ts_of_val, ignorenulls=True).over(w_next).alias("next_ts"),
+    )
+    interp = (
+        F.when(F.col("sparse_val").isNotNull(), F.col("sparse_val"))
+        .when(F.col("prev_val").isNull(), F.col("next_val"))
+        .when(F.col("next_val").isNull(), F.col("prev_val"))
+        .otherwise(
+            F.col("prev_val")
+            + (F.col("next_val") - F.col("prev_val"))
+            * (F.col("tsec") - F.col("prev_ts"))
+            / (F.col("next_ts") - F.col("prev_ts"))
+        )
+    )
+    return nb.select(
+        "event_id", "user_id", F.round(interp, 6).alias("interp_val")
+    )

@@ -115,3 +115,16 @@ def test_vectorized_lsh_codes_match_expression_fold(spark, sf_correctness):
         ),
     )
     assert both.filter(F.col("fold") != F.col("udf")).count() == 0
+
+
+def test_dedup_quality_floors(spark, sf_correctness):
+    """Sketch-dedup analogue of the ANN gate: MinHash+LSH candidate pairs
+    must hit pair-level precision/recall floors against exact Jaccard ground
+    truth. Recall loss concentrates at the 0.8 threshold boundary (estimator
+    variance with k=64 components), so the floor sits below the ANN one."""
+    from fxa_amplitude_send_spark.plans import all_queries
+
+    row = all_queries()["llm_dedup_quality"](spark, sf_correctness).collect()[0]
+    assert row.n_truth > 1000, "ground-truth pair set unexpectedly small"
+    assert row.precision >= 0.85, f"precision={row.precision}"
+    assert row.recall >= 0.70, f"recall={row.recall}"
