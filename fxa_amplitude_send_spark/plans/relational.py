@@ -1523,11 +1523,23 @@ def q_cogroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer").filter(
         F.col("c_custkey") <= 1500
     ).select(F.col("c_custkey").alias("custkey"))
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 1500).select(
-        F.col("o_custkey").alias("custkey"), "o_orderkey"
+    # Explicit hash partitioning on the cogroup key: AQE's shuffle coalescing
+    # sees a few MB and folds the exchange to ONE partition, serializing all
+    # ~1500 per-group Python calls on a single core (measured 4.3× slower).
+    # A user repartition both satisfies the cogroup's required clustering (no
+    # extra exchange) and is exempt from AQE coalescing, so the per-group CPU
+    # — the real cost of grouped-map UDFs — keeps its parallelism.
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 1500)
+        .select(F.col("o_custkey").alias("custkey"), "o_orderkey")
+        .repartition(32, "custkey")
     )
-    events = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 1500).select(
-        F.col("user_id").alias("custkey"), "event_id"
+    events = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 1500)
+        .select(F.col("user_id").alias("custkey"), "event_id")
+        .repartition(32, "custkey")
     )
 
     def merge(key, left_pdf, right_pdf):
@@ -2975,4 +2987,41 @@ def q_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return nb.select(
         "event_id", "user_id", F.round(interp, 6).alias("interp_val")
+    )
+
+
+@query(
+    "q_join_bloom",
+    oracle="""
+    SELECT date_trunc('month', o.o_orderdate) AS order_month,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 1000
+    GROUP BY 1
+    """,
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction (operators/bloom.py): the fact scan
+    is pre-filtered by an 8 KiB bitmap built from the filtered dim keys, so
+    only possibly-matching rows enter the join shuffle — the explicit form
+    of the runtime row-level filtering a 100 TB fact⋈selective-dim join
+    lives on. Bloom false positives are removed by the real join, so the
+    result (and the oracle) is exactly the plain join's."""
+    from ..operators.bloom import bloom_build, bloom_probe
+
+    orders = _t(spark, sf_dir, "orders")
+    dim = _t(spark, sf_dir, "customer").filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 1000)
+    )
+    bloom = bloom_build(dim.select("c_custkey"), "c_custkey")
+    probed = bloom_probe(orders, "o_custkey", bloom)
+    return (
+        probed.join(dim, probed.o_custkey == dim.c_custkey)
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
     )

@@ -246,3 +246,45 @@ class TestIVF:
         with redirect_stdout(buf):
             df.explain("formatted")
         assert "CartesianProduct" not in buf.getvalue()
+
+
+class TestBloomSemiJoinReduction:
+    def test_no_false_negatives_and_real_reduction(self, spark, sf_correctness):
+        """Every true-matching fact row must pass the probe (bloom contract);
+        the probe must also actually shrink the fact side, or it's a no-op."""
+        from pyspark.sql import functions as F
+
+        from fxa_amplitude_send_spark.operators.bloom import bloom_build, bloom_probe
+        from fxa_amplitude_send_spark.sources import load_table
+
+        orders = load_table(spark, sf_correctness, "orders")
+        dim = load_table(spark, sf_correctness, "customer").filter(
+            (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 1000)
+        )
+        bloom = bloom_build(dim.select("c_custkey"), "c_custkey")
+        probed = bloom_probe(orders, "o_custkey", bloom)
+
+        true_match = orders.join(
+            dim, orders.o_custkey == dim.c_custkey, "left_semi"
+        )
+        # no false negatives: true matches ⊆ probed
+        assert true_match.join(
+            probed.select("o_orderkey"), "o_orderkey", "left_anti"
+        ).count() == 0
+        # real reduction: false-positive rate keeps the probe useful
+        n_fact, n_probed = orders.count(), probed.count()
+        assert n_probed < n_fact * 0.5, (n_probed, n_fact)
+
+    def test_tiny_bitmap_fp_rate(self, spark):
+        """Under-sized bitmap (256 bits, 500 keys): probe still has zero
+        false negatives; false positives appear but the real join removes
+        them — the correctness story the registered query relies on."""
+        from pyspark.sql import functions as F
+
+        from fxa_amplitude_send_spark.operators.bloom import bloom_build, bloom_probe
+
+        keys = spark.range(500).select(F.col("id").alias("k"))
+        fact = spark.range(5000).select(F.col("id").alias("k"))
+        bloom = bloom_build(keys, "k", n_bits=256)
+        probed = bloom_probe(fact, "k", bloom, n_bits=256)
+        assert probed.filter(F.col("k") < 500).count() == 500
