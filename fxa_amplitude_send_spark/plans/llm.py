@@ -1042,3 +1042,81 @@ def llm_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         emb, queries_df, centroids, books, k=5, n_probe=IVF_PARAMS["n_probe"]
     )
+
+
+@query(
+    "llm_source_drift",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(list_filter(string_split(text, ' '),
+                                        x -> length(x) > 0)) AS token
+      FROM documents
+    ), sc AS (
+      SELECT source, token, COUNT(*) AS c FROM toks GROUP BY 1, 2
+    ), st AS (
+      SELECT source, SUM(c) AS n FROM sc GROUP BY 1
+    ), gc AS (
+      SELECT token, SUM(c) AS c FROM sc GROUP BY 1
+    ), g AS (
+      SELECT SUM(c) AS n FROM gc
+    ), grid AS (
+      SELECT st.source,
+             CAST(COALESCE(sc.c, 0) AS DOUBLE) / st.n AS p,
+             CAST(gc.c AS DOUBLE) / g.n AS q
+      FROM st CROSS JOIN gc CROSS JOIN g
+      LEFT JOIN sc ON sc.source = st.source AND sc.token = gc.token
+    )
+    SELECT source,
+           ROUND(SUM(CASE WHEN p > 0 THEN p * LN(p / q) ELSE 0 END), 6)
+             AS kl_vs_corpus,
+           ROUND(0.5 * SUM(ABS(p - q)), 6) AS tv_vs_corpus,
+           SUM(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS n_tokens
+    FROM grid
+    GROUP BY source
+    """,
+)
+def llm_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift vs the whole corpus: KL(p_src‖p_corpus)
+    and total-variation distance over the unigram distributions — the
+    monitoring metric a training-data pipeline watches to catch a source
+    going off-distribution between crawls. Everything is counts + joins on
+    the (source × vocab) grid: vocab is bounded in practice, so the grid
+    stays small even when the corpus doesn't; the only full-corpus pass is
+    the token count. KL sums only over the source's support (p=0 terms
+    vanish); TV sums over the full vocab grid."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+        ).alias("token"),
+    )
+    sc_ = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    st = sc_.groupBy("source").agg(F.sum("c").alias("n"))
+    gc = sc_.groupBy("token").agg(F.sum("c").alias("c_glob"))
+    g = gc.agg(F.sum("c_glob").alias("n_glob"))
+    grid = (
+        st.crossJoin(F.broadcast(gc))
+        .crossJoin(F.broadcast(g))
+        .join(sc_, ["source", "token"], "left")
+        .select(
+            "source",
+            (F.coalesce(F.col("c"), F.lit(0)).cast("double") / F.col("n")).alias(
+                "p"
+            ),
+            (F.col("c_glob").cast("double") / F.col("n_glob")).alias("q"),
+        )
+    )
+    return grid.groupBy("source").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("p") > 0, F.col("p") * F.log(F.col("p") / F.col("q")))
+                .otherwise(0.0)
+            ),
+            6,
+        ).alias("kl_vs_corpus"),
+        F.round(0.5 * F.sum(F.abs(F.col("p") - F.col("q"))), 6).alias(
+            "tv_vs_corpus"
+        ),
+        F.sum(F.when(F.col("p") > 0, 1).otherwise(0)).alias("n_tokens"),
+    )

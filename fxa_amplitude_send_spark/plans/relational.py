@@ -3025,3 +3025,66 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH seq AS (
+      SELECT event_id, user_id, epoch(ts) AS tsec,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, tsec,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM seq
+    )
+    SELECT user_id, session_no,
+           COUNT(*) AS n_events,
+           ROUND(MAX(tsec) - MIN(tsec), 3) AS duration_s
+    FROM sess
+    GROUP BY user_id, session_no
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization the window-cumsum way: a session break is a
+    >30 min silence; the running sum of break flags numbers each user's
+    sessions. This is the formulation that works on ANY engine surface
+    (q_session_window shows Spark's native session_window operator; real
+    pipelines need the portable one too, e.g. to reproduce results in a
+    warehouse). One partition shuffle on user_id feeds both windows AND the
+    final aggregate — Catalyst reuses the clustering, so sessionizing 100 TB
+    of events costs exactly one exchange."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("double").alias("tsec"),
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("tsec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = seq.select(
+        "user_id", "tsec", F.sum("is_new").over(w_run).alias("session_no")
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.max("tsec") - F.min("tsec"), 3).alias("duration_s"),
+    )
