@@ -63,7 +63,11 @@ def synthesize_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
         device_id.alias("device_id"),
         user_id.alias("user_id"),
         F.col("event_type").alias("event_type"),
-        (F.unix_micros(F.col("ts")) / F.lit(1000.0)).alias("time"),
+        # ts scans as TIMESTAMP_NTZ (naive micros); cast → LTZ under the
+        # pinned-UTC session TZ is value-preserving, and unix_micros (which
+        # requires LTZ) then yields the naive-as-UTC epoch deterministically
+        # on any host TZ.
+        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000.0)).alias("time"),
         session_id.alias("session_id"),
         F.col("props").alias("event_properties"),
         user_props.alias("user_properties"),
@@ -92,7 +96,16 @@ def staged_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    # The tag folds in the source parquet's (size, mtime) so a regenerated
+    # testdata directory invalidates the cache — a stale staged table under
+    # the same path is silent wrong-input, worse than a re-synthesis.
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src)
+        src_sig = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        src_sig = "missing"
+    tag = hashlib.sha256(f"{sf_dir}|{src_sig}".encode()).hexdigest()[:12]
     staging = os.path.join(tempfile.gettempdir(), f"fxa_spark_payloads_{tag}")
     target = spark.sparkContext.defaultParallelism
     if not os.path.exists(os.path.join(staging, "_SUCCESS")):

@@ -1070,7 +1070,7 @@ def llm_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(CASE WHEN p > 0 THEN p * LN(p / q) ELSE 0 END), 6)
              AS kl_vs_corpus,
            ROUND(0.5 * SUM(ABS(p - q)), 6) AS tv_vs_corpus,
-           SUM(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS n_tokens
+           CAST(SUM(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens
     FROM grid
     GROUP BY source
     """,

@@ -450,7 +450,15 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         prev.alias("prev_ts"),
         F.round(
-            (F.unix_micros(F.col("ts")) - F.unix_micros(prev)) / 1000000.0, 6
+            # casts: ts may scan as TIMESTAMP_NTZ (naive parquet micros);
+            # NTZ→LTZ under the pinned-UTC session is value-preserving and
+            # unix_micros requires LTZ.
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(prev.cast("timestamp"))
+            )
+            / 1000000.0,
+            6,
         ).alias("gap_seconds"),
     )
 
@@ -2945,10 +2953,13 @@ def q_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the arithmetic is bit-reproducible and oracle-checkable at 6
     decimals."""
     ev = _t(spark, sf_dir, "events")
+    # ts may scan as TIMESTAMP_NTZ; NTZ→LTZ under the pinned-UTC session is
+    # value-preserving and only LTZ casts to DOUBLE (epoch seconds).
+    tsec = F.col("ts").cast("timestamp").cast("double")
     sparse = ev.select(
         "event_id",
         "user_id",
-        F.col("ts").cast("double").alias("tsec"),
+        tsec.alias("tsec"),
         F.when(F.col("value") < 50, None).otherwise(F.col("value")).alias(
             "sparse_val"
         ),
@@ -3039,8 +3050,8 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, tsec,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsec, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_no
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
       FROM seq
     )
     SELECT user_id, session_no,
@@ -3061,14 +3072,17 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     of events costs exactly one exchange."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts may scan as TIMESTAMP_NTZ; NTZ→LTZ under the pinned-UTC session is
+    # value-preserving and only LTZ casts to DOUBLE (epoch seconds).
+    tsec = F.col("ts").cast("timestamp").cast("double")
     seq = ev.select(
         "event_id",
         "user_id",
-        F.col("ts").cast("double").alias("tsec"),
+        tsec.alias("tsec"),
         F.when(
             F.lag("ts").over(w).isNull()
             | (
-                F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+                tsec - F.lag("ts").over(w).cast("timestamp").cast("double")
                 > 1800
             ),
             1,

@@ -60,6 +60,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # NOTE: when the parquet type is TIMESTAMP(MICROS, isAdjustedToUTC=
+        # false) the scan yields TIMESTAMP_NTZ and is left as-is — naive
+        # timestamps match the DuckDB oracle's view of the same file, and the
+        # session TZ is pinned UTC above so any LTZ cast downstream is
+        # value-preserving. Callers needing epoch arithmetic must cast
+        # explicitly (see plans/flagship.py).
     return df
 
 
