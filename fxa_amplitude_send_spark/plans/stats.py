@@ -1,0 +1,333 @@
+"""Statistical / time-series analytics: correlation, OLS regression,
+distribution moments, entropy, anomaly scoring, resampling, EWMA, and
+winsorization.
+
+These extend the engine past plain aggregation into the descriptive-stats
+surface an analytics user (or a training-data curator profiling a corpus)
+reaches for next: "are these columns related", "which rows are outliers",
+"downsample this event stream", "smooth this series", "trim the tails".
+
+Scale discipline: every query here is a groupBy/window over the natural
+analysis key — one shuffle, map-side partial aggregation where Spark
+supports it (corr/regr/moments are all declarative AggregateFunctions, so
+partials combine on the map side and 100 TB reduces to one narrow exchange
+of constant-size state per group). The only collection primitive is q_ewma's
+per-entity ordered fold, which is bounded by a single user's history (the
+streaming analogue is applyInPandasWithState, tests/test_stateful_streaming).
+
+Float discipline (see registry docstring): results are ROUNDed to a scale
+where the two engines' different summation orders cannot diverge; the EWMA
+fold is sequential in both engines (identical operation order → identical
+bits), so even a 6-decimal round is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "q_stat_corr",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+           ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+           ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_stat_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance/stddev per group. All four
+    statistics are declarative AggregateFunctions with mergeable co-moment
+    state (Welford-style), so the plan is a single hash aggregate with
+    map-side partials — per-group state is O(1) regardless of group size,
+    the canonical 100 TB aggregation shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qp"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_stat_regression",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_stat_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS (y = extendedprice ~ x = quantity) via the
+    SQL-standard REGR_* family — slope, intercept, R². Same single-exchange
+    mergeable-state shape as q_stat_corr; the regression over a 100 TB fact
+    table costs exactly one narrow shuffle of per-group co-moments."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 4).alias("slope"),
+        F.round(
+            F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4
+        ).alias("intercept"),
+        F.round(F.expr("regr_r2(l_extendedprice, l_quantity)"), 6).alias("r2"),
+        F.expr("regr_count(l_extendedprice, l_quantity)")
+        .cast("long")
+        .alias("n"),
+    )
+
+
+@query(
+    "q_stat_moments",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag, AVG(l_extendedprice) AS mu
+      FROM lineitem GROUP BY l_returnflag
+    ), s AS (
+      SELECT l.l_returnflag,
+             COUNT(*) AS n,
+             SUM(POWER(l_extendedprice - mu, 2)) AS s2,
+             SUM(POWER(l_extendedprice - mu, 3)) AS s3,
+             SUM(POWER(l_extendedprice - mu, 4)) AS s4
+      FROM lineitem l JOIN m USING (l_returnflag)
+      GROUP BY l.l_returnflag
+    )
+    SELECT l_returnflag,
+           ROUND((s3 / n) / POWER(s2 / n, 1.5), 6) AS skewness,
+           ROUND((s4 / n) / POWER(s2 / n, 2) - 3, 6) AS kurtosis,
+           CAST(n AS BIGINT) AS n
+    FROM s
+    """,
+)
+def q_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per group. Spark's builtin
+    skewness/kurtosis use exactly the population formulas g1 = m3/m2^1.5 and
+    g2 = m4/m2² − 3 over central moments, computed in ONE pass with
+    mergeable moment state. DuckDB's builtins are *sample*-corrected, so the
+    oracle reproduces the population formula two-pass (mean, then centered
+    power sums) — a deliberate cross-engine semantics check, not a Spark
+    limitation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.skewness("l_extendedprice"), 6).alias("skewness"),
+        F.round(F.kurtosis("l_extendedprice"), 6).alias("kurtosis"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_stat_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ), t AS (
+      SELECT user_id, c, SUM(c) OVER (PARTITION BY user_id) AS tot
+      FROM c
+    )
+    SELECT user_id,
+           ROUND(-SUM((c * 1.0 / tot) * LN(c * 1.0 / tot)), 6) AS entropy,
+           COUNT(*) AS n_types
+    FROM t
+    GROUP BY user_id
+    """,
+)
+def q_stat_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the standard
+    behavioral-diversity / bot-detection feature (and, over token or source
+    distributions, a corpus-diversity metric). Count per (user, type), a
+    window total per user, then −Σ p·ln p. Both shuffles cluster on user_id;
+    AQE coalesces the second into the first's partitioning. Entropy terms
+    are O(types) per user, not O(events) — state stays tiny at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    tot = F.sum("c").over(Window.partitionBy("user_id"))
+    p = F.col("c") / tot
+    return (
+        c.withColumn("p", p)
+        .groupBy("user_id")
+        .agg(
+            F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 6).alias("entropy"),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+    )
+
+
+@query(
+    "q_anomaly_zscore",
+    oracle="""
+    WITH z AS (
+      SELECT event_id, event_type,
+             (value - AVG(value) OVER (PARTITION BY event_type))
+               / stddev_samp(value) OVER (PARTITION BY event_type) AS z
+      FROM events
+    )
+    SELECT event_id, event_type, ROUND(z, 6) AS zscore
+    FROM z WHERE ABS(z) > 3
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier flagging: each event scored against its event_type's
+    mean/stddev (one unordered window = whole-partition frame, a single
+    shuffle on the type key), keep |z| > 3. The window form computes stats
+    and scores in one pass over one exchange — no self-join. For 100 TB with
+    few types the per-type state is two doubles; skewed type keys hit the
+    same AQE skew-split path as any hot aggregation key. Returns 188 rows at
+    sf0.01 (value is exponential-ish) — non-vacuous by construction."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return (
+        ev.select("event_id", "event_type", z.alias("z"))
+        .where(F.abs(F.col("z")) > 3)
+        .select("event_id", "event_type", F.round("z", 6).alias("zscore"))
+    )
+
+
+@query(
+    "q_resample_5min",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(FLOOR(epoch(ts) / 300) AS BIGINT) AS bin,
+             event_type, value, event_id
+      FROM events
+    )
+    SELECT bin, event_type,
+           COUNT(*) AS n,
+           ROUND(AVG(value), 6) AS avg_value,
+           ROUND(MIN(value), 2) AS min_value,
+           ROUND(MAX(value), 2) AS max_value,
+           ROUND(arg_max(value, event_id), 2) AS last_value
+    FROM b
+    GROUP BY bin, event_type
+    """,
+)
+def q_resample_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling: 5-minute OHLC-style rollup per event type
+    (count/avg/min/max plus the value of the latest row, max_by keyed on the
+    unique event_id so ties cannot flap). The bin is integer epoch//300 —
+    epoch-aligned in both engines, no timezone or calendar dependence. One
+    hash aggregate; output is O(bins × types) regardless of input volume, so
+    resampling 100 TB of raw events is scan-bound with a tiny shuffle.
+    ts scans as TIMESTAMP_NTZ; NTZ→LTZ under the pinned-UTC session is
+    value-preserving and matches DuckDB's epoch() on the same naive value."""
+    ev = _t(spark, sf_dir, "events")
+    tsec = F.col("ts").cast("timestamp").cast("double")
+    b = ev.select(
+        F.floor(tsec / 300).cast("long").alias("bin"),
+        "event_type",
+        "value",
+        "event_id",
+    )
+    return b.groupBy("bin", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.round(F.max_by("value", "event_id"), 2).alias("last_value"),
+    )
+
+
+@query(
+    "q_ewma",
+    oracle="""
+    SELECT user_id,
+           ROUND(list_reduce(list(value ORDER BY ts, event_id),
+                             (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α = 0.3) of each user's value
+    series, seeded at the first observation — the smoothing primitive behind
+    rate limiting, trend detection, and metric dashboards. EWMA is an
+    inherently sequential fold, so it is expressed as sort_array(collect_list
+    (struct)) + F.aggregate: both engines fold left-to-right in the same
+    order, making the result bit-identical (not merely close).
+
+    Scale: state is one user's history — bounded per entity, the same
+    contract as any per-entity sessionization; group sizes are data-bounded,
+    not volume-bounded. For unbounded streams the incremental form
+    s' = αx + (1−α)s runs under applyInPandasWithState (streaming/stateful
+    .py) with O(1) state; this batch query is its replayable oracle."""
+    ev = _t(spark, sf_dir, "events")
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+    )
+    g = ev.groupBy("user_id").agg(
+        arr.alias("_arr"), F.count(F.lit(1)).alias("n_events")
+    )
+    vals = F.transform(F.col("_arr"), lambda s: s["value"])
+    ewma = F.aggregate(
+        F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return g.select(
+        "user_id", F.round(ewma, 6).alias("ewma"), "n_events"
+    )
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS q05,
+             quantile_cont(l_extendedprice, 0.95) AS q95
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           ROUND(AVG(l.l_extendedprice), 4) AS avg_raw,
+           ROUND(AVG(LEAST(GREATEST(l.l_extendedprice, q.q05), q.q95)), 4)
+             AS avg_winsor,
+           ROUND(MIN(q.q05), 4) AS p05,
+           ROUND(MIN(q.q95), 4) AS p95
+    FROM lineitem l JOIN q USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean: clamp each group's values into its own [p05, p95]
+    before averaging — the robust-mean step that keeps a handful of huge
+    outliers from dominating a metric. Plan: tiny per-group quantile table
+    (exact percentile buffers; swap percentile_approx at 100 TB, see
+    q_agg_approx_quantile), broadcast back onto the fact scan, clamp with
+    least/greatest, re-aggregate. The broadcast is O(groups) — 3 rows here —
+    so the fact table is scanned once and shuffled once."""
+    li = _t(spark, sf_dir, "lineitem")
+    qt = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("q05"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("q95"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("q05")), F.col("q95")
+    )
+    return (
+        li.join(F.broadcast(qt), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_raw"),
+            F.round(F.avg(clamped), 4).alias("avg_winsor"),
+            F.round(F.min("q05"), 4).alias("p05"),
+            F.round(F.min("q95"), 4).alias("p95"),
+        )
+    )
