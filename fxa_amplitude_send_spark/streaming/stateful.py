@@ -56,3 +56,49 @@ def running_user_totals(events: DataFrame, key_col: str = "user_id") -> DataFram
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def ewma_per_user(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Streaming EWMA with O(1) state per user — the incremental form of the
+    batch q_ewma query (plans/stats.py), which is its replayable oracle:
+    replaying a stream prefix through this operator yields bit-identical
+    smoothed values to the batch fold over the same rows, because both
+    apply s' = αx + (1−α)s left-to-right in (tsec, event_id) order.
+
+    Emits (user_id, ewma, n_events) per key per batch it appears in. State
+    is two numbers regardless of history length — the 100 TB contract that
+    the batch query's collect_list cannot make (its state is one user's
+    history; this is the operator you deploy on the unbounded stream).
+    Rows within a batch are sorted by (tsec, event_id); cross-batch order
+    is the source's delivery order, as for any stateful streaming operator
+    (out-of-order input needs a watermark + buffer upstream).
+    """
+
+    def update(key, pdfs, state):
+        # self-contained: stdlib + pandas only (executor pickling discipline)
+        import pandas as pd
+
+        (uid,) = key
+        if state.exists:
+            ewma, n, seen = state.get
+        else:
+            ewma, n, seen = 0.0, 0, False
+        for pdf in pdfs:
+            for x in pdf.sort_values(["tsec", "event_id"])["value"]:
+                x = float(x)
+                # sequential fold, same operation order as the batch oracle
+                ewma = x if not seen else alpha * x + (1.0 - alpha) * ewma
+                seen = True
+                n += 1
+        state.update((ewma, n, seen))
+        yield pd.DataFrame(
+            {"user_id": [uid], "ewma": [ewma], "n_events": [n]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, ewma double, n_events long",
+        stateStructType="ewma double, n_events long, seen boolean",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

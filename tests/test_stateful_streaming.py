@@ -6,6 +6,7 @@ from __future__ import annotations
 import json
 
 import pyspark.sql.functions as F
+from pyspark.sql import Window
 
 from fxa_amplitude_send_spark.sources import load_table
 from fxa_amplitude_send_spark.streaming.stateful import running_user_totals
@@ -69,5 +70,79 @@ def test_state_accumulates_across_batches(spark, sf_smoke, tmp_path):
     assert got == expected
 
     # state really crossed batch boundaries: some user must appear in >1 batch
+    multi = updates.groupBy("user_id").count().filter(F.col("count") > 1).count()
+    assert multi > 0
+
+
+def test_streaming_ewma_matches_batch_fold(spark, sf_smoke, tmp_path):
+    """Stream prefix through ewma_per_user == batch q_ewma ordered fold,
+    bit-identical (same operation order), across micro-batch boundaries."""
+    from fxa_amplitude_send_spark.plans.stats import q_ewma
+    from fxa_amplitude_send_spark.streaming.stateful import ewma_per_user
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "user_id",
+        "value",
+        "event_id",
+        F.col("ts").cast("timestamp").cast("double").alias("tsec"),
+    )
+    pdf = ev.toPandas().sort_values(["tsec", "event_id"]).reset_index(drop=True)
+
+    src = tmp_path / "in_ewma"
+    src.mkdir()
+    files = 3
+    per = (len(pdf) + files - 1) // files
+    for i in range(files):
+        chunk = pdf.iloc[i * per : (i + 1) * per]
+        with open(src / f"part-{i}.json", "w") as fh:
+            for _, row in chunk.iterrows():
+                fh.write(
+                    json.dumps(
+                        {
+                            "user_id": int(row.user_id),
+                            "value": float(row.value),
+                            "event_id": int(row.event_id),
+                            "tsec": float(row.tsec),
+                        }
+                    )
+                    + "\n"
+                )
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("user_id long, value double, event_id long, tsec double")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    q = (
+        ewma_per_user(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ewma"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    updates = spark.sql("SELECT * FROM ewma_out")
+    # the row with the max n_events per user is the final state
+    final = (
+        updates.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .collect()
+    )
+    got = {r["user_id"]: (round(r["ewma"], 6), r["n_events"]) for r in final}
+
+    batch = q_ewma(spark, sf_smoke).collect()
+    expected = {r["user_id"]: (r["ewma"], r["n_events"]) for r in batch}
+    assert got == expected
+
+    # state really crossed batch boundaries
     multi = updates.groupBy("user_id").count().filter(F.col("count") > 1).count()
     assert multi > 0
