@@ -259,3 +259,43 @@ def test_sql_text_q5_no_cartesian(spark, sf_smoke):
     plan = physical_plan(QUERIES["q_tpch_q5"](spark, sf_smoke))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stats_aggregates_are_single_exchange(spark, sf_smoke):
+    """corr/regr/moments are mergeable-state aggregates: exactly one shuffle
+    (map-side partials -> final), no window, no join."""
+    import re
+
+    for name in ("q_stat_corr", "q_stat_regression", "q_stat_moments"):
+        plan = physical_plan(QUERIES[name](spark, sf_smoke))
+        # formatted plans print each operator in the tree AND a detail
+        # section — count only the numbered detail entries
+        n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+        assert n_exchanges <= 1, f"{name}: {n_exchanges} exchanges"
+        assert "Join" not in plan, name
+
+
+def test_winsorize_broadcasts_quantile_table(spark, sf_smoke):
+    """The per-group quantile table is O(groups) and must broadcast; the
+    fact table must not be shuffled for the join."""
+    plan = physical_plan(QUERIES["q_winsorize"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_iterations_broadcast_ranks(spark, sf_smoke):
+    """Each PageRank iteration joins the O(nodes) rank table to the edge
+    list — ranks must broadcast (3 iterations => >=3 broadcast joins) and
+    nothing may degenerate to a cartesian product."""
+    plan = physical_plan(QUERIES["q_graph_pagerank"](spark, sf_smoke))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_source_roundtrips_prune_columns(spark, sf_smoke):
+    """The ORC readback must keep columnar pruning: the aggregate reads only
+    the 3 referenced columns."""
+    plan = physical_plan(QUERIES["q_source_orc"](spark, sf_smoke))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_returnflag" in read_schema
+    assert "l_shipdate" not in read_schema
