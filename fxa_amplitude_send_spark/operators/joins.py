@@ -25,49 +25,56 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """For each left row: the most recent right row at-or-before its
-    timestamp (direction='backward'), per key ``on``.
+    timestamp (direction='backward'), or the earliest right row at-or-after
+    it (direction='forward'), per key ``on``.
 
     Output: all left columns + ``asof_ts`` + the requested right value
-    columns (null when no prior right row exists).
+    columns (null when no matching right row exists in the direction).
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
+    # Left rows sort AFTER right rows at equal timestamps for backward
+    # (right 0 < left 1 → at-or-before sees same-instant rights) and BEFORE
+    # them for forward (left 0 < right 1 → at-or-after sees same-instant
+    # rights). The fill then looks in the matching frame direction.
+    left_tag, right_tag = (1, 0) if direction == "backward" else (0, 1)
+    rt_type = right.schema[right_ts].dataType
     lcols = left.columns
     tagged_left = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_t"),
-        F.lit(1).alias("_side"),
+        F.lit(left_tag).alias("_side"),
         F.struct(*lcols).alias("_l"),
-        F.lit(None).cast("timestamp").alias("_rt"),
+        F.lit(None).cast(rt_type).alias("_rt"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in right_value_cols],
     )
     tagged_right = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_t"),
-        F.lit(0).alias("_side"),
+        F.lit(right_tag).alias("_side"),
         F.lit(None).cast(tagged_left.schema["_l"].dataType).alias("_l"),
         F.col(right_ts).alias("_rt"),
         *[F.col(c).alias(f"_rv_{c}") for c in right_value_cols],
     )
-    # right rows sort BEFORE left rows at equal timestamps (_side 0 < 1), so
-    # "at-or-before" includes same-instant right rows.
     unioned = tagged_left.unionByName(tagged_right)
-    w = (
-        Window.partitionBy("_k")
-        .orderBy("_t", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    w = Window.partitionBy("_k").orderBy("_t", "_side")
+    if direction == "backward":
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        fill = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+    else:
+        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        fill = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
     filled = unioned.select(
         "_side",
         "_l",
-        F.last("_rt", ignorenulls=True).over(w).alias("asof_ts"),
+        fill("_rt").over(w).alias("asof_ts"),
         *[
-            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_filled_{c}")
+            fill(f"_rv_{c}").over(w).alias(f"_filled_{c}")
             for c in right_value_cols
         ],
     )
-    out = filled.filter(F.col("_side") == 1).select(
+    out = filled.filter(F.col("_side") == left_tag).select(
         "_l.*",
         "asof_ts",
         *[F.col(f"_filled_{c}").alias(f"asof_{c}") for c in right_value_cols],

@@ -751,6 +751,45 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_asof_fwd",
+    oracle="""
+    SELECT event_id, user_id, ts, asof_ts
+    FROM (
+      SELECT event_id, user_id, ts, _side,
+             first_value(CASE WHEN _side = 1 THEN ts END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, _side
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS asof_ts
+      FROM (
+        SELECT event_id, user_id, ts, 0 AS _side FROM events
+         WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT event_id, user_id, ts, 1 AS _side FROM events
+         WHERE event_type = 'error'
+      )
+    )
+    WHERE _side = 0
+    """,
+)
+def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each purchase, the user's FIRST error at-or-
+    after it (did this purchase precede a failure?). Mirror image of
+    q_join_asof — same union + one-shuffle window pattern, with the fill
+    running first_value over the following frame; same-instant right rows
+    are visible because left rows sort before right at equal timestamps."""
+    from ..operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    return asof_join(
+        purchases, errors, on="user_id", left_ts="ts", right_ts="ts",
+        direction="forward",
+    )
+
+
+@query(
     "q_session_window",
     oracle="""
     WITH marked AS (

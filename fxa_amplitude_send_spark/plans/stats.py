@@ -286,6 +286,110 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Count-min sketch geometry + hash family (odd multiplicative constants —
+# FNV offset basis, FNV prime, 2^32/φ — distinct from training.py's family
+# so bucket decisions are independent of the sampling operators').
+_CMS_D = ((0, 2166136261), (1, 16777619), (2, 2654435769))
+_CMS_W = 512
+_CMS_PREMOD = 2147483648  # 2^31: keeps (id % 2^31) * mult inside int64
+_CMS_MOD = 4294967296  # 2^32
+_CMS_THRESHOLD = 75
+
+
+def _cms_rows_sql() -> str:
+    return " UNION ALL ".join(f"SELECT {r} AS r, {m} AS mult" for r, m in _CMS_D)
+
+
+@query(
+    "q_heavy_hitters_cms",
+    oracle=f"""
+    WITH rows3 AS ({_cms_rows_sql()}),
+    bucketed AS (
+      SELECT r, ((user_id % {_CMS_PREMOD}) * mult) % {_CMS_MOD} % {_CMS_W}
+               AS bucket
+      FROM events CROSS JOIN rows3
+    ),
+    cms AS (SELECT r, bucket, COUNT(*) AS c FROM bucketed GROUP BY r, bucket),
+    keys AS (SELECT user_id, COUNT(*) AS true_count FROM events
+             GROUP BY user_id),
+    est AS (
+      SELECT k.user_id, k.true_count, MIN(c.c) AS est_count
+      FROM keys k
+      CROSS JOIN rows3 r3
+      JOIN cms c
+        ON c.r = r3.r
+       AND c.bucket = ((k.user_id % {_CMS_PREMOD}) * r3.mult)
+                      % {_CMS_MOD} % {_CMS_W}
+      GROUP BY k.user_id, k.true_count
+    )
+    SELECT user_id, CAST(est_count AS BIGINT) AS est_count, true_count
+    FROM est WHERE est_count > {_CMS_THRESHOLD}
+    """,
+)
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection through a count-min sketch (Cormode &
+    Muthukrishnan 2005, public knowledge): d=3 hash rows × w=512 counters,
+    est(key) = min over rows of its bucket count — an overestimate, never
+    an under. The sketch build is a groupBy over (row, bucket): mergeable,
+    map-side combinable, and O(d·w) state TOTAL regardless of key
+    cardinality — the property that lets 100 TB of events fit in 1536
+    counters where an exact per-key count needs a key-cardinality shuffle.
+    The probe side broadcasts the finished sketch (tiny by construction)
+    onto the candidate keys. Hashing is the same portable multiplicative
+    family as training.py, so the oracle replays bucket decisions exactly;
+    true_count rides along to exhibit the one-sided error (est ≥ true)."""
+    ev = _t(spark, sf_dir, "events")
+
+    def bucket(col, mult: int):
+        return ((col.cast("long") % F.lit(_CMS_PREMOD)) * F.lit(mult)) % F.lit(
+            _CMS_MOD
+        ) % F.lit(_CMS_W)
+
+    rb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"), bucket(F.col("user_id"), m).alias("bucket")
+                )
+                for r, m in _CMS_D
+            ]
+        )
+    ).alias("rb")
+    cms = (
+        ev.select(rb)
+        .select("rb.r", "rb.bucket")
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    keys = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    probes = keys.select(
+        "user_id",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        bucket(F.col("user_id"), m).alias("bucket"),
+                    )
+                    for r, m in _CMS_D
+                ]
+            )
+        ).alias("pb"),
+    )
+    est = (
+        probes.join(
+            F.broadcast(cms),
+            (probes.pb.r == cms.r) & (probes.pb.bucket == cms.bucket),
+        )
+        .groupBy("user_id", "true_count")
+        .agg(F.min("c").alias("est_count"))
+    )
+    return est.filter(F.col("est_count") > _CMS_THRESHOLD).select(
+        "user_id", "est_count", "true_count"
+    )
+
+
 @query(
     "q_winsorize",
     oracle="""
