@@ -1690,6 +1690,73 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_variant_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
+           json_extract_string(props, '$.tag') AS tag_str,
+           lower(json_type(json(props))) AS top_type
+    FROM events
+    """,
+)
+def q_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface: parse_json into the binary semi-structured
+    VARIANT type, then typed variant_get path extraction and schema_of
+    probing. VARIANT keeps a parsed binary form — repeated path access does
+    NOT re-tokenize the JSON text the way get_json_object does, which is
+    the 100 TB answer to heavily-probed semi-structured columns (parse
+    once at ingest, store VARIANT in parquet, prune paths at scan). The
+    oracle reads the same values through DuckDB's JSON functions — the
+    driver gate checks value semantics, not storage encoding."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_typed"),
+        F.variant_get(v, "$.tag", "string").alias("tag_str"),
+        # schema_of_variant prints the full nested schema (OBJECT<k: BIGINT>);
+        # keep only the leading type token to align with DuckDB's json_type
+        F.regexp_extract(
+            F.lower(F.expr("schema_of_variant(parse_json(props))")), r"^(\w+)", 1
+        ).alias("top_type"),
+    )
+
+
+@query(
+    "q_join_nullsafe",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey, NULLIF(o_orderpriority, '3-MEDIUM') AS prio
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    r AS (
+      SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS prio, COUNT(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT l.o_orderkey, l.prio, r.n
+    FROM l JOIN r ON l.prio IS NOT DISTINCT FROM r.prio
+    """,
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    each other instead of vanishing — the semantics CDC merge keys and
+    nullable dimension keys need. Still hash-partitionable (NULL is just
+    one more key value), so it keeps the broadcast/shuffle hash join
+    physicals — no fallback to nested-loop."""
+    o = _t(spark, sf_dir, "orders")
+    prio = F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM"))
+    left = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", prio.alias("prio")
+    )
+    right = o.select(prio.alias("prio")).groupBy("prio").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return left.join(
+        F.broadcast(right), left.prio.eqNullSafe(right.prio)
+    ).select(left.o_orderkey, left.prio, right.n)
+
+
+@query(
     "q_bitwise",
     oracle="""
     SELECT o_orderkey,

@@ -1,0 +1,141 @@
+"""Calendar-spine and change-history operators: gap detection over a
+generated date spine, SCD2 interval construction, and rolling-window
+distinct counts — the warehouse-pipeline trio that pure per-row queries
+can't express without row *generation* or interval logic.
+
+Scale posture: the generated spine is O(days) — always broadcastable; the
+SCD2 build is one window pass over the change log; the rolling distinct
+count is honest about being a range join at exact semantics (the 100 TB
+path swaps the exact countDistinct for an HLL sketch per day, which turns
+it into a mergeable aggregate — documented on the query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "q_date_spine",
+    oracle="""
+    WITH span AS (
+      SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+             CAST(MAX(o_orderdate) AS DATE) AS d1
+      FROM orders
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM span
+    ),
+    active AS (
+      SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders
+    )
+    SELECT CAST(s.day AS VARCHAR) AS missing_day
+    FROM spine s LEFT JOIN active a ON s.day = a.day
+    WHERE a.day IS NULL
+    """,
+)
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-gap detection: generate the complete day spine over the
+    order-date span (F.sequence + explode — row generation, a surface no
+    scan-only query exercises) and anti-join the days that actually have
+    orders. The spine is O(days) regardless of fact volume, so Spark
+    broadcasts it; the fact side reduces to a distinct-day aggregate whose
+    output is equally tiny. Day output is string-cast on both engines
+    (DATE widens to datetime64 through DuckDB's pandas bridge)."""
+    o = _t(spark, sf_dir, "orders")
+    span = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d1"),
+    )
+    spine = span.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    active = o.select(F.col("o_orderdate").cast("date").alias("day")).distinct()
+    return (
+        spine.join(active, "day", "left_anti")
+        .select(F.col("day").cast("string").alias("missing_day"))
+    )
+
+
+@query(
+    "q_scd2",
+    oracle="""
+    SELECT o_custkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS valid_from,
+           CAST(CAST(lead(o_orderdate) OVER w AS DATE) AS VARCHAR) AS valid_to,
+           o_orderstatus AS status,
+           (lead(o_orderdate) OVER w IS NULL) AS is_current,
+           o_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from a change log: each customer's
+    order events become [valid_from, valid_to) status intervals, the open
+    interval flagged current — the standard warehouse history-table build.
+    One window pass (lead over the entity's ordered changes), one shuffle
+    on the entity key; at 100 TB this is the same single-exchange contract
+    as any per-entity sessionization. The unique o_orderkey breaks
+    timestamp ties so intervals are deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").cast("string").alias("valid_from"),
+        nxt.cast("date").cast("string").alias("valid_to"),
+        F.col("o_orderstatus").alias("status"),
+        nxt.isNull().alias("is_current"),
+        "o_orderkey",
+    )
+
+
+@query(
+    "q_rolling_distinct",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud)
+    SELECT CAST(d.day AS VARCHAR) AS day,
+           COUNT(DISTINCT u.user_id) AS wau
+    FROM days d
+    JOIN ud u ON u.day >= d.day - 6 AND u.day <= d.day
+    GROUP BY d.day
+    """,
+)
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day (WAU): the metric COUNT(DISTINCT)
+    window frames cannot express in Spark. Exact form: dedupe to (user, day)
+    — a fact-scale but heavily-reducing aggregate — then a range join of the
+    O(days) day spine against the deduped pairs and a distinct count per
+    day. The spine side is tiny so the join broadcasts; work is
+    O(active_pairs × 7). At 100 TB the exact distinct stays the expensive
+    step — the sketch path replaces it with one HLL per (day) merged over a
+    7-day window (approx_count_distinct partials are mergeable), turning
+    the whole thing into a single aggregate; this query keeps the exact
+    semantics the oracle can check."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("timestamp").cast("date").alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    joined = F.broadcast(days.withColumnRenamed("day", "anchor")).join(
+        ud, F.col("day").between(F.date_sub(F.col("anchor"), 6), F.col("anchor"))
+    )
+    return (
+        joined.groupBy("anchor")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(F.col("anchor").cast("string").alias("day"), "wau")
+    )
