@@ -1690,6 +1690,55 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_bucketed",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, COUNT(*) AS n_events, user_id % 10 AS segment
+      FROM events GROUP BY user_id
+    )
+    SELECT d.segment,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    GROUP BY d.segment
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketed tables (sinks/bucketed.py): both sides
+    written bucketed+sorted on user_id, so the join runs with NO exchange
+    on either side — bucketing pre-pays the shuffle once at write time,
+    the canonical answer to a fact⋈dim join that would otherwise shuffle
+    100 TB per run. Here the dim side is small enough that AQE may still
+    choose broadcast (equally shuffle-free); the bucket-aligned SortMerge
+    plan is pinned down in tests/test_plans.py with broadcast disabled.
+    The staged tables are tagged by the source parquet's (size, mtime), so
+    regenerated testdata re-buckets."""
+    import os
+
+    from ..sinks.bucketed import ensure_bucketed
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    try:
+        st = os.stat(os.path.join(sf_dir, "events.parquet"))
+        sig = f"{sf_dir}|{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        sig = f"{sf_dir}|missing"
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events")).select(
+        "user_id", "n_events", (F.col("user_id") % 10).alias("segment")
+    )
+    b_ev = ensure_bucketed(spark, ev, "events_by_user", "user_id", sig=sig)
+    b_dim = ensure_bucketed(spark, dim, "userdim_by_user", "user_id", sig=sig)
+    return (
+        b_ev.join(b_dim, "user_id")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@query(
     "q_variant_funcs",
     oracle="""
     SELECT event_id,

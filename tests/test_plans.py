@@ -299,3 +299,26 @@ def test_source_roundtrips_prune_columns(spark, sf_smoke):
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "l_returnflag" in read_schema
     assert "l_shipdate" not in read_schema
+
+
+def test_bucketed_join_has_no_exchange_on_join_sides(spark, sf_smoke):
+    """With broadcast disabled, the bucketed fact/dim join must plan as a
+    bucket-aligned SortMergeJoin with NO Exchange feeding either side (the
+    only exchange allowed is the post-join aggregation's)."""
+    import re
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = physical_plan(QUERIES["q_join_bucketed"](spark, sf_smoke))
+        assert "SortMergeJoin" in plan
+        # the SMJ children are bucketed scans: at most one exchange total
+        # (the final groupBy), never two join-side exchanges
+        n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+        assert n_exchanges <= 1, f"{n_exchanges} exchanges — bucketing ignored"
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
