@@ -1,0 +1,166 @@
+"""Custom Python DataSource (Spark 4 API): a durable payload queue.
+
+The reference's ingestion is a synchronous, rate-capped pull from a durable
+queue (`synchronous-pull.js:24-34,44-52`: at most MAX_EVENTS_PER_BATCH
+messages per pull, ack after send). This module expresses that contract as
+a first-class Spark source instead of an adapter around the file source:
+
+    spark.dataSource.register(PayloadQueueDataSource)
+    spark.read.format("payload_queue").option("path", dir).load()
+    spark.readStream.format("payload_queue")
+         .option("path", dir)
+         .option("maxEventsPerBatch", "500").load()
+
+Schema: (offset long, payload string) over a directory of JSONL files —
+offset is the stable global position (files in sorted order, rows in file
+order), the analogue of the queue's ack cursor. The stream reader advances
+its offset by at most maxEventsPerBatch per micro-batch (MAX_EVENTS_PER_
+BATCH parity) and replays any uncommitted range on restart — at-least-once
+delivery, exactly the reference's semantics, with the downstream insert_id
+dedup (operators/event_pipeline.py) making the sink idempotent.
+
+Scale notes: one input partition per file for batch reads (scan
+parallelism = file count, as for any file-based source); the streaming
+path partitions each micro-batch range by file so executors read only
+their slice. Listing is driver-side and O(files) per trigger — a real
+queue (Kafka) replaces listing with broker metadata, and the engine's
+QueueSource adapter (streaming/pipeline.py) already speaks that dialect;
+this source exists so the *queue contract itself* is testable in-repo.
+
+Executor-pickling discipline: reader objects are serialized to worker
+Python processes — methods use only stdlib (os, json), never repo-module
+globals.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+
+def _list_files(path: str) -> list[str]:
+    return sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith((".json", ".jsonl")) and not f.startswith((".", "_"))
+    )
+
+
+def _file_rows(fp: str) -> list[str]:
+    with open(fp, "r", encoding="utf-8") as fh:
+        return [line.rstrip("\n") for line in fh if line.strip()]
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, fp: str, base: int, lo: int, hi: int):
+        self.fp = fp
+        self.base = base  # global offset of this file's row 0
+        self.lo = lo  # first in-file row index to emit
+        self.hi = hi  # one past the last in-file row index
+
+
+class _QueueBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("payload_queue requires option 'path'")
+
+    def partitions(self):
+        parts, base = [], 0
+        for fp in _list_files(self.path):
+            n = len(_file_rows(fp))
+            parts.append(_FilePartition(fp, base, 0, n))
+            base += n
+        return parts or [_FilePartition("", 0, 0, 0)]
+
+    def read(self, partition):
+        if not partition.fp:
+            return
+        rows = _file_rows(partition.fp)
+        for i in range(partition.lo, partition.hi):
+            yield (partition.base + i, rows[i])
+
+
+class _QueueStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("payload_queue requires option 'path'")
+        self.cap = int(options.get("maxEventsPerBatch", "1000"))
+
+    def _snapshot(self):
+        """(files, total_rows) at this instant — the queue's visible end."""
+        files = []
+        base = 0
+        for fp in _list_files(self.path):
+            n = len(_file_rows(fp))
+            files.append((fp, base, n))
+            base += n
+        return files, base
+
+    def initialOffset(self):
+        self._cursor = 0
+        return {"row": 0}
+
+    def latestOffset(self):
+        # Advance the pull cursor by at most `cap` rows per micro-batch:
+        # the engine-side MAX_EVENTS_PER_BATCH (synchronous-pull.js:33) /
+        # Kafka maxOffsetsPerTrigger analogue. The reader owns the cursor
+        # (the API passes no start offset here); commit() re-syncs it to
+        # the checkpointed ack point on progress, so a restart replays any
+        # uncommitted tail — at-least-once, like the reference's
+        # ack-after-send.
+        _, total = self._snapshot()
+        cur = getattr(self, "_cursor", 0)
+        self._cursor = min(total, cur + self.cap)
+        return {"row": self._cursor}
+
+    def partitions(self, start, end):
+        lo, hi = start["row"], end["row"]
+        files, _ = self._snapshot()
+        parts = []
+        for fp, base, n in files:
+            # intersect [lo, hi) with this file's [base, base+n)
+            a, b = max(lo, base), min(hi, base + n)
+            if a < b:
+                parts.append(_FilePartition(fp, base, a - base, b - base))
+        return parts or [_FilePartition("", 0, 0, 0)]
+
+    def read(self, partition):
+        if not partition.fp:
+            return
+        rows = _file_rows(partition.fp)
+        for i in range(partition.lo, partition.hi):
+            yield (partition.base + i, rows[i])
+
+    def commit(self, end):
+        # ack point (synchronous-pull.js:88-92); never move the pull cursor
+        # backwards past data already handed out
+        self._cursor = max(getattr(self, "_cursor", 0), end["row"])
+
+    def stop(self):
+        pass
+
+
+class PayloadQueueDataSource(DataSource):
+    """format("payload_queue"): batch + rate-capped streaming payload reads."""
+
+    @classmethod
+    def name(cls):
+        return "payload_queue"
+
+    def schema(self):
+        return "offset long, payload string"
+
+    def reader(self, schema):
+        return _QueueBatchReader(self.options)
+
+    def streamReader(self, schema):
+        return _QueueStreamReader(self.options)
