@@ -749,6 +749,36 @@ def llm_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_doc_chunk_udtf",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), starts AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks), 1) + 1, 40)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST((start - 1) / 40 AS BIGINT) AS chunk_id,
+           array_to_string(list_slice(toks, start, start + 49), ' ') AS chunk_text,
+           len(list_slice(toks, start, start + 49)) AS n_chunk_tokens
+    FROM starts
+    """,
+)
+def llm_doc_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llm_doc_chunk's contract through the Spark 4 Python UDTF surface
+    (functions/udtf_ops.py): a table function LATERAL-joined per document,
+    hash-checked against the SAME oracle as the codegen explode version —
+    two independent implementations, one contract. Per-row Python is the
+    slow path; llm_doc_chunk is the production form. The UDTF itself is
+    embarrassingly parallel (no shuffle, scales with scan partitions)."""
+    from ..functions.udtf_ops import chunk_documents_udtf
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents_udtf(spark, docs)
+
+
+@query(
     "llm_pii_redact",
     oracle="""
     WITH withpii AS (

@@ -35,16 +35,13 @@ def ensure_bucketed(
     """Write ``df`` as a bucketed+sorted parquet table (once per (table,
     sig) per filesystem; once per session for the catalog entry) and return
     the catalog-backed DataFrame whose scans carry the bucketing spec."""
+    from .parquet_layout import write_bucketed_table
+
     tag = hashlib.sha256(f"{table}|{key}|{n_buckets}|{sig}".encode()).hexdigest()[:12]
     name = f"{table}_{tag}"
     location = os.path.join(tempfile.gettempdir(), f"fxa_spark_bucketed_{name}")
     if not spark.catalog.tableExists(name):
-        (
-            df.write.format("parquet")
-            .mode("overwrite")
-            .bucketBy(n_buckets, key)
-            .sortBy(key)
-            .option("path", location)
-            .saveAsTable(name)
+        write_bucketed_table(
+            df, name, key, n_buckets=n_buckets, sort_col=key, location=location
         )
     return spark.table(name)

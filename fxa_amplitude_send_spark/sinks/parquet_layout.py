@@ -33,14 +33,20 @@ def write_bucketed_table(
     bucket_col: str,
     n_buckets: int = 8,
     sort_col: str | None = None,
+    location: str | None = None,
 ) -> None:
     """Bucketed (pre-shuffled) table in the session catalog: joins and
     aggregations on ``bucket_col`` between tables bucketed the same way run
     WITHOUT an exchange — the one-time write cost buys every future query's
-    shuffle. n_buckets should divide evenly into the cluster's parallelism."""
+    shuffle. n_buckets should divide evenly into the cluster's parallelism.
+    Pass ``location`` to pin the files outside the warehouse dir (required
+    under a caller-provided session with no warehouse assumption — see
+    sinks/bucketed.ensure_bucketed, which adds staging reuse on top)."""
     writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)
+    if location:
+        writer = writer.option("path", location)
     writer.saveAsTable(table_name)
 
 
