@@ -1690,6 +1690,120 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_try_funcs",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN (value - 50.0) = 0 THEN NULL
+                ELSE ROUND(value / (value - 50.0), 6) END AS safe_ratio,
+           TRY_CAST(event_type AS BIGINT) AS bad_number,
+           TRY_CAST('2024-13-45' AS TIMESTAMP) IS NULL AS bad_ts_null,
+           CASE WHEN len(string_split(event_type, '_')) >= 3
+                THEN string_split(event_type, '_')[3] END AS third_part
+    FROM events
+    """,
+)
+def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe surface: try_divide / try_cast /
+    try_to_timestamp / try_element_at return NULL where strict ANSI
+    evaluation would raise (÷0, bad casts, out-of-bounds). This is the
+    dirty-data discipline Spark 4 requires — ANSI is on by default, so
+    every ingest path over untrusted values routes through try_*; the
+    oracle spells out the equivalent NULL-guard CASE semantics."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.round(F.try_divide(F.col("value"), F.col("value") - 50.0), 6).alias(
+            "safe_ratio"
+        ),
+        F.col("event_type").try_cast("bigint").alias("bad_number"),
+        F.try_to_timestamp(F.lit("2024-13-45")).isNull().alias("bad_ts_null"),
+        F.try_element_at(F.split("event_type", "_"), F.lit(3)).alias("third_part"),
+    )
+
+
+@query(
+    "q_interval_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(ts + INTERVAL 90 MINUTE AS VARCHAR) AS deadline,
+           CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) AS week_start,
+           date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since,
+           CAST(ts - INTERVAL 1 DAY AS VARCHAR) AS yesterday_same_time
+    FROM events
+    """,
+)
+def q_interval_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic over (NTZ) timestamps: +90 minutes, week
+    truncation, day deltas against an epoch date, −1 day. Naive timestamps
+    make the arithmetic timezone-free and identical across engines;
+    results are string-cast (pandas-bridge widening, as q_date_funcs2)."""
+    ev = _t(spark, sf_dir, "events")
+    ts = F.col("ts")
+    return ev.select(
+        "event_id",
+        (ts + F.expr("INTERVAL 90 MINUTES")).cast("string").alias("deadline"),
+        F.date_trunc("week", ts).cast("date").cast("string").alias("week_start"),
+        F.datediff(ts.cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "days_since"
+        ),
+        (ts - F.expr("INTERVAL 1 DAY")).cast("string").alias(
+            "yesterday_same_time"
+        ),
+    )
+
+
+@query(
+    "q_string_agg",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment)
+             AS segments,
+           COUNT(*) AS n
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered group-concatenation (LISTAGG/STRING_AGG): distinct segments
+    per nation joined '|'-separated in sorted order — sort_array makes the
+    concatenation order deterministic, which is what makes a group-concat
+    oracle-checkable at all. collect_set state is bounded by segment
+    cardinality (5), not group size."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(
+            F.sort_array(F.collect_set("c_mktsegment")), "|"
+        ).alias("segments"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_posexplode",
+    oracle="""
+    SELECT doc_id,
+           generate_subscripts(toks, 1) - 1 AS pos,
+           unnest(toks) AS token
+    FROM (
+      SELECT doc_id, string_split(text, ' ')[1:8] AS toks
+      FROM documents WHERE doc_id % 50 = 0
+    )
+    """,
+)
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explosion: each of the first 8 tokens with its 0-based
+    position (posexplode ≡ unnest + generate_subscripts). Row-local fan-out
+    — no shuffle, output bounded by 8×rows."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.slice(F.split("text", " "), 1, 8)
+    return (
+        d.filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id", F.posexplode(toks).alias("pos", "token"))
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+    )
+
+
+@query(
     "q_join_bucketed",
     oracle="""
     WITH dim AS (
