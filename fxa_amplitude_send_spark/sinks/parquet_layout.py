@@ -27,6 +27,37 @@ def write_partitioned(
     writer.partitionBy(*partition_cols).parquet(path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    sort_within_by: str | None = None,
+) -> int:
+    """Small-file compaction (the OPTIMIZE maintenance job): rewrite a
+    parquet directory into ``target_files`` files, optionally sorting
+    within partitions to restore min/max skipping locality. Streaming
+    sinks and over-parallel writers accrete thousands of tiny files whose
+    per-file open/footer cost dominates scans at 100 TB — periodic
+    compaction is the standard fix. Rewrites via a temp dir then swaps, so
+    a crash never leaves the table truncated. Returns the file count after
+    compaction."""
+    import glob
+    import os
+    import shutil
+
+    tmp = path.rstrip("/") + "._compact_tmp"
+    df = spark.read.parquet(path)
+    out = df.coalesce(target_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(sort_within_by)
+    out.write.mode("overwrite").parquet(tmp)
+    final = path.rstrip("/") + "._compact_old"
+    os.rename(path, final)
+    os.rename(tmp, path)
+    shutil.rmtree(final)
+    return len(glob.glob(os.path.join(path, "*.parquet")))
+
+
 def write_bucketed_table(
     df: DataFrame,
     table_name: str,

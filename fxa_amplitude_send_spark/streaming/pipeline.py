@@ -210,8 +210,9 @@ def stream_stream_interval_join(
     right_ts: str = "ts",
     max_delay: str = "10 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with an event-time interval condition.
+    """Stream-stream join with an event-time interval condition.
 
     Both sides carry watermarks so the join state is bounded: a left row can
     only match right rows within [left.ts, left.ts + max_delay], and rows
@@ -219,9 +220,16 @@ def stream_stream_interval_join(
     form of q_join_range — same equi-anchor-plus-interval shape, same
     output, state bounded by watermark x arrival rate instead of the batch
     partition size.
+
+    ``how='left_outer'`` additionally emits null-padded rows for left rows
+    whose match window closed unmatched — emission happens only once BOTH
+    watermarks pass the window end (correctness over latency: a row cannot
+    be declared unmatched while a matching right row could still arrive).
     """
     from pyspark.sql import functions as F  # noqa: F811
 
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner|left_outer, got {how!r}")
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
     return l.join(
@@ -230,4 +238,5 @@ def stream_stream_interval_join(
             f"l.{key} = r.{key} AND l.{left_ts} < r.{right_ts} "
             f"AND r.{right_ts} <= l.{left_ts} + INTERVAL {max_delay}"
         ),
+        how,
     )

@@ -140,3 +140,27 @@ def test_zorder_bounds_both_dimensions(spark, sf_smoke, tmp_path):
     a20, a30 = ev.stat.approxQuantile("a", [0.20, 0.30], 0.0)
     assert overlapping(lin, "a", a20, a30) <= max(2, n_lin // 4)
     assert overlapping(zed, "a", a20, a30) <= n_z // 2
+
+
+def test_compaction_reduces_files_preserves_rows(spark, sf_smoke, tmp_path):
+    """OPTIMIZE-style rewrite: 64 tiny files -> 4, identical row multiset,
+    and the old directory is swapped out atomically (no *_compact_* residue)."""
+    import glob
+    import os
+
+    from fxa_amplitude_send_spark.sinks.parquet_layout import compact_parquet
+    from fxa_amplitude_send_spark.sources import load_table
+
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "user_id", "value")
+    path = str(tmp_path / "fragmented")
+    ev.repartition(64).write.parquet(path)
+    assert len(glob.glob(os.path.join(path, "*.parquet"))) == 64
+    before = ev.count()
+    before_sum = ev.agg({"value": "sum"}).collect()[0][0]
+
+    n_files = compact_parquet(spark, path, target_files=4, sort_within_by="event_id")
+    assert n_files <= 4
+    after_df = spark.read.parquet(path)
+    assert after_df.count() == before
+    assert abs(after_df.agg({"value": "sum"}).collect()[0][0] - before_sum) < 1e-6
+    assert not glob.glob(str(tmp_path / "fragmented._compact*"))

@@ -163,3 +163,93 @@ def _stream_events_typed(spark, tmp_path, sf_dir):
         .option("maxFilesPerTrigger", "1")
         .load(str(src))
     )
+
+
+def test_stream_stream_left_outer_join_equals_batch(spark, sf_smoke, tmp_path):
+    """Left-outer interval join: matched pairs AND null-padded unmatched
+    left rows must equal the batch left join. Unmatched rows only emit once
+    both watermarks pass their window, so the input is augmented with two
+    far-future sentinel rows (one per side, unmatched user_ids) that push
+    the watermarks past every real event."""
+    import pyspark.sql.functions as F
+
+    from fxa_amplitude_send_spark.streaming.pipeline import (
+        stream_stream_interval_join,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    batch_clicks = ev.filter(F.col("event_type") == "click")
+    batch_purch = ev.filter(F.col("event_type") == "purchase")
+    expected = (
+        batch_clicks.alias("l")
+        .join(
+            batch_purch.alias("r"),
+            F.expr(
+                "l.user_id = r.user_id AND l.ts < r.ts "
+                "AND r.ts <= l.ts + INTERVAL 10 MINUTES"
+            ),
+            "left_outer",
+        )
+        .select(F.col("l.event_id").alias("a"), F.col("r.event_id").alias("b"))
+    )
+
+    # typed stream + far-future sentinels to advance both watermarks
+    ev_sel = ev.select("event_id", "ts", "user_id", "event_type")
+    pdf = ev_sel.toPandas()
+    src = tmp_path / "in_outer"
+    src.mkdir()
+    files = 2
+    per = (len(pdf) + files - 1) // files
+    max_ts = pdf.ts.max()
+    for i in range(files):
+        chunk = pdf.iloc[i * per : (i + 1) * per]
+        with open(src / f"part-{i}.json", "w") as fh:
+            for _, row in chunk.iterrows():
+                fh.write(
+                    json.dumps(
+                        {
+                            "event_id": int(row.event_id),
+                            "ts": row.ts.isoformat(),
+                            "user_id": int(row.user_id),
+                            "event_type": row.event_type,
+                        }
+                    )
+                    + "\n"
+                )
+    import pandas as pd
+
+    sentinel_ts = (max_ts + pd.Timedelta(days=30)).isoformat()
+    with open(src / "part-zz-sentinel.json", "w") as fh:
+        fh.write(
+            json.dumps({"event_id": -1, "ts": sentinel_ts, "user_id": -1,
+                        "event_type": "click"}) + "\n"
+        )
+        fh.write(
+            json.dumps({"event_id": -2, "ts": sentinel_ts, "user_id": -2,
+                        "event_type": "purchase"}) + "\n"
+        )
+    stream = (
+        spark.readStream.format("json")
+        .schema("event_id long, ts timestamp, user_id long, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    clicks = stream.filter(F.col("event_type") == "click")
+    purch = stream.filter(F.col("event_type") == "purchase")
+    joined = stream_stream_interval_join(
+        clicks, purch, watermark="1 minute", how="left_outer"
+    ).select(F.col("l.event_id").alias("a"), F.col("r.event_id").alias("b"))
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_outer_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj_outer"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM ssj_outer_out WHERE a >= 0")
+    assert canon(got.collect()) == canon(expected.collect())
+    # the outer join really added null-padded rows
+    n_unmatched = got.filter(F.col("b").isNull()).count()
+    assert n_unmatched > 0
