@@ -32,3 +32,49 @@ def test_roundtrip_rows_exact(spark, fmt):
     a = {tuple(r) for r in src.select(*cols).collect()}
     b = {tuple(r) for r in back.select(*cols).collect()}
     assert a == b
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Schema-on-read evolution: two writer generations (v2 adds a column),
+    one mergeSchema scan — old files yield NULL for the new column, and
+    the unified schema is the union. This is how a 100 TB table absorbs
+    schema change without rewriting history."""
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "evolving")
+    spark.range(5).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).write.parquet(base + "/gen=1")
+    spark.range(5, 10).select(
+        F.col("id"), (F.col("id") * 2).alias("v"), F.lit("new").alias("tag")
+    ).write.parquet(base + "/gen=2")
+
+    df = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(df.columns) == {"id", "v", "tag", "gen"}
+    assert df.count() == 10
+    old_rows = df.filter(F.col("gen") == 1)
+    assert old_rows.filter(F.col("tag").isNull()).count() == 5
+
+
+def test_batch_observation_metrics_without_extra_scan(spark, sf_smoke):
+    """The Observation API collects aggregate metrics as a side effect of
+    the action already running — no second scan (the reference logs batch
+    metrics the same way: counters accumulated on the single pass,
+    synchronous-pull.js:94-101)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Observation
+
+    from fxa_amplitude_send_spark.sources import load_table
+
+    ev = load_table(spark, sf_smoke, "events")
+    obs = Observation("batch_metrics")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    n = observed.filter(F.col("value") > 0).count()  # the one action
+    m = obs.get
+    assert m["n_rows"] >= n and m["n_rows"] == ev.count()
+    assert m["min_value"] <= m["max_value"]
