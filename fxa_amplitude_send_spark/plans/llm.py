@@ -749,6 +749,80 @@ def llm_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_dedup_url",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE doc_id % 3
+               WHEN 0 THEN 'https://Example.COM/page/' || (doc_id // 3)
+                           || '/?utm_source=feed&utm_campaign=x'
+               WHEN 1 THEN 'http://example.com/page/' || (doc_id // 3)
+               ELSE 'https://EXAMPLE.com/page/' || (doc_id // 3) || '/'
+             END AS url
+      FROM documents
+    ), canon AS (
+      SELECT doc_id, url,
+             'https://'
+               || lower(regexp_extract(url, '^https?://([^/]+)', 1))
+               || regexp_replace(
+                    regexp_extract(url, '^https?://[^/]+([^?#]*)', 1),
+                    '/$', '') AS canonical_url
+      FROM raw
+    )
+    SELECT canonical_url,
+           COUNT(*) AS n_variants,
+           MIN(doc_id) AS canonical_doc
+    FROM canon
+    GROUP BY canonical_url
+    """,
+)
+def llm_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the crawl-pipeline step before any
+    content hashing: scheme upgrade, host lowercasing, tracking-parameter
+    and fragment stripping, trailing-slash removal collapse surface
+    variants of one logical page. The corpus has no URL column, so three
+    deterministic variants per logical page are synthesized from doc_id
+    (same discipline as llm_pii_redact's injected PII) and the oracle
+    applies the identical injection + normalization. Pure per-row regexp
+    (no UDF) + one groupBy on the canonical key: exact-dedup cost profile,
+    scan-bound at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    page = F.expr("doc_id div 3")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("https://Example.COM/page/"),
+                page,
+                F.lit("/?utm_source=feed&utm_campaign=x"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("http://example.com/page/"), page),
+        )
+        .otherwise(
+            F.concat(F.lit("https://EXAMPLE.com/page/"), page, F.lit("/"))
+        )
+    )
+    host = F.regexp_extract(url, r"^https?://([^/]+)", 1)
+    path = F.regexp_extract(url, r"^https?://[^/]+([^?#]*)", 1)
+    canonical = F.concat(
+        F.lit("https://"),
+        F.lower(host),
+        F.regexp_replace(path, r"/$", ""),
+    )
+    return (
+        docs.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+    )
+
+
+@query(
     "llm_doc_chunk_udtf",
     oracle="""
     WITH t AS (

@@ -364,6 +364,71 @@ def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), pairs AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+    ), lm AS (
+      SELECT w1, w2,
+             COUNT(*) * 1.0
+               / SUM(COUNT(*)) OVER (PARTITION BY w1) AS p_cond
+      FROM pairs GROUP BY w1, w2
+    )
+    SELECT p.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(EXP(-AVG(LN(COALESCE(lm.p_cond, 0.000001)))), 4)
+             AS perplexity
+    FROM pairs p
+    LEFT JOIN lm ON p.w1 = lm.w1 AND p.w2 = lm.w2
+    GROUP BY p.doc_id
+    """,
+)
+def llm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram perplexity under the corpus's own LM — the
+    CCNet/Gopher-style quality signal (a doc whose token transitions are
+    improbable under the corpus model is boilerplate, spam, or another
+    language). perplexity = exp(−mean ln P(w2|w1)), floor 1e-6 for unseen
+    pairs (none here since the LM is trained on the same corpus, but the
+    backoff is part of the scoring contract for held-out data).
+
+    Plan: one pair extraction feeds BOTH the LM aggregate and the scoring
+    join (Catalyst reuses the codegen'd zip); the LM side is
+    vocabulary²-bounded so the join's build side stays small relative to
+    the corpus; the per-doc score is one mergeable aggregate. At 100 TB
+    the LM table is the thing to persist and broadcast — score new shards
+    against a frozen LM instead of recomputing it."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    zipped = F.arrays_zip(
+        F.slice(t, 1, F.size(t) - 1).alias("w1"),
+        F.slice(t, 2, F.size(t) - 1).alias("w2"),
+    )
+    pairs = docs.select(
+        "doc_id", F.explode(zipped).alias("p")
+    ).select("doc_id", "p.w1", "p.w2")
+    w = Window.partitionBy("w1")
+    lm = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "w1",
+            "w2",
+            (F.col("n_pairs") / F.sum("n_pairs").over(w)).alias("p_cond"),
+        )
+    )
+    scored = pairs.join(lm, ["w1", "w2"], "left")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.exp(-F.avg(F.log(F.coalesce(F.col("p_cond"), F.lit(0.000001))))), 4
+        ).alias("perplexity"),
+    )
+
+
+@query(
     "llm_vocab_build",
     oracle="""
     WITH counts AS (
