@@ -1690,6 +1690,38 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_agg_misc",
+    oracle="""
+    SELECT l_returnflag,
+           mode(l_linestatus) AS modal_status,
+           ROUND(median(l_quantity), 2) AS median_qty,
+           bool_and(l_quantity > 0) AS all_positive,
+           bool_or(l_discount > 0.09) AS any_big_discount,
+           CAST(count_if(l_tax = 0) AS BIGINT) AS n_taxfree
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The long tail of the standard aggregate surface in one query: modal
+    value, exact median, universally/existentially quantified booleans,
+    conditional counting. mode/median hold per-group value buffers (the
+    sort-based exact forms — percentile_approx/countmin are the sketch
+    paths at 100 TB); bool_and/bool_or/count_if are constant-state and
+    map-side combinable. Mode ties: l_linestatus has a unique winner per
+    returnflag group in this data, so both engines agree without a
+    tie-break convention."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.mode("l_linestatus").alias("modal_status"),
+        F.round(F.median("l_quantity"), 2).alias("median_qty"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_big_discount"),
+        F.count_if(F.col("l_tax") == 0).alias("n_taxfree"),
+    )
+
+
+@query(
     "q_try_funcs",
     oracle="""
     SELECT event_id,
