@@ -58,6 +58,81 @@ def running_user_totals(events: DataFrame, key_col: str = "user_id") -> DataFram
     )
 
 
+def sessionize_stateful(events: DataFrame, gap_seconds: float = 1800.0) -> DataFrame:
+    """Custom gap-based sessionization with EventTimeTimeout — the stateful
+    operator Spark's built-in session_window cannot customize (per-session
+    payloads, dynamic gaps, side outputs all start from this skeleton).
+
+    Input: a stream with (user_id long, tsec double) that ALREADY carries a
+    watermark on its event-time column (EventTimeTimeout requires one).
+    A session closes when (a) a later event for the key arrives past the
+    gap — emitted immediately — or (b) the watermark passes last_event +
+    gap — the state times out and the open session flushes. Emission is
+    therefore watermark-correct: a session is never declared closed while
+    an in-gap event could still arrive.
+
+    Output: (user_id, session_start, session_end, n_events) per closed
+    session; batch oracle = the q_sessionize gaps-and-islands query
+    (plans/relational.py) over the same rows. State per key is three
+    numbers — O(keys), evicted on timeout, the bounded-state contract that
+    lets sessionization run forever on an unbounded stream.
+    """
+
+    def update(key, pdfs, state):
+        # self-contained: stdlib + pandas only (executor pickling discipline)
+        import pandas as pd
+
+        (uid,) = key
+        gap = gap_seconds
+        out = []
+
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n = state.get
+                out.append((uid, start, last, n))
+                state.remove()
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "session_start", "session_end", "n_events"],
+            )
+            return
+
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+        if len(rows):
+            for t in rows.sort_values("tsec")["tsec"]:
+                t = float(t)
+                if start is None:
+                    start, last, n = t, t, 1
+                elif t - last > gap:
+                    out.append((uid, start, last, n))
+                    start, last, n = t, t, 1
+                else:
+                    last = t
+                    n += 1
+        if start is not None:
+            state.update((start, last, n))
+            # flush when the watermark passes the session's gap horizon
+            state.setTimeoutTimestamp(int((last + gap) * 1000) + 1)
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_start", "session_end", "n_events"]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, session_start double, session_end double,"
+            " n_events long"
+        ),
+        stateStructType="start double, last double, n long",
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
+
+
 def ewma_per_user(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     """Streaming EWMA with O(1) state per user — the incremental form of the
     batch q_ewma query (plans/stats.py), which is its replayable oracle:

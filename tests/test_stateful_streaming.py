@@ -146,3 +146,105 @@ def test_streaming_ewma_matches_batch_fold(spark, sf_smoke, tmp_path):
     # state really crossed batch boundaries
     multi = updates.groupBy("user_id").count().filter(F.col("count") > 1).count()
     assert multi > 0
+
+
+def test_stateful_sessionization_matches_batch_gaps_and_islands(
+    spark, sf_smoke, tmp_path
+):
+    """Custom EventTimeTimeout sessionization == batch gaps-and-islands over
+    the same rows. Files are fed in event-time order; a far-future sentinel
+    advances the watermark so open sessions time out and flush, and a final
+    dummy file triggers the timeout batch."""
+    from fxa_amplitude_send_spark.streaming.stateful import sessionize_stateful
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    pdf = ev.toPandas().sort_values("ts").reset_index(drop=True)
+
+    src = tmp_path / "in_sess"
+    src.mkdir()
+    files = 3
+    per = (len(pdf) + files - 1) // files
+    for i in range(files):
+        chunk = pdf.iloc[i * per : (i + 1) * per]
+        with open(src / f"part-{i}.json", "w") as fh:
+            for _, row in chunk.iterrows():
+                fh.write(
+                    json.dumps(
+                        {"user_id": int(row.user_id), "ts": row.ts.isoformat()}
+                    )
+                    + "\n"
+                )
+    import pandas as pd
+
+    far = pdf.ts.max() + pd.Timedelta(days=30)
+    with open(src / "part-8-sentinel.json", "w") as fh:
+        fh.write(json.dumps({"user_id": -1, "ts": far.isoformat()}) + "\n")
+    with open(src / "part-9-flush.json", "w") as fh:
+        fh.write(
+            json.dumps(
+                {"user_id": -2, "ts": (far + pd.Timedelta(hours=1)).isoformat()}
+            )
+            + "\n"
+        )
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+        .withWatermark("ts", "1 minute")
+        .select(
+            "user_id", F.col("ts").cast("double").alias("tsec"), "ts"
+        )
+    )
+    q = (
+        sessionize_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got_rows = spark.sql(
+        "SELECT * FROM sess_out WHERE user_id >= 0"
+    ).collect()
+    got = {
+        (r.user_id, round(r.session_start, 3), round(r.session_end, 3), r.n_events)
+        for r in got_rows
+    }
+
+    # batch gaps-and-islands oracle over the same rows
+    tsec = F.col("ts").cast("double")
+    w = Window.partitionBy("user_id").orderBy("tsec")
+    marked = ev.select("user_id", tsec.alias("tsec")).withColumn(
+        "new_s",
+        F.when(
+            F.lag("tsec").over(w).isNull()
+            | (F.col("tsec") - F.lag("tsec").over(w) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    expected_rows = (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.min("tsec").alias("s"),
+            F.max("tsec").alias("e"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    expected = {
+        (r.user_id, round(r.s, 3), round(r.e, 3), r.n) for r in expected_rows
+    }
+    assert got == expected
