@@ -1690,6 +1690,108 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_pivot_multi",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count_if(l_linestatus = 'F') AS BIGINT) AS f_n,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2)
+             AS f_qty,
+           CAST(count_if(l_linestatus = 'O') AS BIGINT) AS o_n,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2)
+             AS o_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per pivot value (count + sum for each
+    line status). Spark's pivot(values=[...]) with an explicit value list
+    skips the extra distinct-values job AND keeps the plan a single hash
+    aggregate over composite columns — same one-exchange contract as any
+    groupBy; the oracle writes the equivalent manual CASE pivots."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("F_n").alias("f_n"),
+        F.col("F_qty").alias("f_qty"),
+        F.col("O_n").alias("o_n"),
+        F.col("O_qty").alias("o_qty"),
+    )
+
+
+@query(
+    "q_pagination",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-free pagination (page 3 of 20 by price): ORDER BY + OFFSET +
+    LIMIT. Spark executes offset+limit as a single bounded collect-limit
+    over the sort — fine for UI-page offsets; deep pagination at 100 TB
+    should switch to keyset predicates (WHERE price < last_seen), which
+    this plan's sort pushdown makes equivalent. The unique o_orderkey
+    tie-break makes the page deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(40)
+        .limit(20)
+    )
+
+
+@query(
+    "q_values_lookup",
+    oracle="""
+    SELECT e.event_type, v.category, COUNT(*) AS n,
+           ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e
+    JOIN (VALUES ('click', 'engagement'), ('view', 'engagement'),
+                 ('purchase', 'revenue'), ('signup', 'growth'),
+                 ('error', 'health')) AS v(event_type, category)
+      ON e.event_type = v.event_type
+    GROUP BY e.event_type, v.category
+    """,
+)
+def q_values_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal lookup-table enrichment: a 5-row in-memory VALUES relation
+    broadcast onto the fact scan — the idiomatic way to attach small
+    business mappings without a storage round-trip. createDataFrame puts
+    the literals in the plan; the broadcast is trivially sized."""
+    ev = _t(spark, sf_dir, "events")
+    mapping = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "revenue"),
+            ("signup", "growth"),
+            ("error", "health"),
+        ],
+        "event_type string, category string",
+    )
+    return (
+        ev.join(F.broadcast(mapping), "event_type")
+        .groupBy("event_type", "category")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@query(
     "q_agg_misc",
     oracle="""
     SELECT l_returnflag,
