@@ -134,3 +134,69 @@ def extract_features(with_payload: DataFrame, dim: int = 16) -> DataFrame:
             )
 
     return with_payload.select("doc_id", "payload").mapInPandas(encode, schema=schema)
+
+
+#: Output schema of the fake audio-decode: metadata a real decoder would emit.
+AUDIO_META_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, sample_rate int, n_samples bigint,"
+    " decode_stub boolean"
+)
+
+
+def decode_audio_meta(with_payload: DataFrame) -> DataFrame:
+    """mapInPandas audio 'decode': binary payload → (sample_rate, n_samples).
+
+    STUB: real decoding needs an audio codec not present in this container
+    (soundfile/ffmpeg). Deterministic fake: sample_rate from byte parity,
+    n_samples = 16 samples per byte — a pure function of the payload so the
+    differential oracle can replay it. Same Arrow-batch memory contract as
+    decode_image_meta."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes,
+                    "sample_rate": (
+                        16000 - 8000 * (n_bytes % 2)
+                    ).astype("int32"),
+                    "n_samples": n_bytes * 16,
+                    "decode_stub": True,
+                }
+            )
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        decode, AUDIO_META_SCHEMA
+    )
+
+
+def audio_windows(
+    meta: DataFrame, window: int = 16000, hop: int = 8000
+) -> DataFrame:
+    """Overlapping analysis windows over each clip: the fan-out every
+    feature extractor (spectrogram, VAD, ASR chunking) starts from. Pure
+    explode-of-sequence — JVM-side, no UDF, no shuffle; output rows =
+    total_samples/hop regardless of clip-length skew."""
+    starts = F.sequence(
+        F.lit(0).cast("long"),
+        F.greatest(F.col("n_samples") - window, F.lit(0).cast("long")),
+        F.lit(hop).cast("long"),
+    )
+    return meta.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        F.explode(starts).alias("start_sample"),
+    ).select(
+        "doc_id",
+        "sample_rate",
+        "start_sample",
+        F.least(
+            F.col("start_sample") + window, F.col("n_samples")
+        ).alias("end_sample"),
+        F.round(F.col("start_sample") / F.col("sample_rate"), 3).alias(
+            "start_sec"
+        ),
+    )

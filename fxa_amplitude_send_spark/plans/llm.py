@@ -749,6 +749,113 @@ def llm_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_audio_windows",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes
+      FROM documents
+    ), m2 AS (
+      SELECT doc_id,
+             CASE WHEN n_bytes % 2 = 0 THEN 16000 ELSE 8000 END AS sample_rate,
+             n_bytes * 16 AS n_samples
+      FROM meta
+    ), wins AS (
+      SELECT doc_id, sample_rate, n_samples,
+             CAST(unnest(range(0, greatest(n_samples - 16000, 0) + 1, 8000))
+                  AS BIGINT) AS start_sample
+      FROM m2
+    )
+    SELECT doc_id, sample_rate, start_sample,
+           least(start_sample + 16000, n_samples) AS end_sample,
+           ROUND(start_sample * 1.0 / sample_rate, 3) AS start_sec
+    FROM wins
+    """,
+)
+def llm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality plumbing: payload → stubbed decode (sample rate +
+    sample count, mapInPandas Arrow batches — no codec in this container)
+    → overlapping 1-second analysis windows at 0.5s hop (codegen explode,
+    no UDF). The window fan-out is the input shape for spectrogram/VAD/ASR
+    feature extraction; the oracle replays the deterministic stub and the
+    window arithmetic in SQL, certifying the Spark-side schema, batch
+    path, and fan-out exactly as llm_multimodal_meta does for images."""
+    from ..operators.multimodal import (
+        attach_binary_payload,
+        audio_windows,
+        decode_audio_meta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    meta = decode_audio_meta(attach_binary_payload(docs))
+    return audio_windows(meta).select(
+        "doc_id", "sample_rate", "start_sample", "end_sample", "start_sec"
+    )
+
+
+@query(
+    "llm_embed_cohesion",
+    oracle="""
+    WITH dims AS (
+      SELECT label, vec_id,
+             generate_subscripts(embedding, 1) AS dim,
+             unnest(CAST(embedding AS DOUBLE[])) AS x
+      FROM embeddings
+    ), cent AS (
+      SELECT label, dim, AVG(x) AS c FROM dims GROUP BY label, dim
+    ), j AS (
+      SELECT d.label, d.vec_id,
+             SUM(d.x * c.c) AS dot,
+             SUM(d.x * d.x) AS n2v,
+             SUM(c.c * c.c) AS n2c
+      FROM dims d JOIN cent c ON d.label = c.label AND d.dim = c.dim
+      GROUP BY d.label, d.vec_id
+    )
+    SELECT label,
+           ROUND(AVG(dot / (SQRT(n2v) * SQRT(n2c))), 6) AS cohesion,
+           COUNT(*) AS n_vecs
+    FROM j GROUP BY label
+    """,
+)
+def llm_embed_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids and intra-class cohesion (mean cosine
+    of each vector to its label centroid) — the diagnostic behind "are
+    these labels separable / is this clustering tight", and the quality
+    gate on labeled embedding data before kNN/classifier training.
+
+    Shape: posexplode to (label, dim, x) — ×64 row inflation but every
+    subsequent step is a mergeable hash aggregate; the centroid table is
+    O(labels × dims) and joins back by (label, dim) equi-key. At 100 TB
+    the explode trades memory-resident vector state for pure aggregate
+    shuffles, which is the trade that scales; the pandas-UDF matmul path
+    (operators/similarity.py) is the latency-optimized alternative."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("dim0", "xf"),
+    ).select(
+        "label", "vec_id", (F.col("dim0") + 1).alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    cent = dims.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    j = (
+        dims.join(cent, ["label", "dim"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.sum(F.col("x") * F.col("c")).alias("dot"),
+            F.sum(F.col("x") * F.col("x")).alias("n2v"),
+            F.sum(F.col("c") * F.col("c")).alias("n2c"),
+        )
+    )
+    return j.groupBy("label").agg(
+        F.round(
+            F.avg(F.col("dot") / (F.sqrt("n2v") * F.sqrt("n2c"))), 6
+        ).alias("cohesion"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+@query(
     "llm_dedup_url",
     oracle="""
     WITH raw AS (
