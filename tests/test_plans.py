@@ -322,3 +322,32 @@ def test_bucketed_join_has_no_exchange_on_join_sides(spark, sf_smoke):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def test_no_cartesian_product_in_any_registered_query(spark, sf_smoke):
+    """Blanket 100 TB guard over the ENTIRE registry: no query may plan a
+    CartesianProduct, and BroadcastNestedLoopJoin is allowed only where the
+    build side is a scalar aggregate or deliberately tiny relation (cross
+    join with a 1-row total, a broadcast day-spine range join, the explicit
+    cross-join demo) — never a data-sized side."""
+    bnlj_allowed = {
+        "q_join_cross",        # explicit bounded cross-join demo
+        "q_scalar_subquery",   # 1-row AVG broadcast
+        "q_tpch_q22",          # 1-row AVG broadcast
+        "q_join_bloom",        # 1-row bloom-bitmap broadcast
+        "q_rolling_distinct",  # O(days) spine broadcast, BETWEEN range join
+        "llm_sim_topk",        # broadcast single query vector
+        "llm_cluster_assign",  # broadcast fixed centroid list
+        "llm_dedup_quality",   # broadcast scalar truth/estimate totals
+        "llm_source_drift",    # cross join of per-source and global scalars
+        "llm_tfidf",           # 1-row corpus-N broadcast
+        "llm_vocab_build",     # 1-row token-total broadcast
+    }
+    offenders = []
+    for name, fn in sorted(QUERIES.items()):
+        plan = physical_plan(fn(spark, sf_smoke))
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_allowed:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, offenders
