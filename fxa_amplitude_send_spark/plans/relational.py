@@ -1690,6 +1690,81 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_setops_all",
+    oracle="""
+    SELECT c_nationkey, n FROM (
+      SELECT c_nationkey, COUNT(*) AS n FROM (
+        SELECT c_nationkey FROM customer WHERE c_acctbal > 0
+        EXCEPT ALL
+        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      ) GROUP BY c_nationkey
+    )
+    UNION ALL
+    SELECT -1 - c_nationkey AS c_nationkey, COUNT(*) AS n FROM (
+      SELECT c_nationkey FROM customer WHERE c_acctbal > 0
+      INTERSECT ALL
+      SELECT c_nationkey FROM customer WHERE c_acctbal > 5000
+    ) GROUP BY c_nationkey
+    """,
+)
+def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations (EXCEPT ALL / INTERSECT ALL): bag semantics
+    keep duplicate multiplicity, which the DISTINCT variants (q_except /
+    q_intersect) destroy — the difference matters whenever rows represent
+    countable occurrences rather than identities. Spark plans both as
+    aggregate+generate (count per key, replicate the surplus), one shuffle
+    each. Results are re-aggregated per nation (intersect rows keyed
+    negative) so the output is small and deterministic."""
+    c = _t(spark, sf_dir, "customer")
+    pos = c.filter(F.col("c_acctbal") > 0).select("c_nationkey")
+    bld = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_nationkey")
+    ex = pos.exceptAll(bld).groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ix = (
+        pos.intersectAll(rich)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select((-1 - F.col("c_nationkey")).alias("c_nationkey"), "n")
+    )
+    return ex.unionAll(ix)
+
+
+@query(
+    "q_window_time_range",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_last_hour,
+           ROUND(SUM(value) OVER w, 2) AS sum_last_hour
+    FROM (SELECT event_id, user_id, epoch(ts) AS tsec, value FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY tsec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing event-time window per row: how many events (and how much
+    value) did this user produce in the hour ending at each event — the
+    per-row rate-limiting / burst-detection primitive. A RANGE frame over
+    epoch seconds makes the bound a true time interval (ROWS frames count
+    rows, not time). One shuffle on user_id; frame evaluation is a sliding
+    two-pointer over each partition's sort, O(n) amortized."""
+    ev = _t(spark, sf_dir, "events")
+    tsec = F.col("ts").cast("timestamp").cast("double")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(tsec)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 2).alias("sum_last_hour"),
+    )
+
+
+@query(
     "q_pivot_multi",
     oracle="""
     SELECT l_returnflag,
