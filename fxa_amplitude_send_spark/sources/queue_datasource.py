@@ -164,3 +164,101 @@ class PayloadQueueDataSource(DataSource):
 
     def streamReader(self, schema):
         return _QueueStreamReader(self.options)
+
+    def writer(self, schema, overwrite):
+        return _QueueBatchWriter(self.options)
+
+    def streamWriter(self, schema, overwrite):
+        return _QueueStreamWriter(self.options)
+
+
+# ---------------------------------------------------------------------------
+# write path: the queue as a SINK (batch + streaming) with a commit protocol
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _QueueCommit(WriterCommitMessage):
+    staged: str  # staged file path, promoted to the queue dir on commit
+
+
+def _stage_rows(path: str, iterator, suffix: str) -> "_QueueCommit":
+    """Task-side: write this partition's rows to a staging file. Uses only
+    stdlib (executor pickling discipline); rows are (payload string) or
+    (offset, payload) — the payload column is written one JSON line each."""
+    import os
+    import uuid
+
+    staging_dir = os.path.join(path, "_staging")
+    os.makedirs(staging_dir, exist_ok=True)
+    staged = os.path.join(staging_dir, f"{uuid.uuid4().hex}{suffix}")
+    n = 0
+    with open(staged, "w", encoding="utf-8") as fh:
+        for row in iterator:
+            payload = row["payload"] if "payload" in row.__fields__ else row[0]
+            fh.write(str(payload) + "\n")
+            n += 1
+    if n == 0:
+        os.remove(staged)
+        return _QueueCommit(staged="")
+    return _QueueCommit(staged=staged)
+
+
+def _promote(path: str, messages, batch_tag: str) -> None:
+    """Driver-side commit: rename staged files into the queue directory.
+    Rename is atomic per file; readers only list *.jsonl in the queue root,
+    so uncommitted/aborted staging files are never visible — the sink-side
+    analogue of the reference's ack-after-send (synchronous-pull.js:88-92)."""
+    import os
+
+    for i, m in enumerate(m for m in messages if m and m.staged):
+        final = os.path.join(path, f"payloads-{batch_tag}-{i:05d}.jsonl")
+        os.rename(m.staged, final)
+
+
+def _abort(messages) -> None:
+    import os
+
+    for m in messages or []:
+        if m and m.staged and os.path.exists(m.staged):
+            os.remove(m.staged)
+
+
+class _QueueBatchWriter(DataSourceWriter):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("payload_queue requires option 'path'")
+
+    def write(self, iterator):
+        return _stage_rows(self.path, iterator, ".jsonl.part")
+
+    def commit(self, messages):
+        _promote(self.path, messages, "batch")
+
+    def abort(self, messages):
+        _abort(messages)
+
+
+class _QueueStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("payload_queue requires option 'path'")
+
+    def write(self, iterator):
+        return _stage_rows(self.path, iterator, ".jsonl.part")
+
+    def commit(self, messages, batchId):
+        _promote(self.path, messages, f"b{batchId:09d}")
+
+    def abort(self, messages, batchId):
+        _abort(messages)
