@@ -445,3 +445,72 @@ def ivf_topk(
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+def build_ivf_index(
+    spark,
+    emb: DataFrame,
+    centroids: list[list[float]],
+    sig: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Persist the IVF index as a table BUCKETED BY cell: the O(N) cell
+    assignment (the expensive pandas-UDF matmul pass) runs once at WRITE
+    time, and every subsequent probe joins candidates by cell with NO
+    shuffle and NO re-assignment of the corpus — write-amortized ANN
+    serving, the same economics as sinks/bucketed.py's co-located joins.
+    At 100 TB the cell is the natural partition/bucket key; re-tag (sig)
+    when the corpus or quantizer changes."""
+    from ..sinks.bucketed import ensure_bucketed
+
+    assigned = assign_ivf_cells(emb, centroids, vec_col=vec_col, n_probe=1).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.col("cell")[0].cast("long").alias("cell"),
+    )
+    return ensure_bucketed(
+        spark, assigned, "ivf_index", "cell", n_buckets=n_buckets, sig=sig
+    )
+
+
+def ivf_topk_served(
+    index_df: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 2,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Serve approximate top-k from a persisted IVF index (build_ivf_index):
+    only the QUERY vectors are assigned at serve time (tiny); candidates
+    come straight off the bucketed (cell, vec_id, embedding) table via the
+    cell equi-join. Identical results to ivf_topk under the same quantizer
+    — asserted in tests — at a serve cost independent of corpus assignment."""
+    from pyspark.sql import Window
+
+    e = index_df.select(
+        F.col("vec_id").alias("_eid"),
+        F.col("embedding").alias("_evec"),
+        F.lit(0).alias("_t"),
+        F.col("cell").alias("_b"),
+    )
+    q = assign_ivf_cells(
+        queries, centroids, vec_col=query_vec_col, n_probe=n_probe
+    ).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("_qvec"),
+        F.lit(0).alias("_t"),
+        F.explode("cell").alias("_b"),
+    ).withColumn("_b", F.col("_b").cast("long"))
+    scored = _bucket_rerank(e, q, k=k, id_col="vec_id")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.dropDuplicates(["query_id", "vec_id"])
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

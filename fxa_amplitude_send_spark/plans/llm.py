@@ -1232,6 +1232,45 @@ def llm_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges, nodes=docs.select("doc_id"))
 
 
+@query("llm_sim_ivf_served")  # rows-only: learned quantizer is engine-specific
+def llm_sim_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k served from a PERSISTED bucketed index (operators/
+    similarity.py build_ivf_index): the corpus-side cell assignment ran
+    once at index-build time and the probe joins candidates straight off
+    the (cell)-bucketed table — write-amortized ANN, returning results
+    identical to llm_sim_ivf's on-the-fly path (pytest-asserted). This is
+    the serving economics that matter at 100 TB: per-query cost is
+    n_probe cells of candidates, zero corpus re-assignment, no shuffle on
+    the index side."""
+    import os
+
+    from ..operators.similarity import (
+        build_ivf_index,
+        ivf_topk_served,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    centroids = train_ivf_centroids(
+        emb, n_centroids=IVF_PARAMS["n_centroids"], n_iter=5, sample_n=512
+    )
+    try:
+        st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+        sig = f"{sf_dir}|{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        sig = f"{sf_dir}|missing"
+    index = build_ivf_index(spark, emb, centroids, sig=sig)
+    served = ivf_topk_served(
+        index, queries_df, centroids, k=5, n_probe=IVF_PARAMS["n_probe"]
+    )
+    return served.select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rnk"
+    )
+
+
 @query("llm_sim_ivfpq")  # rows-only: learned cells + codebooks are engine-specific
 def llm_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN: learned cells route candidates, 4×16 PQ codes score them

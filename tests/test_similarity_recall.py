@@ -128,3 +128,20 @@ def test_dedup_quality_floors(spark, sf_correctness):
     assert row.n_truth > 1000, "ground-truth pair set unexpectedly small"
     assert row.precision >= 0.85, f"precision={row.precision}"
     assert row.recall >= 0.70, f"recall={row.recall}"
+
+
+def test_ivf_served_equals_on_the_fly(spark, sf_smoke):
+    """The persisted-bucketed-index serve path must return EXACTLY the
+    on-the-fly IVF results under the same quantizer — the index is a
+    write-amortization, not an approximation on top of an approximation."""
+    import pyspark.sql.functions as F
+
+    from fxa_amplitude_send_spark.plans.llm import llm_sim_ivf, llm_sim_ivf_served
+
+    fly = llm_sim_ivf(spark, sf_smoke).select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rnk"
+    )
+    served = llm_sim_ivf_served(spark, sf_smoke)
+    a = {tuple(r) for r in fly.collect()}
+    b = {tuple(r) for r in served.collect()}
+    assert a == b and len(a) > 0
