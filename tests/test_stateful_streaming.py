@@ -248,3 +248,74 @@ def test_stateful_sessionization_matches_batch_gaps_and_islands(
         (r.user_id, round(r.s, 3), round(r.e, 3), r.n) for r in expected_rows
     }
     assert got == expected
+
+
+def test_stateful_op_on_rocksdb_state_store(spark, sf_smoke, tmp_path):
+    """The same stateful operator runs unchanged on the RocksDB state store
+    provider — the production state backend once keyspaces outgrow executor
+    heap (HDFS-backed in-memory state is the default; RocksDB spills to
+    local disk with incremental checkpointing)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        ev = load_table(spark, sf_smoke, "events").select(
+            "user_id", "value", "event_id"
+        )
+        pdf = ev.toPandas()
+        src = tmp_path / "in_rocks"
+        src.mkdir()
+        per = (len(pdf) + 1) // 2
+        for i in range(2):
+            chunk = pdf.iloc[i * per : (i + 1) * per]
+            with open(src / f"part-{i}.json", "w") as fh:
+                for _, row in chunk.iterrows():
+                    fh.write(
+                        json.dumps(
+                            {
+                                "user_id": int(row.user_id),
+                                "value": float(row.value),
+                                "event_id": int(row.event_id),
+                            }
+                        )
+                        + "\n"
+                    )
+        stream = (
+            spark.readStream.format("json")
+            .schema("user_id long, value double, event_id long")
+            .option("maxFilesPerTrigger", "1")
+            .load(str(src))
+        )
+        q = (
+            running_user_totals(stream)
+            .writeStream.format("memory")
+            .queryName("rocks_out")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_rocks"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        final = (
+            spark.sql("SELECT * FROM rocks_out")
+            .groupBy("user_id")
+            .agg(F.max("n_events").alias("n"), F.max("total_value").alias("t"))
+            .collect()
+        )
+        got = {r["user_id"]: (r["n"], round(r["t"], 4)) for r in final}
+        expected_rows = (
+            ev.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+            .collect()
+        )
+        expected = {r["user_id"]: (r["n"], round(r["t"], 4)) for r in expected_rows}
+        assert got == expected
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
