@@ -1689,6 +1689,33 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NOT_IN_SQL = """
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE o_custkey NOT IN (
+      SELECT CASE WHEN c_custkey % 400 = 0 THEN NULL ELSE c_custkey END
+      FROM customer
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey % 400 <> 0
+    )
+      AND o_orderkey % 11 = 0
+"""
+
+
+@query("q_not_in_nulls", oracle=_NOT_IN_SQL)
+def q_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with three-valued logic — the classic correctness trap: one
+    NULL in the subquery makes every NOT IN row UNKNOWN (empty result), so
+    engines must plan a NULL-AWARE anti join, not a plain LeftAnti. ONE
+    shared SQL string is both the Spark query (via the sql_api text door)
+    and the DuckDB oracle, so the two parsers' null-semantics are compared
+    with no translation in between. The inner CASE/filter pair keeps the
+    subquery null-free here (non-vacuous output) while still forcing the
+    null-aware plan shape — Spark's NAAJ handles the general case."""
+    from ..sql_api import run_sql
+
+    return run_sql(spark, sf_dir, _NOT_IN_SQL)
+
+
 @query(
     "q_setops_all",
     oracle="""
