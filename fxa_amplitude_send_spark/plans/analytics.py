@@ -1,0 +1,226 @@
+"""Product-analytics extensions: path analysis, A/B testing, conversion
+latency — the queries an analytics user of the reference's event stream
+runs the day after the funnel/retention basics (plans/relational.py's
+q_funnel / q_retention / q_event_transitions).
+
+Scale discipline: everything here is windows + mergeable aggregates on the
+user_id clustering the event table already wants; output sizes are
+O(paths), O(groups), O(1) — never O(events).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "q_top_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type AS e1, e2, e3, COUNT(*) AS n
+    FROM seq
+    WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY event_type, e2, e3
+    ORDER BY n DESC, e1, e2, e3
+    LIMIT 15
+    """,
+)
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event paths: the 15 most common 3-step behavior sequences
+    (lead-window trigrams per user, tie-broken on the unique event_id).
+    One shuffle on user_id for the windows, then a mergeable trigram count
+    whose output is bounded by |event_types|³ regardless of volume; the
+    final ordering is a TakeOrdered top-k, not a global sort."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .limit(15)
+    )
+
+
+@query(
+    "q_ab_test",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id, user_id % 2 AS grp,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ), g AS (
+      SELECT grp, COUNT(*) AS n, SUM(converted) AS conv
+      FROM assign GROUP BY grp
+    ), wide AS (
+      SELECT CAST(MAX(CASE WHEN grp = 0 THEN n END) AS BIGINT) AS n_control,
+             CAST(MAX(CASE WHEN grp = 0 THEN conv END) AS BIGINT) AS conv_control,
+             CAST(MAX(CASE WHEN grp = 1 THEN n END) AS BIGINT) AS n_treatment,
+             CAST(MAX(CASE WHEN grp = 1 THEN conv END) AS BIGINT) AS conv_treatment
+      FROM g
+    )
+    SELECT n_control, conv_control, n_treatment, conv_treatment,
+           ROUND(conv_control * 1.0 / n_control, 6) AS rate_control,
+           ROUND(conv_treatment * 1.0 / n_treatment, 6) AS rate_treatment,
+           ROUND(
+             (conv_treatment * 1.0 / n_treatment
+              - conv_control * 1.0 / n_control)
+             / SQRT(((conv_control + conv_treatment) * 1.0
+                     / (n_control + n_treatment))
+                    * (1 - (conv_control + conv_treatment) * 1.0
+                           / (n_control + n_treatment))
+                    * (1.0 / n_control + 1.0 / n_treatment)),
+             6) AS z_stat
+    FROM wide
+    """,
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B test: users hash-split into control/treatment
+    (user_id parity — deterministic, the hash-assignment discipline of
+    training.py), per-user conversion flags, pooled two-proportion
+    z-statistic. The whole experiment readout is two mergeable aggregates
+    and O(1) arithmetic — at 100 TB the cost is one scan; the statistics
+    never leave constant space."""
+    ev = _t(spark, sf_dir, "events")
+    # conversion = a HIGH-VALUE purchase, so pooled rate sits strictly
+    # inside (0,1) — every user makes some purchase in this data, and a
+    # degenerate 0%/100% rate zeroes the z denominator
+    assign = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).select((F.col("user_id") % 2).alias("grp"), "converted")
+    g = assign.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n_control"),
+        F.max(F.when(F.col("grp") == 0, F.col("conv"))).alias("conv_control"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n_treatment"),
+        F.max(F.when(F.col("grp") == 1, F.col("conv"))).alias("conv_treatment"),
+    )
+    p0 = F.col("conv_control") / F.col("n_control")
+    p1 = F.col("conv_treatment") / F.col("n_treatment")
+    pooled = (F.col("conv_control") + F.col("conv_treatment")) / (
+        F.col("n_control") + F.col("n_treatment")
+    )
+    z = (p1 - p0) / F.sqrt(
+        pooled * (1 - pooled) * (1 / F.col("n_control") + 1 / F.col("n_treatment"))
+    )
+    return wide.select(
+        "n_control",
+        "conv_control",
+        "n_treatment",
+        "conv_treatment",
+        F.round(p0, 6).alias("rate_control"),
+        F.round(p1, 6).alias("rate_treatment"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+@query(
+    "q_funnel_latency",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), lat AS (
+      SELECT e.user_id,
+             MIN(epoch(e.ts) - epoch(v.first_view)) AS latency_s
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= v.first_view
+      GROUP BY e.user_id
+    )
+    SELECT COUNT(*) AS n_converted,
+           ROUND(quantile_cont(latency_s, 0.5), 3) AS p50_s,
+           ROUND(quantile_cont(latency_s, 0.9), 3) AS p90_s,
+           ROUND(AVG(latency_s), 3) AS mean_s
+    FROM lat
+    """,
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: per user, seconds from first view to first
+    subsequent purchase; report conversion count and latency percentiles —
+    the funnel's "how fast", complementing q_funnel's "how many". The
+    per-user MIN aggregates are mergeable; the percentile buffer holds one
+    number per converted user (swap percentile_approx at extreme scale)."""
+    ev = _t(spark, sf_dir, "events")
+    tsec = F.col("ts").cast("timestamp").cast("double")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(tsec).alias("first_view"))
+    )
+    lat = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", tsec.alias("pt"))
+        .join(v, "user_id")
+        .where(F.col("pt") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min(F.col("pt") - F.col("first_view")).alias("latency_s"))
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(latency_s, 0.5)"), 3).alias("p50_s"),
+        F.round(F.expr("percentile(latency_s, 0.9)"), 3).alias("p90_s"),
+        F.round(F.avg("latency_s"), 3).alias("mean_s"),
+    )
+
+
+@query(
+    "llm_dataset_card",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(DISTINCT source) AS n_sources,
+           CAST(SUM(len(list_filter(string_split(text, ' '),
+                                    x -> length(x) > 0))) AS BIGINT)
+             AS n_tokens,
+           ROUND(AVG(n_chars), 2) AS avg_chars,
+           ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 1) AS p50_chars,
+           ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.95), 1) AS p95_chars
+    FROM documents
+    """,
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-query dataset card: corpus size, language/source diversity,
+    token volume, and length distribution — the summary block every
+    dataset release ships. Single scan, one aggregate; the only
+    non-constant state is the exact length-percentile buffer (swap
+    percentile_approx at 100 TB)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.size(toks)).cast("long").alias("n_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(
+            F.expr("percentile(CAST(n_chars AS DOUBLE), 0.5)"), 1
+        ).alias("p50_chars"),
+        F.round(
+            F.expr("percentile(CAST(n_chars AS DOUBLE), 0.95)"), 1
+        ).alias("p95_chars"),
+    )
