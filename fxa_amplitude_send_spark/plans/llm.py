@@ -793,6 +793,66 @@ def llm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '),
+                                 x -> length(x) > 0) AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             array_to_string(list_slice(t, i, i + 7), ' ') AS g
+      FROM (SELECT doc_id, t,
+                   unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS i
+            FROM toks)
+    ), eval_grams AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+    ), corpus_grams AS (
+      SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 97 <> 0
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_shared_grams
+    FROM corpus_grams c JOIN eval_grams e ON c.g = e.g
+    GROUP BY c.doc_id
+    """,
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any exact
+    8-gram with the held-out eval set (docs with doc_id % 97 == 0 stand in
+    for the benchmark) — the standard pre-training hygiene step (GPT-3
+    appendix methodology, public knowledge) that llm_contamination's
+    blocklist screen does not cover.
+
+    Shape: 8-gram explosion (codegen slice windows, ~tokens rows), distinct
+    per side, then an equi-join on the gram — the inverted-index pattern of
+    llm_dedup_ngram, never an all-pairs comparison. At 100 TB you hash the
+    grams to 8-byte fingerprints before the join (llm_rolling_hash's
+    portable hash is the building block) and broadcast the eval side —
+    benchmark suites are tiny by definition."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    base = docs.select("doc_id", t.alias("t"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("t") - 7, F.lit(0)), F.lit(1)
+    )
+    grams = base.select(
+        "doc_id", F.explode(starts).alias("i"), "t"
+    ).select(
+        "doc_id",
+        F.array_join(F.slice(F.col("t"), F.col("i"), 8), " ").alias("g"),
+    )
+    eval_grams = (
+        grams.where(F.col("doc_id") % 97 == 0).select("g").distinct()
+    )
+    corpus_grams = grams.where(F.col("doc_id") % 97 != 0).distinct()
+    return (
+        corpus_grams.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+@query(
     "llm_embed_cohesion",
     oracle="""
     WITH dims AS (
