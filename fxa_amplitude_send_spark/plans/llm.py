@@ -793,6 +793,48 @@ def llm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_format_filter",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+             length(text) AS n_chars_raw,
+             length(text) - length(replace(replace(replace(replace(
+               text, '{', ''), '}', ''), ';', ''), '=', '')) AS n_code_chars,
+             len(list_filter(string_split(text, ' '),
+                             x -> length(x) > 0)) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(n_code_chars * 1.0 / n_chars_raw, 6) AS code_char_ratio,
+           CASE WHEN n_code_chars * 1.0 / n_chars_raw > 0.01
+                THEN 'code' ELSE 'prose' END AS format_class,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM feats
+    """,
+)
+def llm_format_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format classification (code vs prose) from structural character
+    ratios ({, }, ;, = density) — the routing step that sends code to a
+    code-specific pipeline and keeps boilerplate out of prose training
+    mixes. Pure per-row string expressions (replace-and-measure — no
+    regex backtracking), zero shuffle; thresholds are illustrative, the
+    feature extraction is the operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    stripped = F.col("text")
+    for ch in ("{", "}", ";", "="):
+        stripped = F.replace(stripped, F.lit(ch), F.lit(""))
+    n_code = F.length("text") - F.length(stripped)
+    ratio = n_code / F.length("text")
+    toks = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    return docs.select(
+        "doc_id",
+        F.round(ratio, 6).alias("code_char_ratio"),
+        F.when(ratio > 0.01, "code").otherwise("prose").alias("format_class"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+
+
+@query(
     "llm_decontaminate",
     oracle="""
     WITH toks AS (

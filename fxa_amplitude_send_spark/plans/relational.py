@@ -1689,6 +1689,67 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_keep_latest",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+             AS latest_date,
+           o_totalprice
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key dedup — the CDC compaction primitive (multiple
+    change rows per key → the newest wins, ties broken by the unique
+    key). One row_number window, one shuffle on the entity key; at 100 TB
+    this is exactly the nightly snapshot-compaction job, and the unique
+    o_orderkey tie-break is what makes its output replayable."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("latest_date"),
+            "o_totalprice",
+        )
+    )
+
+
+@query(
+    "q_json_normalize",
+    oracle="""
+    SELECT event_id, prop_key,
+           json_extract_string(props, '$.' || prop_key) AS prop_value
+    FROM (
+      SELECT event_id, props, unnest(json_keys(props)) AS prop_key
+      FROM events WHERE event_id % 25 = 0
+    )
+    """,
+)
+def q_json_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-object normalization: each props object melts into (key, value)
+    rows — the semi-structured→relational step feeding property analytics.
+    from_json to map<string,string> + explode is row-local fan-out (no
+    shuffle); output rows = total keys. The VARIANT path (q_variant_funcs)
+    is the parse-once storage answer; this is the reshape answer."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return (
+        ev.where(F.col("event_id") % 25 == 0)
+        .select("event_id", F.explode(m).alias("prop_key", "prop_value"))
+    )
+
+
 _NOT_IN_SQL = """
     SELECT o_orderkey, o_custkey
     FROM orders
