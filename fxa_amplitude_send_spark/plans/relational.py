@@ -1690,6 +1690,73 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_order_nulls",
+    oracle="""
+    SELECT o_orderkey, NULLIF(o_orderpriority, '1-URGENT') AS prio
+    FROM orders
+    WHERE o_orderkey % 13 = 0
+    ORDER BY prio NULLS FIRST, o_orderkey
+    LIMIT 40
+    """,
+)
+def q_order_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit null-ordering semantics: engines default differently (Spark
+    ASC = NULLS FIRST, DuckDB ASC = NULLS LAST), so portable ORDER BY over
+    nullable keys must spell the placement out — asc_nulls_first here, with
+    the unique key as tie-break. The limit keeps the physical plan a
+    bounded TakeOrdered."""
+    o = _t(spark, sf_dir, "orders")
+    prio = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    return (
+        o.where(F.col("o_orderkey") % 13 == 0)
+        .select("o_orderkey", prio.alias("prio"))
+        .orderBy(F.col("prio").asc_nulls_first(), F.col("o_orderkey").asc())
+        .limit(40)
+    )
+
+
+@query(
+    "q_array_set_ops",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(string_split(text, ' ')[1:12]) AS a,
+             list_distinct(string_split(text, ' ')[7:18]) AS b
+      FROM documents WHERE doc_id % 40 = 0
+    )
+    SELECT doc_id,
+           list_sort(list_distinct(list_concat(a, b))) AS union_ab,
+           list_sort(list_intersect(a, b)) AS intersect_ab,
+           list_sort(list_filter(a, x -> NOT list_contains(b, x)))
+             AS except_ab,
+           len(list_intersect(a, b)) AS n_common
+    FROM t
+    """,
+)
+def q_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (union / intersect / except over token windows):
+    the row-local counterpart of the relational set operators, used
+    whenever per-row collections need comparing without an explode-join
+    round trip. All JVM array expressions; results sorted so both engines
+    agree on element order."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    a = F.array_distinct(F.slice(toks, 1, 12))
+    b = F.array_distinct(F.slice(toks, 7, 12))
+    return (
+        d.where(F.col("doc_id") % 40 == 0)
+        .select("doc_id", a.alias("a"), b.alias("b"))
+        .select(
+            "doc_id",
+            F.array_sort(F.array_union("a", "b")).alias("union_ab"),
+            F.array_sort(F.array_intersect("a", "b")).alias("intersect_ab"),
+            F.array_sort(F.array_except("a", "b")).alias("except_ab"),
+            F.size(F.array_intersect("a", "b")).cast("long").alias("n_common"),
+        )
+    )
+
+
+@query(
     "q_dedup_keep_latest",
     oracle="""
     SELECT o_custkey, o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR)

@@ -351,3 +351,22 @@ def test_no_cartesian_product_in_any_registered_query(spark, sf_smoke):
         if "BroadcastNestedLoopJoin" in plan and name not in bnlj_allowed:
             offenders.append((name, "BroadcastNestedLoopJoin"))
     assert not offenders, offenders
+
+
+def test_keep_latest_single_window_shuffle(spark, sf_smoke):
+    """CDC keep-latest is ONE row_number window: a single exchange on the
+    entity key, no join."""
+    import re
+
+    plan = physical_plan(QUERIES["q_dedup_keep_latest"](spark, sf_smoke))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges <= 1
+    assert "Join" not in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_smoke):
+    """The eval-set gram side is tiny by definition and must broadcast onto
+    the corpus gram stream — never the reverse, never a cartesian."""
+    plan = physical_plan(QUERIES["llm_decontaminate"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
