@@ -140,6 +140,47 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_mom_growth",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(month AS VARCHAR) AS month, revenue,
+           ROUND(lag(revenue) OVER (ORDER BY month), 2) AS prev_revenue,
+           ROUND((revenue - lag(revenue) OVER (ORDER BY month))
+                 / lag(revenue) OVER (ORDER BY month) * 100, 4)
+             AS pct_change
+    FROM m
+    """,
+)
+def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: monthly rollup, then a lag window
+    for the period-over-period delta — the standard KPI dashboard query.
+    The heavy aggregate reduces the fact table to O(months) rows first, so
+    the single-partition ordering window runs over dozens of rows, not the
+    corpus (same discipline as llm_vocab_build's global ranking)."""
+    o = _t(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("date")
+            .alias("month")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        F.col("month").cast("string").alias("month"),
+        "revenue",
+        F.round(prev, 2).alias("prev_revenue"),
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias("pct_change"),
+    )
+
+
+@query(
     "q_funnel_latency",
     oracle="""
     WITH v AS (

@@ -793,6 +793,66 @@ def llm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_oov_rate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                        x -> length(x) > 0)) AS token
+      FROM documents
+    ), vocab AS (
+      SELECT token FROM (
+        SELECT token, COUNT(*) AS n,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rnk
+        FROM toks GROUP BY token
+      ) WHERE rnk <= 500
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE v.token IS NULL) AS BIGINT) AS n_oov,
+           ROUND(COUNT(*) FILTER (WHERE v.token IS NULL) * 1.0 / COUNT(*), 6)
+             AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY t.doc_id
+    """,
+)
+def llm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own top-500
+    vocabulary — the tokenizer-fit metric (a doc full of OOV tokens either
+    needs vocab growth or is noise to filter; the same join scores docs
+    against a FROZEN production vocab). The vocabulary is O(K) and
+    broadcasts onto the token stream; per-doc aggregation is mergeable.
+    Companion to llm_vocab_build (which ranks the vocabulary itself)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as _W
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+        ).alias("token"),
+    )
+    w = _W.orderBy(F.desc("n"), "token")
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 500)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_if(F.col("in_vocab").isNull()).alias("n_oov"),
+            F.round(
+                F.count_if(F.col("in_vocab").isNull()) / F.count(F.lit(1)), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
+@query(
     "llm_format_filter",
     oracle="""
     WITH feats AS (
