@@ -230,6 +230,65 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cohort_ltv",
+    oracle="""
+    WITH first_m AS (
+      SELECT user_id, CAST(date_trunc('month', MIN(ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id
+    ), rev AS (
+      SELECT e.user_id, f.cohort,
+             (EXTRACT(year FROM e.ts) * 12 + EXTRACT(month FROM e.ts))
+             - (EXTRACT(year FROM f.cohort) * 12
+                + EXTRACT(month FROM f.cohort)) AS age_m,
+             e.value
+      FROM events e JOIN first_m f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+    )
+    SELECT CAST(cohort AS VARCHAR) AS cohort,
+           CAST(age_m AS BIGINT) AS age_m,
+           COUNT(DISTINCT user_id) AS n_buyers,
+           ROUND(SUM(value), 2) AS revenue
+    FROM rev GROUP BY cohort, age_m
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users grouped by first-seen month,
+    purchase revenue accumulated per cohort-age month — the LTV triangle
+    behind payback-period decisions, completing q_retention's activity
+    triangle with money. Month age is integer (year×12+month) arithmetic
+    on both engines — no fractional months_between, no calendar edge
+    cases. Two aggregates + one join on the user clustering; output is
+    O(cohorts × ages)."""
+    ev = _t(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    month_idx = F.year(ts) * 12 + F.month(ts)
+    first_m = ev.groupBy("user_id").agg(
+        F.date_trunc("month", F.min(ts)).cast("date").alias("cohort")
+    )
+    cohort_idx = F.year("cohort") * 12 + F.month("cohort")
+    rev = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", month_idx.alias("em"), "value")
+        .join(first_m, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (F.col("em") - cohort_idx).cast("long").alias("age_m"),
+            "value",
+        )
+    )
+    return rev.groupBy("cohort", "age_m").agg(
+        F.countDistinct("user_id").alias("n_buyers"),
+        F.round(F.sum("value"), 2).alias("revenue"),
+    ).select(
+        F.col("cohort").cast("string").alias("cohort"),
+        "age_m",
+        "n_buyers",
+        "revenue",
+    )
+
+
+@query(
     "llm_dataset_card",
     oracle="""
     SELECT COUNT(*) AS n_docs,
