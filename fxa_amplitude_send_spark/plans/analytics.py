@@ -230,6 +230,43 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cumulative_reach",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS d0
+      FROM events GROUP BY user_id
+    ), per_day AS (
+      SELECT d0, COUNT(*) AS new_users FROM first_day GROUP BY d0
+    )
+    SELECT CAST(d0 AS VARCHAR) AS day,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (ORDER BY d0
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+    FROM per_day
+    """,
+)
+def q_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative user reach: each user counted once on their first-seen
+    day, then a running total — the growth curve every launch dashboard
+    leads with. Computing reach as cumsum-of-first-appearances costs two
+    mergeable aggregates plus a window over O(days) rows; the naive
+    per-day COUNT(DISTINCT user so far) would rescan history per day."""
+    ev = _t(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("timestamp")).cast("date").alias("d0")
+    )
+    per_day = first_day.groupBy("d0").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("d0").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        F.col("d0").cast("string").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+@query(
     "q_cohort_ltv",
     oracle="""
     WITH first_m AS (
