@@ -405,12 +405,16 @@ def connected_components(
     they converge in O(log diameter) rounds (the standard Pregel-CC
     shortcut; large-star/small-star of Kiveris et al. is the same idea with
     edge rewriting). Per round: two shuffle joins + one hash aggregate.
-    The driver loop is inherent to any fixpoint algorithm: one scalar
-    action per iteration detects convergence — labels only ever decrease,
-    so an unchanged label SUM is exactly a fixpoint, which is one agg
-    instead of a change-count join. ``localCheckpoint`` truncates the
-    growing lineage each step (on a real cluster use ``checkpoint`` to
-    survive executor loss).
+    The driver loop is inherent to any fixpoint algorithm, but it costs
+    exactly ONE job per round: the round's labels are marked
+    ``localCheckpoint(eager=False)`` — which truncates the logical plan to
+    a LogicalRDD immediately but defers materialization — and the single
+    ``agg(sum).collect()`` that reads the convergence scalar is the job
+    that computes and pins those blocks. Labels only ever decrease, so an
+    unchanged label SUM is exactly a fixpoint: one agg instead of a
+    change-count join, and no separate pre-loop action either (the first
+    round's sum seeds the comparison). On a real cluster use lazy
+    ``checkpoint`` the same way to survive executor loss.
 
     Output: (id_col, cluster) for every node, cluster = min node id in the
     component; singleton nodes keep their own id.
@@ -425,8 +429,8 @@ def connected_components(
         nodes = sym.select(F.col("s").alias(id_col)).distinct()
     labels = nodes.select(
         F.col(id_col), F.col(id_col).cast("long").alias("cluster")
-    ).localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("cluster")).collect()[0][0]
+    ).localCheckpoint(eager=False)
+    prev_sum = None
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym["s"] == labels[id_col])
@@ -443,14 +447,16 @@ def connected_components(
         parent = stepped.select(
             F.col(id_col).alias("_pid"), F.col("cluster").alias("_pcluster")
         )
-        labels_new = (
-            stepped.join(parent, stepped["cluster"] == parent["_pid"], "left")
-            .select(
-                F.col(id_col),
-                F.coalesce(F.col("_pcluster"), F.col("cluster")).alias("cluster"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        labels_new = stepped.join(
+            parent,
+            stepped["cluster"] == parent["_pid"],
+            "left",
+        ).select(
+            F.col(id_col),
+            F.coalesce(F.col("_pcluster"), F.col("cluster")).alias("cluster"),
+        ).localCheckpoint(eager=False)
+        # the ONE action of the round: computes + pins the checkpoint blocks
+        # AND returns the convergence scalar
         new_sum = labels_new.agg(F.sum("cluster")).collect()[0][0]
         labels = labels_new
         if new_sum == prev_sum:

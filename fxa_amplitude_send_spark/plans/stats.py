@@ -412,26 +412,33 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized mean: clamp each group's values into its own [p05, p95]
     before averaging — the robust-mean step that keeps a handful of huge
-    outliers from dominating a metric. Plan: tiny per-group quantile table
-    (exact percentile buffers; swap percentile_approx at 100 TB, see
-    q_agg_approx_quantile), broadcast back onto the fact scan, clamp with
-    least/greatest, re-aggregate. The broadcast is O(groups) — 3 rows here —
-    so the fact table is scanned once and shuffled once."""
-    li = _t(spark, sf_dir, "lineitem")
-    qt = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.05)").alias("q05"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("q95"),
+    outliers from dominating a metric.
+
+    Plan: SINGLE lineitem scan. The per-group quantiles are computed as
+    window aggregates (``percentile(...) OVER (PARTITION BY l_returnflag)``)
+    so the clamp sees p05/p95 on the same pass, and the final groupBy reuses
+    the window's hash partitioning — one scan, one shuffle total
+    (plan-asserted in tests/test_plans.py). Note exact-percentile partial
+    buffers hold every value, so the old aggregate-then-broadcast-rejoin
+    form shuffled the same bytes AND paid a second full fact scan; at
+    100 TB swap the window percentile for approx_percentile partials
+    (see q_agg_approx_quantile) to shrink the shuffle too."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    w = Window.partitionBy("l_returnflag")
+    q05 = F.expr("percentile(l_extendedprice, 0.05)").over(w)
+    q95 = F.expr("percentile(l_extendedprice, 0.95)").over(w)
+    clamped = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        q05.alias("q05"),
+        q95.alias("q95"),
+    ).withColumn(
+        "winsor",
+        F.least(F.greatest(F.col("l_extendedprice"), F.col("q05")), F.col("q95")),
     )
-    clamped = F.least(
-        F.greatest(F.col("l_extendedprice"), F.col("q05")), F.col("q95")
-    )
-    return (
-        li.join(F.broadcast(qt), "l_returnflag")
-        .groupBy("l_returnflag")
-        .agg(
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_raw"),
-            F.round(F.avg(clamped), 4).alias("avg_winsor"),
-            F.round(F.min("q05"), 4).alias("p05"),
-            F.round(F.min("q95"), 4).alias("p95"),
-        )
+    return clamped.groupBy("l_returnflag").agg(
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_raw"),
+        F.round(F.avg("winsor"), 4).alias("avg_winsor"),
+        F.round(F.min("q05"), 4).alias("p05"),
+        F.round(F.min("q95"), 4).alias("p95"),
     )

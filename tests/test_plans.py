@@ -110,6 +110,19 @@ def test_hmac_runs_after_filter(spark, sf_smoke):
         assert "DataFilters: [" in plan and "isnotnull" in plan
 
 
+def test_winsorize_single_scan_single_shuffle(spark, sf_smoke):
+    """q_winsorize must read lineitem exactly once (window percentiles on
+    the same pass, not aggregate-then-rejoin) and shuffle exactly once —
+    the final groupBy reuses the window's hash partitioning."""
+    import re
+
+    plan = physical_plan(QUERIES["q_winsorize"](spark, sf_smoke))
+    assert plan.count("lineitem.parquet") == 1
+    # count Exchange NODES via the details-section headers "(n) Exchange"
+    # (every operator is printed twice in formatted explain: tree + details)
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
 def test_agg_uses_partial_aggregation(spark, sf_smoke):
     plan = physical_plan(QUERIES["q_agg_group"](spark, sf_smoke))
     # two HashAggregate nodes (partial + final) around one Exchange
