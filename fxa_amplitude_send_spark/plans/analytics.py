@@ -229,6 +229,44 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_funnel_latency_approx")
+def q_funnel_latency_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of q_funnel_latency: identical funnel, but latency
+    quantiles come from ``approx_percentile`` (Greenwald-Khanna, accuracy
+    10000 → ≤0.01% rank error) whose partial state is a CONSTANT-size
+    summary that merges map-side, instead of an exact percentile buffer
+    holding one value per converted user. At fact scale the exact buffer
+    is O(users) on a single reducer; the sketch keeps the final aggregate
+    O(1). No SQL oracle (approximate by construction) —
+    tests/test_sketch_twins.py asserts ≤5% relative error vs the exact
+    twin at sf0.01."""
+    ev = _t(spark, sf_dir, "events")
+    tsec = F.col("ts").cast("timestamp").cast("double")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(tsec).alias("first_view"))
+    )
+    lat = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", tsec.alias("pt"))
+        .join(v, "user_id")
+        .where(F.col("pt") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min(F.col("pt") - F.col("first_view")).alias("latency_s"))
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(
+            F.approx_percentile("latency_s", F.lit(0.5), F.lit(10000)), 3
+        ).alias("p50_s"),
+        F.round(
+            F.approx_percentile("latency_s", F.lit(0.9), F.lit(10000)), 3
+        ).alias("p90_s"),
+        F.round(F.avg("latency_s"), 3).alias("mean_s"),
+    )
+
+
 @query(
     "q_cumulative_reach",
     oracle="""
@@ -359,5 +397,33 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p50_chars"),
         F.round(
             F.expr("percentile(CAST(n_chars AS DOUBLE), 0.95)"), 1
+        ).alias("p95_chars"),
+    )
+
+
+@query("llm_dataset_card_sketch")
+def llm_dataset_card_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of llm_dataset_card: every non-constant-memory
+    aggregate swapped for its mergeable sketch — ``approx_count_distinct``
+    (HLL++, rsd 1%) for language/source diversity, ``approx_percentile``
+    for the length distribution — so the whole card is one scan with O(1)
+    aggregate state per partition. No SQL oracle (approximate by
+    construction) — tests/test_sketch_twins.py asserts the diversity
+    counts are exact at this cardinality (5 langs / 6 sources ≪ HLL error
+    onset) and percentiles within 5% of the exact card."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    nchars = F.col("n_chars").cast("double")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.approx_count_distinct("lang", 0.01).alias("n_langs"),
+        F.approx_count_distinct("source", 0.01).alias("n_sources"),
+        F.sum(F.size(toks)).cast("long").alias("n_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(
+            F.approx_percentile(nchars, F.lit(0.5), F.lit(10000)), 1
+        ).alias("p50_chars"),
+        F.round(
+            F.approx_percentile(nchars, F.lit(0.95), F.lit(10000)), 1
         ).alias("p95_chars"),
     )

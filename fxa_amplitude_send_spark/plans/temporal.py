@@ -139,3 +139,44 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("wau"))
         .select(F.col("anchor").cast("string").alias("day"), "wau")
     )
+
+
+@query("q_rolling_distinct_hll")
+def q_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of q_rolling_distinct: rolling 7-day users per day
+    from MERGED HLL SKETCHES instead of an exact distinct.
+
+    One fact scan builds ONE Datasketches-HLL per day
+    (``hll_sketch_agg`` — partials are mergeable, so the map side reduces
+    to a sketch per (partition, day) before the shuffle); the day spine
+    then range-joins O(days) sketch rows — kilobytes, broadcast — and each
+    anchor day unions its 7 daily sketches (``hll_union_agg``) and reads
+    the estimate. The fact-scale distinct from the exact form is gone:
+    shuffle volume is days × sketch_size regardless of user count. No SQL
+    oracle (approximate by construction) — tests/test_sketch_twins.py
+    asserts ≤2% relative error vs the exact q_rolling_distinct at sf0.01,
+    matching HLL lgConfigK=12's published ~1.6% RSE."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "user_id", F.col("ts").cast("timestamp").cast("date").alias("day")
+        )
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    )
+    days = daily.select(F.col("day").alias("anchor"))
+    return (
+        F.broadcast(days)
+        .join(
+            daily,
+            F.col("day").between(
+                F.date_sub(F.col("anchor"), 6), F.col("anchor")
+            ),
+        )
+        .groupBy("anchor")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(True)))
+            .alias("wau_approx")
+        )
+        .select(F.col("anchor").cast("string").alias("day"), "wau_approx")
+    )

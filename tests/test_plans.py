@@ -349,6 +349,7 @@ def test_no_cartesian_product_in_any_registered_query(spark, sf_smoke):
         "q_tpch_q22",          # 1-row AVG broadcast
         "q_join_bloom",        # 1-row bloom-bitmap broadcast
         "q_rolling_distinct",  # O(days) spine broadcast, BETWEEN range join
+        "q_rolling_distinct_hll",  # same spine join over O(days) HLL sketches
         "llm_sim_topk",        # broadcast single query vector
         "llm_cluster_assign",  # broadcast fixed centroid list
         "llm_dedup_quality",   # broadcast scalar truth/estimate totals
