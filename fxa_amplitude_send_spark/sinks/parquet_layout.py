@@ -38,23 +38,42 @@ def compact_parquet(
     within partitions to restore min/max skipping locality. Streaming
     sinks and over-parallel writers accrete thousands of tiny files whose
     per-file open/footer cost dominates scans at 100 TB — periodic
-    compaction is the standard fix. Rewrites via a temp dir then swaps, so
-    a crash never leaves the table truncated. Returns the file count after
-    compaction."""
+    compaction is the standard fix. Rewrites via a temp dir then swaps
+    (path → ._compact_old, ._compact_tmp → path), so the data is never
+    truncated: every directory involved always holds a complete copy. The
+    swap is two renames, so a crash BETWEEN them can leave the table path
+    momentarily absent with the data intact in ._compact_old — entry-time
+    recovery below renames it back automatically on the next run (and any
+    stale ._compact_tmp from a crashed rewrite is deleted), so no state a
+    crash can produce needs manual repair or fails the next run. Returns
+    the file count after compaction."""
     import glob
     import os
     import shutil
 
     tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    # recover from a previously crashed run before touching anything:
+    #  - crash mid-rewrite → stale tmp (partial data): delete
+    #  - crash between the two swap renames → path missing, old complete:
+    #    restore it
+    #  - crash before old was removed → path complete, old stale: delete
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, path)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+
     df = spark.read.parquet(path)
     out = df.coalesce(target_files)
     if sort_within_by:
         out = out.sortWithinPartitions(sort_within_by)
     out.write.mode("overwrite").parquet(tmp)
-    final = path.rstrip("/") + "._compact_old"
-    os.rename(path, final)
+    os.rename(path, old)
     os.rename(tmp, path)
-    shutil.rmtree(final)
+    shutil.rmtree(old)
     return len(glob.glob(os.path.join(path, "*.parquet")))
 
 

@@ -113,17 +113,24 @@ class _QueueStreamReader(DataSourceStreamReader):
         # Advance the pull cursor by at most `cap` rows per micro-batch:
         # the engine-side MAX_EVENTS_PER_BATCH (synchronous-pull.js:33) /
         # Kafka maxOffsetsPerTrigger analogue. The reader owns the cursor
-        # (the API passes no start offset here); commit() re-syncs it to
-        # the checkpointed ack point on progress, so a restart replays any
-        # uncommitted tail — at-least-once, like the reference's
-        # ack-after-send.
+        # (the API passes no start offset here); partitions()/commit()
+        # re-sync it to Spark's checkpointed offsets, so after a restart
+        # the first latestOffset() never regresses behind the offset log —
+        # only the uncommitted tail replays (at-least-once, like the
+        # reference's ack-after-send). The max() keeps the returned offset
+        # monotonic even if queue files vanish underneath us.
         _, total = self._snapshot()
         cur = getattr(self, "_cursor", 0)
-        self._cursor = min(total, cur + self.cap)
+        self._cursor = max(cur, min(total, cur + self.cap))
         return {"row": self._cursor}
 
     def partitions(self, start, end):
         lo, hi = start["row"], end["row"]
+        # Re-sync the in-memory pull cursor from Spark-provided offsets:
+        # after a restart this instance is fresh (cursor 0) but `end` comes
+        # from the checkpointed offset log — never hand out offsets behind
+        # what the log already covers.
+        self._cursor = max(getattr(self, "_cursor", 0), hi)
         files, _ = self._snapshot()
         parts = []
         for fp, base, n in files:
@@ -212,15 +219,50 @@ def _stage_rows(path: str, iterator, suffix: str) -> "_QueueCommit":
     return _QueueCommit(staged=staged)
 
 
+def _next_seq(path: str) -> int:
+    """Max sequence number among already-promoted queue files, plus one.
+    All writers (batch and streaming) share one zero-padded numeric prefix
+    so the sorted listing — which IS the reader's offset space — is
+    append-only: a new commit's files always sort after every existing
+    file, never in between."""
+    import os
+    import re
+
+    seq = 0
+    try:
+        names = os.listdir(path)
+    except FileNotFoundError:
+        return 1
+    for f in names:
+        m = re.match(r"payloads-(\d{10})-", f)
+        if m:
+            seq = max(seq, int(m.group(1)))
+    return seq + 1
+
+
 def _promote(path: str, messages, batch_tag: str) -> None:
     """Driver-side commit: rename staged files into the queue directory.
     Rename is atomic per file; readers only list *.jsonl in the queue root,
     so uncommitted/aborted staging files are never visible — the sink-side
-    analogue of the reference's ack-after-send (synchronous-pull.js:88-92)."""
+    analogue of the reference's ack-after-send (synchronous-pull.js:88-92).
+
+    Final names are ``payloads-<seq>-<tag>-<i>.jsonl`` where <seq> is a
+    zero-padded commit sequence unique per commit: repeated batch writes
+    (or two streams sharing the dir with equal batchIds) can never rename
+    onto an existing committed file, and the lexicographic listing stays
+    append-only so already-handed-out stream offsets never shift. A
+    destination that somehow exists is skipped forward, never overwritten."""
     import os
 
+    seq = _next_seq(path)
     for i, m in enumerate(m for m in messages if m and m.staged):
-        final = os.path.join(path, f"payloads-{batch_tag}-{i:05d}.jsonl")
+        while True:
+            final = os.path.join(
+                path, f"payloads-{seq:010d}-{batch_tag}-{i:05d}.jsonl"
+            )
+            if not os.path.exists(final):
+                break
+            seq += 1  # concurrent committer won the name: move past it
         os.rename(m.staged, final)
 
 

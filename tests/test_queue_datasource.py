@@ -57,6 +57,28 @@ def test_batch_read_all_rows_with_stable_offsets(spark, tmp_path):
     assert json.loads(one["payload"])["Fields"]["event_type"] == "click"
 
 
+def test_stream_reader_cursor_resyncs_after_restart(tmp_path):
+    """A restarted stream reader is a fresh instance with cursor 0, but
+    Spark replays the checkpointed range via partitions(start, end) before
+    asking for new offsets — the cursor must re-sync from those offsets so
+    latestOffset() never returns an offset BEHIND the offset log (which
+    would re-emit rows already committed, beyond the documented
+    uncommitted-tail replay)."""
+    from fxa_amplitude_send_spark.sources.queue_datasource import (
+        _QueueStreamReader,
+    )
+
+    path, total = _write_queue(tmp_path, n_files=3, rows_per_file=40)
+    r = _QueueStreamReader({"path": str(path), "maxEventsPerBatch": "25"})
+    # simulate restart: Spark hands the checkpointed batch range straight
+    # to partitions() — initialOffset()/commit() are never called first
+    parts = r.partitions({"row": 50}, {"row": 75})
+    assert sum(p.hi - p.lo for p in parts if p.fp) == 25
+    nxt = r.latestOffset()
+    assert nxt["row"] >= 75, nxt
+    assert nxt["row"] <= 75 + 25  # still rate-capped from the sync point
+
+
 def test_stream_respects_rate_cap_and_matches_batch(spark, tmp_path):
     path, total = _write_queue(tmp_path)
     cap = 25
@@ -149,6 +171,29 @@ def test_batch_write_then_read_roundtrip(spark, tmp_path):
     assert not glob.glob(out + "/_staging/*.part")
 
 
+def test_second_batch_write_appends_not_overwrites(spark, tmp_path):
+    """Two batch writes to the same queue dir must ACCUMULATE: each commit
+    gets a fresh sequence prefix, so the second write can never rename onto
+    the first write's committed files (regression: a constant 'batch' tag
+    plus zero-based index silently overwrote earlier payloads)."""
+    spark.dataSource.register(PayloadQueueDataSource)
+    out = str(tmp_path / "outq2")
+    import os
+
+    os.makedirs(out, exist_ok=True)
+    first = [json.dumps({"n": i}) for i in range(30)]
+    second = [json.dumps({"n": i}) for i in range(30, 55)]
+    for batch in (first, second):
+        df = spark.createDataFrame(
+            [(p,) for p in batch], "payload string"
+        ).repartition(3)
+        df.write.format("payload_queue").option("path", out).mode("append").save()
+
+    back = spark.read.format("payload_queue").option("path", out).load()
+    got = sorted(r["payload"] for r in back.collect())
+    assert got == sorted(first + second)
+
+
 def test_stream_write_commits_per_batch(spark, tmp_path):
     """Streaming queue sink: each micro-batch's files are promoted at
     commit(batchId); the queue readback equals the streamed input."""
@@ -191,7 +236,13 @@ def test_stream_write_commits_per_batch(spark, tmp_path):
         r["payload"] for r in orig.collect()
     )
     # multiple batch tags prove per-batch commits (rate cap 25 over 60 rows)
+    # name scheme: payloads-<seq>-<tag>-<i>.jsonl
     import glob
 
-    tags = {f.split("-")[1] for f in map(os.path.basename, glob.glob(out + "/payloads-*.jsonl"))}
+    names = [os.path.basename(f) for f in glob.glob(out + "/payloads-*.jsonl")]
+    tags = {f.split("-")[2] for f in names}
     assert len(tags) >= 2
+    # commit sequence numbers are unique per commit and strictly ordered,
+    # so the sorted listing (= the reader's offset space) is append-only
+    seqs = [f.split("-")[1] for f in sorted(names)]
+    assert seqs == sorted(seqs)

@@ -164,3 +164,38 @@ def test_compaction_reduces_files_preserves_rows(spark, sf_smoke, tmp_path):
     assert after_df.count() == before
     assert abs(after_df.agg({"value": "sum"}).collect()[0][0] - before_sum) < 1e-6
     assert not glob.glob(str(tmp_path / "fragmented._compact*"))
+
+
+def test_compaction_recovers_from_crash_states(spark, sf_smoke, tmp_path):
+    """Every directory state a crashed compaction can leave behind must be
+    repaired automatically by the next run: stale ._compact_tmp (crash
+    mid-rewrite), table renamed away to ._compact_old with path missing
+    (crash between the swap renames), and leftover ._compact_old next to a
+    live path (crash before cleanup)."""
+    import glob
+    import os
+    import shutil
+
+    from fxa_amplitude_send_spark.sinks.parquet_layout import compact_parquet
+    from fxa_amplitude_send_spark.sources import load_table
+
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "user_id")
+    path = str(tmp_path / "tbl")
+    ev.repartition(8).write.parquet(path)
+    n_rows = ev.count()
+
+    # state 1: stale tmp with garbage from a crashed rewrite
+    os.makedirs(path + "._compact_tmp")
+    with open(path + "._compact_tmp/part-junk.parquet", "w") as fh:
+        fh.write("not parquet")
+    # state 3 precursor: stale old dir next to a live path
+    shutil.copytree(path, path + "._compact_old")
+    assert compact_parquet(spark, path, target_files=2) <= 2
+    assert spark.read.parquet(path).count() == n_rows
+    assert not glob.glob(path + "._compact*")
+
+    # state 2: crash between the two swap renames — path missing entirely
+    os.rename(path, path + "._compact_old")
+    assert compact_parquet(spark, path, target_files=2) <= 2
+    assert spark.read.parquet(path).count() == n_rows
+    assert not glob.glob(path + "._compact*")
