@@ -1,11 +1,14 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed with Arrow-batched mapInPandas.
 
-The container has no image/audio codecs, so the DECODE step is a
-deterministic fake clearly marked as a stub (``decode_stub=True`` output
-column); everything Spark-side — binary schema, batch iteration, output
-struct, partition behavior — is real and tested. Swapping the stub for a
-PIL/ffmpeg call changes only the inner function body.
+The decode step is REAL for formats the standard library can parse —
+WAV audio via ``wave``, and PNG/GIF/JPEG dimensions via their container
+headers (plus PIL for anything else, if importable) — and falls back
+per-row to a deterministic fake clearly marked ``decode_stub=True`` for
+payloads no available parser understands (full pixel/sample codecs like
+ffmpeg aren't in this container). One unified schema either way, so mixed
+corpora flow through a single plan; swapping in a heavier codec changes
+only the inner function body.
 
 At 100 TB the pattern matters more than the codec: mapInPandas streams Arrow
 record batches through the Python worker, so peak memory is one batch (bound
@@ -36,25 +39,79 @@ def attach_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def decode_image_meta(with_payload: DataFrame) -> DataFrame:
     """mapInPandas 'decode': binary payload → typed metadata rows.
 
-    STUB: real decoding needs an image codec not present in this container.
-    The fake is deterministic (pure function of the bytes) so results are
-    stable for differential checks: width/height derive from byte length,
-    n_frames from the first byte.
+    REAL for PNG / GIF / JPEG: dimensions come from the container headers,
+    parsed with the standard library only (plus PIL for other formats when
+    importable). Rows whose payload no parser understands fall back to a
+    deterministic fake (pure function of the bytes — width/height from
+    byte length, n_frames from the first byte) marked ``decode_stub=True``
+    so differential checks can replay it.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # closure-local defs only (executor pickling discipline)
+        import struct
+
+        def _real_dims(b: bytes):
+            """(width, height, n_frames) from the header, or None."""
+            try:
+                if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+                    w, h = struct.unpack_from(">II", b, 16)
+                    return w, h, 1
+                if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+                    w, h = struct.unpack_from("<HH", b, 6)
+                    # frame count = number of image descriptors
+                    return w, h, max(1, b.count(b"\x2c", 13))
+                if b[:2] == b"\xff\xd8":  # JPEG: scan for a SOF marker
+                    i = 2
+                    while i + 9 < len(b):
+                        if b[i] != 0xFF:
+                            break
+                        marker = b[i + 1]
+                        if 0xC0 <= marker <= 0xCF and marker not in (
+                            0xC4, 0xC8, 0xCC,
+                        ):
+                            h, w = struct.unpack_from(">HH", b, i + 5)
+                            return w, h, 1
+                        (seg_len,) = struct.unpack_from(">H", b, i + 2)
+                        i += 2 + seg_len
+                try:  # any other format: PIL if the container has it
+                    import io
+
+                    from PIL import Image  # type: ignore
+
+                    img = Image.open(io.BytesIO(b))
+                    return (
+                        img.width,
+                        img.height,
+                        getattr(img, "n_frames", 1),
+                    )
+                except Exception:
+                    return None
+            except Exception:
+                return None
+            return None
+
         for pdf in batches:
             payloads = pdf["payload"]
             n_bytes = payloads.map(len)
             first = payloads.map(lambda b: b[0] if len(b) else 0)
+            real = payloads.map(_real_dims)
+            is_stub = real.map(lambda r: r is None)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": n_bytes,
-                    "width": (64 + n_bytes % 512).astype("int32"),
-                    "height": (64 + (n_bytes * 7) % 512).astype("int32"),
-                    "n_frames": (1 + first % 8).astype("int32"),
-                    "decode_stub": True,
+                    "width": real.combine(
+                        64 + n_bytes % 512, lambda r, f: f if r is None else r[0]
+                    ).astype("int32"),
+                    "height": real.combine(
+                        64 + (n_bytes * 7) % 512,
+                        lambda r, f: f if r is None else r[1],
+                    ).astype("int32"),
+                    "n_frames": real.combine(
+                        1 + first % 8, lambda r, f: f if r is None else r[2]
+                    ).astype("int32"),
+                    "decode_stub": is_stub,
                 }
             )
 
@@ -146,24 +203,42 @@ AUDIO_META_SCHEMA = (
 def decode_audio_meta(with_payload: DataFrame) -> DataFrame:
     """mapInPandas audio 'decode': binary payload → (sample_rate, n_samples).
 
-    STUB: real decoding needs an audio codec not present in this container
-    (soundfile/ffmpeg). Deterministic fake: sample_rate from byte parity,
-    n_samples = 16 samples per byte — a pure function of the payload so the
-    differential oracle can replay it. Same Arrow-batch memory contract as
-    decode_image_meta."""
+    REAL for WAV: parsed with the standard library ``wave`` module (no
+    external codec needed). Rows whose payload isn't a parseable WAV fall
+    back to a deterministic fake (sample_rate from byte parity, n_samples
+    = 16 samples per byte — a pure function of the payload so the
+    differential oracle can replay it) marked ``decode_stub=True``. Same
+    Arrow-batch memory contract as decode_image_meta; compressed formats
+    (mp3/ogg) would slot into the same per-row try-parse."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # closure-local defs only (executor pickling discipline)
+        import io
+        import wave
+
+        def _real_wav(b: bytes):
+            """(sample_rate, n_samples) via stdlib wave, or None."""
+            try:
+                with wave.open(io.BytesIO(b)) as w:
+                    return w.getframerate(), w.getnframes()
+            except Exception:
+                return None
+
         for pdf in batches:
             n_bytes = pdf["payload"].map(len)
+            real = pdf["payload"].map(_real_wav)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": n_bytes,
-                    "sample_rate": (
-                        16000 - 8000 * (n_bytes % 2)
+                    "sample_rate": real.combine(
+                        16000 - 8000 * (n_bytes % 2),
+                        lambda r, f: f if r is None else r[0],
                     ).astype("int32"),
-                    "n_samples": n_bytes * 16,
-                    "decode_stub": True,
+                    "n_samples": real.combine(
+                        n_bytes * 16, lambda r, f: f if r is None else r[1]
+                    ).astype("int64"),
+                    "decode_stub": real.map(lambda r: r is None),
                 }
             )
 

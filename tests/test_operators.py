@@ -171,6 +171,83 @@ class TestMultimodal:
             out["out_width"] / out["out_height"] - out["width"] / out["height"]
         ) < 0.02
 
+    def test_real_wav_decode_via_stdlib(self, spark):
+        """A genuine RIFF/WAVE payload must decode REAL (stdlib wave):
+        actual sample rate and frame count, decode_stub False — while a
+        non-WAV payload in the same batch takes the deterministic stub."""
+        import io
+        import wave
+
+        from fxa_amplitude_send_spark.operators.multimodal import (
+            decode_audio_meta,
+        )
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(22050)
+            w.writeframes(b"\x00\x01" * 4410)  # 4410 frames = 0.2 s
+        wav_bytes = buf.getvalue()
+
+        df = spark.createDataFrame(
+            [(1, bytearray(wav_bytes)), (2, bytearray(b"not audio"))],
+            "doc_id long, payload binary",
+        )
+        meta = {r["doc_id"]: r for r in decode_audio_meta(df).collect()}
+        assert meta[1]["decode_stub"] is False
+        assert meta[1]["sample_rate"] == 22050
+        assert meta[1]["n_samples"] == 4410
+        assert meta[2]["decode_stub"] is True
+        assert meta[2]["sample_rate"] in (8000, 16000)  # fake path intact
+        assert meta[2]["n_samples"] == len(b"not audio") * 16
+
+    def test_real_image_header_decode(self, spark):
+        """PNG / GIF / JPEG headers must decode REAL dimensions via the
+        stdlib parser; garbage falls back to the stub."""
+        import struct
+        import zlib
+
+        from fxa_amplitude_send_spark.operators.multimodal import (
+            decode_image_meta,
+        )
+
+        def png(w, h):
+            ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+            chunk = b"IHDR" + ihdr
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + struct.pack(">I", len(ihdr))
+                + chunk
+                + struct.pack(">I", zlib.crc32(chunk))
+            )
+
+        gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 5
+        # minimal JPEG: SOI, APP0 stub, SOF0 with dims, EOI
+        jpeg = (
+            b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+            + b"\xff\xc0" + struct.pack(">H", 11)
+            + b"\x08" + struct.pack(">HH", 480, 640) + b"\x03\x00\x00\x00"
+            + b"\xff\xd9"
+        )
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(png(123, 77))),
+                (2, bytearray(gif)),
+                (3, bytearray(jpeg)),
+                (4, bytearray(b"plain text payload")),
+            ],
+            "doc_id long, payload binary",
+        )
+        meta = {r["doc_id"]: r for r in decode_image_meta(df).collect()}
+        assert (meta[1]["width"], meta[1]["height"], meta[1]["decode_stub"]) == (123, 77, False)
+        assert (meta[2]["width"], meta[2]["height"], meta[2]["decode_stub"]) == (320, 200, False)
+        assert (meta[3]["width"], meta[3]["height"], meta[3]["decode_stub"]) == (640, 480, False)
+        assert meta[4]["decode_stub"] is True
+        n = len(b"plain text payload")
+        assert meta[4]["width"] == 64 + n % 512  # fake path intact
+
     def test_extract_features_deterministic_unit_free(self, spark):
         from fxa_amplitude_send_spark.operators.multimodal import (
             attach_binary_payload,
