@@ -81,6 +81,36 @@ def main() -> None:
     with open(os.path.join(REPO, "bench_results.json"), "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
 
+    # Trend artifact: per-query seconds across every recorded round
+    # (BENCH_r*.json — the driver's snapshots, which carry the slowest-10
+    # maps) plus this run's full map, one column per source, so a
+    # regression is a one-line diff instead of a JSON-tail excavation.
+    import glob
+
+    cols: list[tuple[str, dict]] = []
+    for p in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
+        try:
+            with open(p) as fh:
+                rec = json.load(fh)
+            # driver snapshots wrap the bench line under "parsed"
+            q = (rec.get("parsed") or rec).get("queries")
+            if isinstance(q, dict):
+                cols.append((os.path.basename(p).removesuffix(".json"), q))
+        except (OSError, ValueError, AttributeError):
+            continue
+    cols.append(("current", timings))
+    os.makedirs(os.path.join(REPO, "evidence"), exist_ok=True)
+    names = sorted({n for _, q in cols for n in q})
+    with open(os.path.join(REPO, "evidence", "bench_trend.csv"), "w") as fh:
+        fh.write("query," + ",".join(c for c, _ in cols) + "\n")
+        for n in names:
+            fh.write(
+                n
+                + ","
+                + ",".join("" if n not in q else str(q[n]) for _, q in cols)
+                + "\n"
+            )
+
     slowest = dict(
         sorted(
             ((n, t) for n, t in timings.items() if t >= 0),

@@ -499,6 +499,21 @@ def llm_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivfpq = ivfpq_topk(
         emb, queries_df, centroids, books, k=5, n_probe=IVF_PARAMS["n_probe"]
     )
+    # 4th path: the PERSISTED serving index (what production queries hit) —
+    # measured directly, not merely asserted equal to the on-the-fly path
+    import os
+
+    from ..operators.similarity import build_ivf_index, ivf_topk_served
+
+    try:
+        st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+        sig = f"{sf_dir}|{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        sig = f"{sf_dir}|missing"
+    index = build_ivf_index(spark, emb, centroids, sig=sig)
+    served = ivf_topk_served(
+        index, queries_df, centroids, k=5, n_probe=IVF_PARAMS["n_probe"]
+    )
     return (
         recall_at_k(ann, exact, 5)
         .select(F.lit("lsh_multiprobe").alias("path"), "recall_at_k", "n_queries")
@@ -510,6 +525,11 @@ def llm_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             recall_at_k(ivfpq, exact, 5).select(
                 F.lit("ivfpq").alias("path"), "recall_at_k", "n_queries"
+            )
+        )
+        .unionByName(
+            recall_at_k(served, exact, 5).select(
+                F.lit("ivf_served").alias("path"), "recall_at_k", "n_queries"
             )
         )
     )
@@ -821,7 +841,15 @@ def llm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs vocab growth or is noise to filter; the same join scores docs
     against a FROZEN production vocab). The vocabulary is O(K) and
     broadcasts onto the token stream; per-doc aggregation is mergeable.
-    Companion to llm_vocab_build (which ranks the vocabulary itself)."""
+    Companion to llm_vocab_build (which ranks the vocabulary itself).
+
+    Multi-scan note (evidence/double_scan_audit.md): documents is scanned
+    twice (vocab build, then scoring) and that is the RIGHT plan — the
+    vocabulary is a global aggregate that must complete before any doc can
+    be scored, and materializing the exploded token stream to avoid the
+    re-scan would cache strictly more bytes than the columnar re-read
+    costs. In production the vocab side is a frozen artifact and this
+    becomes a single scan + broadcast join anyway."""
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window as _W
 

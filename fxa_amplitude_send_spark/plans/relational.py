@@ -3373,7 +3373,14 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one shuffle join on the merge key — exactly what Delta/Iceberg
     MERGE compiles to before file rewriting; with a bucketed target
-    (sinks/parquet_layout.py) the shuffle disappears on the target side."""
+    (sinks/parquet_layout.py) the shuffle disappears on the target side.
+
+    Multi-scan note (evidence/double_scan_audit.md): customer is scanned 3×
+    here only because the DEMO synthesizes its update feed from the target
+    so the oracle can replay it; the two update-branch scans are selective
+    (pushed key%N filters) and in any real CDC apply the updates arrive as
+    an independent, usually tiny, stream — the merge itself is the single
+    target scan + one join."""
     t = _t(spark, sf_dir, "customer")
     u = (
         t.filter(F.col("c_custkey") % 10 == 3)

@@ -83,8 +83,11 @@ def test_registered_recall_query_reports_all_paths(spark, sf_correctness):
 
     df = all_queries()["llm_sim_recall"](spark, sf_correctness)
     rows = {r.path: r.recall_at_k for r in df.collect()}
-    assert set(rows) == {"lsh_multiprobe", "ivf", "ivfpq"}
+    assert set(rows) == {"lsh_multiprobe", "ivf", "ivfpq", "ivf_served"}
     assert all(v >= RECALL_FLOOR for v in rows.values()), rows
+    # the persisted serving index must not lose recall vs on-the-fly IVF
+    assert rows["ivf_served"] >= 0.86, rows
+    assert rows["ivf_served"] == rows["ivf"], rows
 
 
 def test_single_table_recall_collapses_on_uniform_data(ground_truth):

@@ -134,27 +134,31 @@ def test_connected_components_one_action_per_round(spark, monkeypatch):
     A 64-node path converges in ~log2(63) pointer-jumping rounds, so with
     one collect per round (+1 confirming round) the total action count
     must stay well under the old 2-actions-per-round behavior."""
-    from pyspark.sql import DataFrame
-
     from fxa_amplitude_send_spark.operators.dedup import connected_components
 
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], ["doc_a", "doc_b"]
+    )
+    # patch the CONCRETE DataFrame class (pyspark.sql.DataFrame is an
+    # abstract parent whose collect/count the classic backend overrides —
+    # patching the parent would intercept nothing and pass vacuously)
+    cls = type(edges)
+    assert "collect" in cls.__dict__ and "count" in cls.__dict__
     calls = {"collect": 0, "count": 0}
-    orig_collect, orig_count = DataFrame.collect, DataFrame.count
+    orig_collect, orig_count = cls.collect, cls.count
     monkeypatch.setattr(
-        DataFrame, "collect",
+        cls, "collect",
         lambda self: (calls.__setitem__("collect", calls["collect"] + 1),
                       orig_collect(self))[1],
     )
     monkeypatch.setattr(
-        DataFrame, "count",
+        cls, "count",
         lambda self: (calls.__setitem__("count", calls["count"] + 1),
                       orig_count(self))[1],
     )
-    edges = spark.createDataFrame(
-        [(i, i + 1) for i in range(63)], ["doc_a", "doc_b"]
-    )
     out = connected_components(edges, max_iter=20)
     rows = orig_collect(out)
+    assert calls["collect"] > 0, "instrumentation failed to intercept"
     assert {r.cluster for r in rows} == {0} and len(rows) == 64
     # <= ceil(log2(63)) + slack for the confirming round; no count() actions
     assert calls["collect"] <= 9, calls
