@@ -475,6 +475,38 @@ def build_ivf_index(
     )
 
 
+def append_to_ivf_index(
+    spark,
+    new_emb: DataFrame,
+    centroids: list[list[float]],
+    sig: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Incremental IVF index maintenance: assign ONLY the new vectors to
+    cells (O(new) matmul, the existing corpus is never touched) and append
+    them to the persisted bucketed index under the same (quantizer) sig —
+    each cell bucket gains one file group, co-located probes stay
+    exchange-free, and the appended rows serve identically to a full
+    rebuild (pytest-asserted). This is the missing half of write-amortized
+    ANN serving: ingest without reindex. Re-tag (new sig) and rebuild only
+    when the QUANTIZER changes — appended vectors assigned by a stale
+    quantizer are exactly as approximate as FAISS's add-after-train."""
+    from ..sinks.bucketed import append_bucketed
+
+    assigned = assign_ivf_cells(
+        new_emb, centroids, vec_col=vec_col, n_probe=1
+    ).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.col("cell")[0].cast("long").alias("cell"),
+    )
+    return append_bucketed(
+        spark, assigned, "ivf_index", "cell", n_buckets=n_buckets, sig=sig
+    )
+
+
 def ivf_topk_served(
     index_df: DataFrame,
     queries: DataFrame,

@@ -45,3 +45,37 @@ def ensure_bucketed(
             df, name, key, n_buckets=n_buckets, sort_col=key, location=location
         )
     return spark.table(name)
+
+
+def append_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 8,
+    sig: str = "",
+) -> DataFrame:
+    """Append ``df`` to an existing bucketed table written by
+    :func:`ensure_bucketed` (same (table, key, n_buckets, sig) → same
+    catalog name), preserving the bucketing spec: the new rows are
+    hash-bucketed and sorted exactly like the base write, so co-located
+    joins stay exchange-free — each bucket just gains one more file group
+    per append. This is the incremental-maintenance half of the
+    write-amortized contract: appending N rows costs O(N) assignment +
+    write, never a rewrite of the existing table. Returns the catalog
+    DataFrame over base + appended rows."""
+    tag = hashlib.sha256(f"{table}|{key}|{n_buckets}|{sig}".encode()).hexdigest()[:12]
+    name = f"{table}_{tag}"
+    if not spark.catalog.tableExists(name):
+        # first write: identical to ensure_bucketed
+        return ensure_bucketed(
+            spark, df, table, key, n_buckets=n_buckets, sig=sig
+        )
+    (
+        df.write.mode("append")
+        .format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(name)
+    )
+    return spark.table(name)

@@ -365,3 +365,93 @@ class TestBloomSemiJoinReduction:
         bloom = bloom_build(keys, "k", n_bits=256)
         probed = bloom_probe(fact, "k", bloom, n_bits=256)
         assert probed.filter(F.col("k") < 500).count() == 500
+
+
+class TestIVFIncremental:
+    def test_append_serves_identically_to_full_rebuild(self, spark, sf_correctness):
+        """Build the IVF index on the first half of the corpus, append the
+        second half incrementally (only the new vectors are assigned), and
+        assert the served top-k equals a full-rebuild index's top-k under
+        the same quantizer — ingest without reindex."""
+        from pyspark.sql import functions as F
+
+        from fxa_amplitude_send_spark.operators.similarity import (
+            append_to_ivf_index,
+            build_ivf_index,
+            ivf_topk_served,
+            train_ivf_centroids,
+        )
+        from fxa_amplitude_send_spark.sources import load_table
+
+        emb = load_table(spark, sf_correctness, "embeddings")
+        centroids = train_ivf_centroids(emb, n_centroids=16, n_iter=5, sample_n=512)
+        half_a = emb.filter(F.col("vec_id") % 2 == 0)
+        half_b = emb.filter(F.col("vec_id") % 2 == 1)
+        queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+
+        import uuid
+
+        sig_inc = f"inc-{uuid.uuid4().hex[:8]}"
+        base = build_ivf_index(spark, half_a, centroids, sig=sig_inc)
+        n_base = base.count()
+        grown = append_to_ivf_index(spark, half_b, centroids, sig=sig_inc)
+        assert grown.count() == emb.count() and n_base < grown.count()
+
+        sig_full = f"full-{uuid.uuid4().hex[:8]}"
+        full = build_ivf_index(spark, emb, centroids, sig=sig_full)
+
+        def topk(index):
+            return {
+                (r["query_id"], r["rnk"]): r["vec_id"]
+                for r in ivf_topk_served(
+                    index, queries, centroids, k=5, n_probe=10
+                ).collect()
+            }
+
+        assert topk(grown) == topk(full)
+
+    def test_appended_index_joins_without_exchange(self, spark, sf_correctness):
+        """The appended index table keeps its bucketing spec: a self-join
+        on the bucket key plans bucket-aligned scans (no join-side
+        Exchange) just like the base table."""
+        import io
+        import re
+        import uuid
+        from contextlib import redirect_stdout
+
+        from pyspark.sql import functions as F
+
+        from fxa_amplitude_send_spark.operators.similarity import (
+            append_to_ivf_index,
+            build_ivf_index,
+            train_ivf_centroids,
+        )
+        from fxa_amplitude_send_spark.sources import load_table
+
+        emb = load_table(spark, sf_correctness, "embeddings")
+        centroids = train_ivf_centroids(emb, n_centroids=16, n_iter=5, sample_n=512)
+        sig = f"plan-{uuid.uuid4().hex[:8]}"
+        build_ivf_index(
+            spark, emb.filter(F.col("vec_id") % 2 == 0), centroids, sig=sig
+        )
+        grown = append_to_ivf_index(
+            spark, emb.filter(F.col("vec_id") % 2 == 1), centroids, sig=sig
+        )
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = grown.alias("a").join(
+                grown.alias("b"), "cell"
+            ).groupBy("cell").count()
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                joined.explain("formatted")
+            plan = buf.getvalue()
+            assert "SortMergeJoin" in plan
+            n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+            assert n_ex <= 1, plan  # only the final groupBy may exchange
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -319,3 +319,100 @@ def test_stateful_op_on_rocksdb_state_store(spark, sf_smoke, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_transform_with_state_v2_matches_v1(spark, sf_smoke, tmp_path):
+    """The arbitrary-stateful-v2 operator (transformWithStateInPandas +
+    StatefulProcessor on RocksDB) accumulates the same per-user totals as
+    the v1 applyInPandasWithState operator and the batch ground truth,
+    across micro-batch boundaries. Skips where protobuf (the tws
+    state-server wire protocol, part of Spark's published Python
+    requirements) is not installed."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState needs protobuf for its state server",
+    )
+    from fxa_amplitude_send_spark.streaming.stateful import (
+        running_user_totals_v2,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        ev = load_table(spark, sf_smoke, "events").select(
+            "user_id", "value", "event_id"
+        )
+        pdf = ev.toPandas()
+        src = tmp_path / "in_tws"
+        src.mkdir()
+        per = (len(pdf) + 2) // 3
+        for i in range(3):
+            chunk = pdf.iloc[i * per : (i + 1) * per]
+            with open(src / f"part-{i}.json", "w") as fh:
+                for _, row in chunk.iterrows():
+                    fh.write(
+                        json.dumps(
+                            {
+                                "user_id": int(row.user_id),
+                                "value": float(row.value),
+                                "event_id": int(row.event_id),
+                            }
+                        )
+                        + "\n"
+                    )
+        stream = (
+            spark.readStream.format("json")
+            .schema("user_id long, value double, event_id long")
+            .option("maxFilesPerTrigger", "1")
+            .load(str(src))
+        )
+        q = (
+            running_user_totals_v2(stream)
+            .writeStream.format("memory")
+            .queryName("tws_out")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        updates = spark.sql("SELECT * FROM tws_out")
+        final = (
+            updates.groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max("total_value").alias("total_value"),
+            )
+            .collect()
+        )
+        got = {
+            r["user_id"]: (r["n_events"], round(r["total_value"], 4))
+            for r in final
+        }
+        expected_rows = (
+            ev.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+            .collect()
+        )
+        expected = {
+            r["user_id"]: (r["n"], round(r["t"], 4)) for r in expected_rows
+        }
+        assert got == expected
+        # state crossed micro-batch boundaries
+        multi = (
+            updates.groupBy("user_id").count().filter(F.col("count") > 1).count()
+        )
+        assert multi > 0
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
