@@ -4020,3 +4020,72 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .distinct()
     )
+
+
+@query(
+    "q_tpch_q9_full",
+    oracle="""
+    WITH """ + _PARTSUPP_SQL + """
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                AS DOUBLE)
+           - CAST(SUM(CAST(ps.ps_costcents AS DECIMAL(18,0))
+                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / 100
+             AS sum_profit
+    FROM part, supplier, lineitem, partsupp ps, orders, nation
+    WHERE s_suppkey = l_suppkey
+      AND p_partkey = l_partkey
+      AND ps.ps_partkey = l_partkey
+      AND ps.ps_suppkey = l_suppkey
+      AND o_orderkey = l_orderkey
+      AND s_nationkey = n_nationkey
+      AND p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q_tpch_q9_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 with the REAL profit formula — revenue minus
+    ps_supplycost·l_quantity — using the derived partsupp (same
+    deterministic table as Q2/Q11/Q16/Q20), completing the one term
+    q_tpch_q9's proxy omits. All money arithmetic is DECIMAL / integer
+    cents, so the grouped sums are order-independent exact and
+    hash-checkable. The partsupp join adds one more shuffle on the
+    (partkey, suppkey) pair; lineitem pairs outside the derived
+    4-suppliers-per-part layout drop out (documented divergence from
+    dbgen, identical on both engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    ps = _partsupp(spark, sf_dir)
+    price_d = F.col("l_extendedprice").cast("decimal(12,2)")
+    one_minus_disc = F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast(
+        "decimal(4,2)"
+    )
+    cost_cents_d = F.col("ps_costcents").cast("decimal(18,0)") * F.col(
+        "l_quantity"
+    ).cast("decimal(12,2)")
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            ps,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            (
+                F.sum(price_d * one_minus_disc).cast("double")
+                - F.sum(cost_cents_d).cast("double") / 100
+            ).alias("sum_profit")
+        )
+    )

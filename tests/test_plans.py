@@ -343,6 +343,7 @@ def test_no_cartesian_product_in_any_registered_query(spark, sf_smoke):
         "q_tpch_q11",          # same + 1-row national-total broadcast
         "q_tpch_q16",          # 1-row supplier-count broadcast (partsupp derivation)
         "q_tpch_q20",          # 1-row supplier-count broadcast (partsupp derivation)
+        "q_tpch_q9_full",      # 1-row supplier-count broadcast (partsupp derivation)
         "q_join_bloom",        # 1-row bloom-bitmap broadcast
         "q_rolling_distinct",  # O(days) spine broadcast, BETWEEN range join
         "q_rolling_distinct_hll",  # same spine join over O(days) HLL sketches
