@@ -4089,3 +4089,97 @@ def q_tpch_q9_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_profit")
         )
     )
+
+
+@query(
+    "q_median_mode",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+           (SELECT q FROM (
+              SELECT l_quantity AS q, COUNT(*) AS c
+              FROM lineitem i WHERE i.l_returnflag = o.l_returnflag
+              GROUP BY l_quantity ORDER BY c DESC, q ASC LIMIT 1)) AS mode_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem o
+    GROUP BY l_returnflag
+    """,
+)
+def q_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median + deterministic mode per group: ``median`` is the exact
+    interpolated 50th percentile (same buffer contract as percentile —
+    swap approx at 100 TB), and ``mode(deterministic=True)`` breaks
+    frequency ties toward the smallest value, which the oracle reproduces
+    with an ORDER BY count DESC, value ASC argmax — tie behavior pinned on
+    both engines instead of left to hash order."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_extendedprice"), 4).alias("median_price"),
+        F.expr("mode(l_quantity, true)").alias("mode_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "q_fuzzy_match",
+    oracle="""
+    WITH titles AS (
+      SELECT doc_id,
+             lower(string_split(text, ' ')[1] || ' ' ||
+                   string_split(text, ' ')[2]) AS title
+      FROM documents WHERE len(string_split(text, ' ')) >= 2
+    ),
+    probes AS (
+      -- deterministic "typo" probe set: every 20th title with its last
+      -- character dropped (the dirty-input side of entity resolution)
+      SELECT doc_id AS probe_id,
+             substr(title, 1, length(title) - 1) AS probe
+      FROM titles WHERE doc_id % 20 = 0
+    )
+    SELECT p.probe_id, t.doc_id AS match_id,
+           CAST(levenshtein(p.probe, t.title) AS BIGINT) AS dist
+    FROM probes p
+    JOIN titles t ON substr(p.probe, 1, 3) = substr(t.title, 1, 3)
+    WHERE levenshtein(p.probe, t.title) <= 1
+    """,
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution: a dirty probe set (deterministic one-char
+    'typos' of every 20th document title) matched back to the canonical
+    titles with levenshtein ≤ 1. The classic all-pairs trap is avoided by
+    BLOCKING: candidates pair only within a 3-char-prefix equi-join block
+    and the edit distance runs on the blocked candidates — the same
+    block-then-verify shape as the MinHash band join, and the right plan
+    at 100 TB (edit distance is not hashable, so blocking is the only
+    scalable candidate generator). Both sides derive from one documents
+    scan; the probe side is 1/20th scale and broadcasts."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    titles = (
+        d.filter(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            F.lower(
+                F.concat(toks.getItem(0), F.lit(" "), toks.getItem(1))
+            ).alias("title"),
+        )
+    )
+    probes = titles.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("probe_id"),
+        F.expr("substring(title, 1, length(title) - 1)").alias("probe"),
+    )
+    return (
+        F.broadcast(probes)
+        .join(
+            titles,
+            F.substring(F.col("probe"), 1, 3) == F.substring(F.col("title"), 1, 3),
+        )
+        .where(F.levenshtein(F.col("probe"), F.col("title")) <= 1)
+        .select(
+            "probe_id",
+            F.col("doc_id").alias("match_id"),
+            F.levenshtein(F.col("probe"), F.col("title"))
+            .cast("long")
+            .alias("dist"),
+        )
+    )
