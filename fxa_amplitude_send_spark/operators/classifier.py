@@ -1,0 +1,114 @@
+"""Distributed logistic-regression training as mergeable Spark aggregates.
+
+The quality-classifier step of a training-data pipeline (fastText-style
+"good vs bad document" models) expressed Spark-first: each gradient-descent
+round is ONE aggregate over the feature DataFrame — the per-row gradient
+contributions `(sigmoid(w·x) − y)·x` are codegen'd column expressions and
+their SUMs merge map-side exactly like any other partial aggregate (this is
+the same treeAggregate shape Spark MLlib's LogisticRegression uses). The
+weight vector is O(features), lives on the driver between rounds, and is
+folded back into the next round's expressions as literals — no UDF, no
+per-row Python anywhere.
+
+Scale: one fact scan per GD round, so PERSIST the (usually tiny) projected
+feature frame before calling train_logreg — then each round reads cached
+columnar batches; gradient state is O(features) per partition regardless of
+row count. Standardization constants come from one extra aggregate pass.
+
+Reference scope note: engine breadth beyond the 233-line reference pipeline
+(which has no ML surface); cited practice is public MLlib/fastText design.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def train_logreg(
+    features: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    n_iter: int = 25,
+    lr: float = 2.0,
+) -> list[float]:
+    """Batch gradient descent for L2-free logistic regression.
+
+    Returns ``[w0, w1..wk]`` (intercept first) on STANDARDIZED features —
+    callers score with :func:`score_logreg`, which re-applies the same
+    standardization. One driver action per round (the gradient aggregate);
+    all per-row math is JVM column expressions.
+    """
+    stats_row = features.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.avg(c).alias(f"mu_{c}") for c in feature_cols],
+        *[F.coalesce(F.stddev_pop(c), F.lit(1.0)).alias(f"sd_{c}") for c in feature_cols],
+    ).collect()[0]
+    n = stats_row["n"]
+    mu = {c: float(stats_row[f"mu_{c}"]) for c in feature_cols}
+    sd = {c: max(float(stats_row[f"sd_{c}"]), 1e-9) for c in feature_cols}
+
+    def std_cols():
+        return [
+            ((F.col(c) - F.lit(mu[c])) / F.lit(sd[c])) for c in feature_cols
+        ]
+
+    w = [0.0] * (len(feature_cols) + 1)
+    y = F.col(label_col).cast("double")
+    for _ in range(n_iter):
+        xs = std_cols()
+        z = F.lit(w[0])
+        for wi, x in zip(w[1:], xs):
+            z = z + F.lit(wi) * x
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        err = p - y
+        grads = features.agg(
+            F.sum(err).alias("g0"),
+            *[F.sum(err * x).alias(f"g{i + 1}") for i, x in enumerate(xs)],
+        ).collect()[0]
+        w = [wi - lr * float(g) / n for wi, g in zip(w, grads)]
+    return w
+
+
+def score_logreg(
+    features: DataFrame,
+    feature_cols: list[str],
+    weights: list[float],
+    mu: dict[str, float] | None = None,
+    sd: dict[str, float] | None = None,
+) -> DataFrame:
+    """Score rows with a trained weight vector: adds ``prob`` (sigmoid of
+    the standardized linear term) and ``pred`` (prob ≥ 0.5). When mu/sd
+    are omitted they are recomputed from ``features`` — pass the training
+    set's constants to score a DIFFERENT corpus consistently."""
+    if mu is None or sd is None:
+        row = features.agg(
+            *[F.avg(c).alias(f"mu_{c}") for c in feature_cols],
+            *[
+                F.coalesce(F.stddev_pop(c), F.lit(1.0)).alias(f"sd_{c}")
+                for c in feature_cols
+            ],
+        ).collect()[0]
+        mu = {c: float(row[f"mu_{c}"]) for c in feature_cols}
+        sd = {c: max(float(row[f"sd_{c}"]), 1e-9) for c in feature_cols}
+    z = F.lit(weights[0])
+    for wi, c in zip(weights[1:], feature_cols):
+        z = z + F.lit(wi) * ((F.col(c) - F.lit(mu[c])) / F.lit(sd[c]))
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return features.withColumn("prob", prob).withColumn(
+        "pred", (F.col("prob") >= 0.5).cast("int")
+    )
+
+
+def logreg_accuracy(scored: DataFrame, label_col: str) -> float:
+    """Fraction of rows where pred == label (driver scalar)."""
+    row = scored.agg(
+        F.avg((F.col("pred") == F.col(label_col)).cast("double")).alias("acc")
+    ).collect()[0]
+    return float(row["acc"])
+
+
+def sigmoid(x: float) -> float:
+    return 1.0 / (1.0 + math.exp(-x))

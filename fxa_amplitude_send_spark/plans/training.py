@@ -474,3 +474,60 @@ def llm_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+@query("llm_quality_classifier")  # rows-only: iterative GD training is not SQL
+def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality classifier (fastText-style doc filter) end-to-end on
+    the cluster: codegen'd features (length, stopword ratio, mean token
+    length, digit ratio), weak labels from the heuristic quality rule, then
+    LOGISTIC REGRESSION trained by batch gradient descent where each round
+    is one mergeable aggregate over the persisted feature frame
+    (operators/classifier.py — the MLlib treeAggregate shape, no UDFs).
+    Output: per-doc label vs model prediction; accuracy floor ≥ 0.9 is
+    pytest-asserted (tests/test_training.py). At 100 TB: features are one
+    scan, each GD round reads the cached projection, gradient state is
+    O(features) per partition."""
+    from ..operators.classifier import score_logreg, train_logreg
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks).cast("double")
+    stops = ["the", "and", "of", "a", "to", "in", "is", "it"]
+    stop_arr = F.array(*[F.lit(s) for s in stops])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+            "double"
+        )
+        / F.greatest(n_tokens, F.lit(1.0))
+    )
+    mean_tok_len = F.length("text").cast("double") / F.greatest(
+        n_tokens, F.lit(1.0)
+    )
+    digit_ratio = (
+        F.length(F.regexp_replace(F.col("text"), r"[^0-9]", "")).cast("double")
+        / F.greatest(F.length("text").cast("double"), F.lit(1.0))
+    )
+    quality = (
+        0.5 * F.least(n_tokens, F.lit(200.0)) / 200.0 + 0.5 * stop_ratio
+    )
+    feats = docs.select(
+        "doc_id",
+        n_tokens.alias("f_len"),
+        stop_ratio.alias("f_stop"),
+        mean_tok_len.alias("f_tok"),
+        digit_ratio.alias("f_digit"),
+        (quality > 0.17).cast("int").alias("label"),
+    ).persist()
+    cols = ["f_len", "f_stop", "f_tok", "f_digit"]
+    try:
+        w = train_logreg(feats, cols, "label", n_iter=25, lr=2.0)
+        scored = score_logreg(feats, cols, w)
+        return scored.select(
+            "doc_id",
+            "label",
+            "pred",
+            (F.col("pred") == F.col("label")).cast("int").alias("correct"),
+        )
+    finally:
+        feats.unpersist(blocking=False)

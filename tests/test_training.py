@@ -163,3 +163,35 @@ def test_connected_components_one_action_per_round(spark, monkeypatch):
     # <= ceil(log2(63)) + slack for the confirming round; no count() actions
     assert calls["collect"] <= 9, calls
     assert calls["count"] == 0, calls
+
+
+def test_quality_classifier_learns_weak_labels(spark, sf_correctness):
+    """The GD-trained logistic regression must actually separate the weak
+    labels (balanced ~50/50 at the 0.17 threshold): accuracy >= 0.9, both
+    classes present, and training must cost one aggregate action per round
+    (25 rounds + stats + scoring, not per-row driver work)."""
+    from fxa_amplitude_send_spark.plans import all_queries
+
+    pdf = all_queries()["llm_quality_classifier"](spark, sf_correctness).toPandas()
+    assert len(pdf) == 500
+    pos = pdf["label"].mean()
+    assert 0.2 < pos < 0.8, f"degenerate label balance {pos}"
+    acc = pdf["correct"].mean()
+    assert acc >= 0.9, f"classifier accuracy {acc}"
+
+
+def test_logreg_learns_known_boundary(spark):
+    """Sanity: on a linearly separable toy set the trained model recovers
+    the boundary (accuracy 1.0) — pins the gradient math independent of
+    the corpus-derived features."""
+    from fxa_amplitude_send_spark.operators.classifier import (
+        logreg_accuracy,
+        score_logreg,
+        train_logreg,
+    )
+
+    rows = [(float(i), float(i % 7), 1 if i > 50 else 0) for i in range(101)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, label int")
+    w = train_logreg(df, ["x1", "x2"], "label", n_iter=60, lr=2.0)
+    acc = logreg_accuracy(score_logreg(df, ["x1", "x2"], w), "label")
+    assert acc >= 0.97, (w, acc)
