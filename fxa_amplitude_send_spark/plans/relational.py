@@ -4183,3 +4183,89 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dist"),
         )
     )
+
+
+@query(
+    "q_recursive_cte",
+    oracle="""
+    WITH RECURSIVE tree AS (
+      SELECT n_nationkey AS node, n_name AS name, 0 AS depth,
+             CAST(n_nationkey AS VARCHAR) AS path
+      FROM nation WHERE n_nationkey = 0
+      UNION ALL
+      SELECT n.n_nationkey, n.n_name, t.depth + 1,
+             t.path || '->' || CAST(n.n_nationkey AS VARCHAR)
+      FROM nation n JOIN tree t ON (n.n_nationkey - 1) // 2 = t.node
+      WHERE n.n_nationkey > 0
+    )
+    SELECT node, name, depth, path FROM tree
+    """,
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): walk the implicit binary
+    tree over nations (parent(k) = (k−1) div 2), emitting each node's
+    depth and root-to-node path — the hierarchy/transitive-closure shape
+    (org charts, BOM explosions) that previously required a driver loop
+    (operators/dedup.connected_components is the fixpoint cousin). Spark
+    executes the recursion as iterative UNION steps; each step is one
+    join against the O(frontier) previous level, so at scale the cost
+    profile matches the CC loop — rounds × (join + union), no driver
+    actions between levels."""
+    from ..sql_api import run_sql
+
+    return run_sql(spark, sf_dir, 
+        """
+        WITH RECURSIVE tree AS (
+          SELECT n_nationkey AS node, n_name AS name, 0 AS depth,
+                 CAST(n_nationkey AS STRING) AS path
+          FROM nation WHERE n_nationkey = 0
+          UNION ALL
+          SELECT n.n_nationkey, n.n_name, t.depth + 1,
+                 t.path || '->' || CAST(n.n_nationkey AS STRING)
+          FROM nation n JOIN tree t ON (n.n_nationkey - 1) div 2 = t.node
+          WHERE n.n_nationkey > 0
+        )
+        SELECT node, name, depth, path FROM tree
+        """
+    )
+
+
+@query(
+    "q_join_lateral",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, l.o_orderkey,
+           ROUND(l.o_totalprice, 2) AS o_totalprice, l.rk
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice,
+                    ROW_NUMBER() OVER (ORDER BY o_totalprice DESC,
+                                       o_orderkey) AS rk
+             FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+    WHERE c.c_custkey % 10 = 0
+    """,
+)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join — per-customer top-2 orders via a
+    correlated ORDER BY … LIMIT subquery, the SQL-standard spelling of
+    per-group top-k (the DataFrame twin is q_topk's window + filter).
+    Catalyst decorrelates the lateral into a window/rank plan rather than
+    executing the subquery per outer row, so the physical shape is the
+    same single shuffle as the window form — worth having as a REGISTERED
+    query because the decorrelation itself is the operator under test."""
+    from ..sql_api import run_sql
+
+    return run_sql(spark, sf_dir, 
+        """
+        SELECT c.c_custkey, c.c_mktsegment, l.o_orderkey,
+               ROUND(l.o_totalprice, 2) AS o_totalprice, l.rk
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice,
+                        ROW_NUMBER() OVER (ORDER BY o_totalprice DESC,
+                                           o_orderkey) AS rk
+                 FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+        WHERE c.c_custkey % 10 = 0
+        """
+    )

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources import stage_roundtrip
+from ..sources import load_table, stage_roundtrip
 from .registry import query
 
 
@@ -88,4 +88,66 @@ def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "q_source_binaryfile",
+    oracle="""
+    SELECT doc_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           substr(sha256(text), 1, 16) AS sha_prefix
+    FROM documents
+    WHERE doc_id % 20 = 0
+    """,
+)
+def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source — Spark's ingestion door for raw media/file
+    corpora (image dirs, audio dumps, crawled HTML): every 20th document's
+    UTF-8 bytes are staged as one file per doc (once per source mtime),
+    read back via ``format("binaryFile")`` (path, modificationTime,
+    length, content), and fingerprinted; the oracle computes the same
+    byte length + SHA-256 from the documents table, proving byte-lossless
+    ingestion. doc_id rides in the FILENAME — the standard pattern for
+    keying opaque files — recovered with regexp_extract on the path
+    column. At 100 TB binaryFile scans parallelize per-file and feed the
+    multimodal decode operators (operators/multimodal.py) directly."""
+    import hashlib
+    import os
+    import tempfile
+
+    src_file = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src_file)
+        sig = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        sig = "missing"
+    tag = hashlib.sha256(f"{sf_dir}|binaryfile|{sig}".encode()).hexdigest()[:12]
+    staging = os.path.join(tempfile.gettempdir(), f"fxa_spark_binfiles_{tag}")
+    if not os.path.exists(os.path.join(staging, "_DONE")):
+        os.makedirs(staging, exist_ok=True)
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 20 == 0)
+            .select("doc_id", "text")
+        )
+        # bounded driver-side staging: ≤ n_docs/20 small files, written once
+        for row in docs.toLocalIterator():
+            with open(
+                os.path.join(staging, f"doc-{row['doc_id']:08d}.bin"), "wb"
+            ) as fh:
+                fh.write(row["text"].encode("utf-8"))
+        with open(os.path.join(staging, "_DONE"), "w") as fh:
+            fh.write("ok")
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(staging)
+    )
+    return back.select(
+        F.regexp_extract(F.col("path"), r"doc-(\d+)\.bin", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.substring(F.sha2(F.col("content"), 256), 1, 16).alias("sha_prefix"),
     )
