@@ -123,6 +123,22 @@ def test_winsorize_single_scan_single_shuffle(spark, sf_smoke):
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
 
 
+def test_lateral_decorrelates_to_window(spark, sf_smoke):
+    """The correlated LATERAL ORDER BY…LIMIT subquery must be decorrelated
+    into a window/rank plan (WindowGroupLimit = the per-group top-k
+    physical), never executed per outer row or as a cartesian product."""
+    plan = physical_plan(QUERIES["q_join_lateral"](spark, sf_smoke))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_recursive_cte_uses_union_loop(spark, sf_smoke):
+    """WITH RECURSIVE must compile to the iterative UnionLoop operator —
+    each level is one join against the previous frontier, no driver loop."""
+    plan = physical_plan(QUERIES["q_recursive_cte"](spark, sf_smoke))
+    assert "UnionLoop" in plan
+
+
 def test_agg_uses_partial_aggregation(spark, sf_smoke):
     plan = physical_plan(QUERIES["q_agg_group"](spark, sf_smoke))
     # two HashAggregate nodes (partial + final) around one Exchange
