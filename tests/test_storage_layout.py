@@ -199,3 +199,31 @@ def test_compaction_recovers_from_crash_states(spark, sf_smoke, tmp_path):
     assert compact_parquet(spark, path, target_files=2) <= 2
     assert spark.read.parquet(path).count() == n_rows
     assert not glob.glob(path + "._compact*")
+
+
+def test_zorder_key_is_true_morton_code(spark):
+    """Decoding the Spark-computed key (de-interleaving odd/even bits) must
+    recover both inputs exactly for a spread of random and boundary pairs —
+    the invariant that makes per-file key ranges equal 2-D bounding boxes."""
+    import random
+
+    from fxa_amplitude_send_spark.sinks.parquet_layout import zorder_key
+
+    rng = random.Random(7)
+    bits = 10
+    pairs = [(0, 0), (1023, 1023), (0, 1023), (1023, 0), (512, 1), (1, 512)]
+    pairs += [(rng.randrange(1024), rng.randrange(1024)) for _ in range(250)]
+    df = spark.createDataFrame(pairs, "a int, b int")
+    rows = df.select(
+        "a", "b", zorder_key(F.col("a"), F.col("b"), bits=bits).alias("z")
+    ).collect()
+
+    def deinterleave(z, n_bits):
+        a = b = 0
+        for i in range(n_bits):
+            a |= ((z >> (2 * i + 1)) & 1) << i
+            b |= ((z >> (2 * i)) & 1) << i
+        return a, b
+
+    for r in rows:
+        assert deinterleave(r["z"], bits) == (r["a"], r["b"]), r
