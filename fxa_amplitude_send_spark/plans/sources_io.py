@@ -151,3 +151,93 @@ def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.substring(F.sha2(F.col("content"), 256), 1, 16).alias("sha_prefix"),
     )
+
+
+@query(
+    "q_source_json_badrecords",
+    oracle="""
+    SELECT COUNT(*) AS n_good,
+           CAST(7 AS BIGINT) AS n_corrupt,
+           COUNT(DISTINCT event_type) AS n_types,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events WHERE event_id % 100 = 0
+    """,
+)
+def q_source_json_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling — the ingestion-robustness contract every
+    100 TB pipeline needs: a staged JSONL feed of real event rows plus 7
+    deterministic corrupt lines (truncated JSON, bare text, wrong
+    bracket) read in PERMISSIVE mode with ``columnNameOfCorruptRecord``,
+    so bad lines land in a quarantine column instead of failing the job
+    or silently vanishing. The query reports good/corrupt counts and an
+    aggregate over the good rows; the oracle recomputes the good side
+    from the events table and pins the corrupt count. DROPMALFORMED /
+    FAILFAST behaviors on the same feed are pytest-checked
+    (tests/test_sources.py)."""
+    import hashlib
+    import json
+    import os
+    import tempfile
+
+    src_file = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src_file)
+        sig = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        sig = "missing"
+    tag = hashlib.sha256(f"{sf_dir}|badjson|{sig}".encode()).hexdigest()[:12]
+    staging = os.path.join(tempfile.gettempdir(), f"fxa_spark_badjson_{tag}")
+    if not os.path.exists(os.path.join(staging, "_DONE")):
+        os.makedirs(staging, exist_ok=True)
+        good = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_id") % 100 == 0)
+            .select("event_id", "event_type", "user_id", "value")
+        )
+        corrupt_lines = [
+            '{"event_id": 1, "event_type": "click"',      # truncated
+            "not json at all",                              # bare text
+            '{"event_id": }',                               # bad value
+            "[1, 2",                                        # truncated array
+            # NB a VALID top-level array ('[{...}]') is not corrupt — the
+            # Spark JSON reader explodes it into one row per element
+            '{"event_id": "x" "event_type": "y"}',          # missing comma
+            "{",                                            # open brace
+            '"just a string"',                              # scalar
+        ]
+        with open(os.path.join(staging, "feed.jsonl"), "w") as fh:
+            for row in good.toLocalIterator():
+                fh.write(
+                    json.dumps(
+                        {
+                            "event_id": row["event_id"],
+                            "event_type": row["event_type"],
+                            "user_id": row["user_id"],
+                            "value": row["value"],
+                        }
+                    )
+                    + "\n"
+                )
+            for line in corrupt_lines:
+                fh.write(line + "\n")
+        with open(os.path.join(staging, "_DONE"), "w") as fh:
+            fh.write("ok")
+    back = (
+        spark.read.schema(
+            "event_id long, event_type string, user_id long, value double,"
+            " _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(os.path.join(staging, "feed.jsonl"))
+    )
+    return back.agg(
+        F.count_if(F.col("_corrupt").isNull()).alias("n_good"),
+        F.count_if(F.col("_corrupt").isNotNull()).alias("n_corrupt"),
+        F.count_distinct(
+            F.when(F.col("_corrupt").isNull(), F.col("event_type"))
+        ).alias("n_types"),
+        F.round(
+            F.sum(F.when(F.col("_corrupt").isNull(), F.col("value"))), 2
+        ).alias("sum_value"),
+    )

@@ -78,3 +78,38 @@ def test_batch_observation_metrics_without_extra_scan(spark, sf_smoke):
     m = obs.get
     assert m["n_rows"] >= n and m["n_rows"] == ev.count()
     assert m["min_value"] <= m["max_value"]
+
+
+def test_badrecords_modes_on_same_feed(spark, tmp_path):
+    """The three malformed-record policies on one feed: PERMISSIVE
+    quarantines (covered by q_source_json_badrecords's oracle),
+    DROPMALFORMED silently keeps only parseable rows, FAILFAST raises —
+    the policy triad every ingestion contract needs pinned."""
+    import json
+
+    import pytest
+
+    feed = tmp_path / "feed.jsonl"
+    good = [{"event_id": i, "event_type": "t", "value": 1.0} for i in range(5)]
+    with open(feed, "w") as fh:
+        for g in good:
+            fh.write(json.dumps(g) + "\n")
+        fh.write('{"event_id": 99, "event_type"\n')  # corrupt
+        fh.write("garbage\n")                         # corrupt
+    schema = "event_id long, event_type string, value double"
+
+    dropped = (
+        spark.read.schema(schema)
+        .option("mode", "DROPMALFORMED")
+        .json(str(feed))
+    )
+    assert dropped.count() == 5
+
+    with pytest.raises(Exception) as exc:
+        (
+            spark.read.schema(schema)
+            .option("mode", "FAILFAST")
+            .json(str(feed))
+            .count()
+        )
+    assert "Malformed" in str(exc.value) or "FAILFAST" in str(exc.value)
