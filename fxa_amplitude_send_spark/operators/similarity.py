@@ -515,14 +515,27 @@ def ivf_topk_served(
     n_probe: int = 2,
     query_id_col: str = "query_id",
     query_vec_col: str = "qvec",
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """Serve approximate top-k from a persisted IVF index (build_ivf_index):
     only the QUERY vectors are assigned at serve time (tiny); candidates
     come straight off the bucketed (cell, vec_id, embedding) table via the
     cell equi-join. Identical results to ivf_topk under the same quantizer
-    — asserted in tests — at a serve cost independent of corpus assignment."""
+    — asserted in tests — at a serve cost independent of corpus assignment.
+
+    ``tombstones`` (a (vec_id) DataFrame) completes the index CRUD story:
+    DELETES are served without rewriting any bucket — deleted ids are
+    anti-joined out of the candidate stream before scoring (broadcast; a
+    tombstone set is tiny relative to the corpus), the same
+    merge-on-read pattern as Delta/Iceberg deletion vectors. Physically
+    remove them by rebuilding under a new sig once the tombstone set
+    grows past a compaction threshold."""
     from pyspark.sql import Window
 
+    if tombstones is not None:
+        index_df = index_df.join(
+            F.broadcast(tombstones.select("vec_id")), "vec_id", "left_anti"
+        )
     e = index_df.select(
         F.col("vec_id").alias("_eid"),
         F.col("embedding").alias("_evec"),

@@ -455,3 +455,47 @@ class TestIVFIncremental:
             assert n_ex <= 1, plan  # only the final groupBy may exchange
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def test_tombstone_deletes_serve_like_a_rebuild(self, spark, sf_correctness):
+        """Deleting vectors via tombstones must serve the same top-k as an
+        index physically rebuilt without them — merge-on-read deletion."""
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        from fxa_amplitude_send_spark.operators.similarity import (
+            build_ivf_index,
+            ivf_topk_served,
+            train_ivf_centroids,
+        )
+        from fxa_amplitude_send_spark.sources import load_table
+
+        emb = load_table(spark, sf_correctness, "embeddings")
+        centroids = train_ivf_centroids(emb, n_centroids=16, n_iter=5, sample_n=512)
+        queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        full = build_ivf_index(
+            spark, emb, centroids, sig=f"del-{uuid.uuid4().hex[:8]}"
+        )
+        # delete the trivial self-matches: every query's own vector
+        tombs = queries.select(F.col("query_id").alias("vec_id"))
+        with_tombs = {
+            (r["query_id"], r["rnk"]): r["vec_id"]
+            for r in ivf_topk_served(
+                full, queries, centroids, k=5, n_probe=10, tombstones=tombs
+            ).collect()
+        }
+        # ground truth: physically rebuild without the deleted rows
+        kept = emb.join(tombs, emb["vec_id"] == tombs["vec_id"], "left_anti")
+        rebuilt = build_ivf_index(
+            spark, kept, centroids, sig=f"del2-{uuid.uuid4().hex[:8]}"
+        )
+        rebuilt_topk = {
+            (r["query_id"], r["rnk"]): r["vec_id"]
+            for r in ivf_topk_served(
+                rebuilt, queries, centroids, k=5, n_probe=10
+            ).collect()
+        }
+        assert with_tombs == rebuilt_topk
+        assert all(qid != vid for (qid, _), vid in with_tombs.items())
