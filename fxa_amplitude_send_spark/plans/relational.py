@@ -4269,3 +4269,44 @@ def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey % 10 = 0
         """
     )
+
+
+@query(
+    "q_copurchase_pairs",
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_orders
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequently-bought-together: intra-order part pairs counted across
+    all orders, top-20 — the market-basket co-occurrence primitive behind
+    recommendations and association-rule mining. The pair generator is a
+    SELF-JOIN ON THE BASKET KEY (l_orderkey) with an anti-symmetric
+    part-key predicate, so fan-out is Σ basket_size² — bounded because
+    TPC-H baskets hold ≤7 lines (at 100 TB, cap or sample pathological
+    baskets first; the join stays a single shuffle on the basket key
+    either way). Top-20 by the unique (count, part_a, part_b) key
+    compiles to TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )
