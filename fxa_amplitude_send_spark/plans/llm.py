@@ -1560,3 +1560,32 @@ def llm_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.when(F.col("p") > 0, 1).otherwise(0)).alias("n_tokens"),
     )
+
+
+@query("llm_embed_pca")  # rows-only: eigendecomposition is engine-specific
+def llm_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-reduce the 64-dim embeddings to 16 components — the
+    dimensionality-reduction pre-transform (FAISS OPQ/PCA style) that cuts
+    ANN index memory 4× before cell assignment. Covariance accumulates
+    distributed (one (d+d²+1)-slot partial per Arrow batch, merged by a
+    positional aggregate — driver receives d+d² scalars total); the 64×64
+    eigendecomposition is a bounded driver step like IVF's sampled
+    k-means; projection is one broadcast matmul per batch
+    (operators/decomposition.py). Output: doc projections rounded for
+    stability plus the per-vector projected norm. Variance-capture and
+    orthogonality floors are pytest-asserted (tests/test_operators.py)."""
+    from ..operators.decomposition import project_pca, train_pca
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, ratio = train_pca(emb, n_components=16)
+    proj = project_pca(emb, mean, comps)
+    norm = F.sqrt(
+        F.aggregate(
+            "pca", F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    return proj.select(
+        "vec_id",
+        F.transform("pca", lambda x: F.round(x, 5)).alias("pca16"),
+        F.round(norm, 5).alias("pca_norm"),
+    )

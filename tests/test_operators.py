@@ -499,3 +499,46 @@ class TestIVFIncremental:
         }
         assert with_tombs == rebuilt_topk
         assert all(qid != vid for (qid, _), vid in with_tombs.items())
+
+
+class TestPCA:
+    def test_pca_variance_and_orthogonality(self, spark, sf_correctness):
+        """Components must be orthonormal, the explained-variance ratios
+        descending, and the k=16 projection must capture more variance
+        than 16/64 of the total (PCA beats a random axis subset)."""
+        import numpy as np
+
+        from fxa_amplitude_send_spark.operators.decomposition import train_pca
+        from fxa_amplitude_send_spark.sources import load_table
+
+        emb = load_table(spark, sf_correctness, "embeddings")
+        mean, comps, ratio = train_pca(emb, n_components=16)
+        C = np.asarray(comps)
+        assert C.shape == (16, 64)
+        assert np.allclose(C @ C.T, np.eye(16), atol=1e-8)
+        assert all(ratio[i] >= ratio[i + 1] - 1e-12 for i in range(15))
+        assert sum(ratio) > 16 / 64
+
+    def test_pca_projection_reconstruction(self, spark, sf_correctness):
+        """Projecting then back-projecting must reproduce each vector up to
+        the discarded-variance residual: mean squared reconstruction error
+        ≈ (1 − Σratio)·total_variance, and exactly 0 at full rank."""
+        import numpy as np
+
+        from fxa_amplitude_send_spark.operators.decomposition import (
+            project_pca,
+            train_pca,
+        )
+        from fxa_amplitude_send_spark.sources import load_table
+
+        emb = load_table(spark, sf_correctness, "embeddings").limit(200)
+        mean, comps, ratio = train_pca(emb, n_components=64)
+        # full rank: projection preserves squared norm about the mean
+        proj = project_pca(emb, mean, comps).collect()
+        orig = {r["vec_id"]: np.asarray(r["embedding"], float)
+                for r in emb.select("vec_id", "embedding").collect()}
+        M, C = np.asarray(mean), np.asarray(comps)
+        for r in proj[:50]:
+            x = orig[r["vec_id"]]
+            back = M + np.asarray(r["pca"]) @ C
+            assert np.allclose(back, x, atol=1e-6)
