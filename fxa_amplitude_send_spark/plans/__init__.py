@@ -16,5 +16,6 @@ from . import sources_io  # noqa: E402,F401
 from . import graph  # noqa: E402,F401
 from . import temporal  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
+from . import corpus  # noqa: E402,F401
 
 __all__ = ["all_oracles", "all_queries", "get_query", "query"]

@@ -1,0 +1,197 @@
+"""Corpus-level substring analysis for training-data curation.
+
+Implements the "duplicated span" family popularized by Lee et al. 2021
+("Deduplicating Training Data Makes Language Models Better"): find token
+n-grams that occur more than once anywhere in the corpus, and merge the
+per-document hit positions into maximal duplicated spans. The reference
+pipeline (/root/reference, a 233-line event ETL) has no corpus analysis;
+these operators extend the engine per the north star.
+
+Scale posture (100 TB): the only corpus-sized shuffle moves 32-byte SHA-256
+gram fingerprints + an 8-byte position — never document bodies. Duplication
+detection is a single hash-partitioned window count (equivalently a
+groupBy/join, but one shuffle instead of two); span merging is a per-document
+gaps-and-islands window over only the *duplicated* positions, which for a
+healthy corpus is a small fraction of the gram stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+GRAM = 8  # tokens per shingle — Lee et al. use longer thresholds on web text;
+# 8 fits the ~50-token synthetic documents while keeping collisions meaningful.
+
+
+def _gram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, gh): every token 8-gram as a 1-based position plus the
+    SHA-256 of its space-joined text. Built entirely from codegen'd array
+    expressions — tokenization, shingling and hashing never leave the JVM."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("ts"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""
+                CASE WHEN size(ts) >= {GRAM}
+                     THEN transform(
+                         sequence(1, size(ts) - {GRAM - 1}),
+                         i -> struct(
+                             CAST(i AS BIGINT) AS pos,
+                             sha2(concat_ws(' ', slice(ts, i, {GRAM})), 256) AS gh))
+                     ELSE array()
+                END
+                """
+            )
+        ).alias("g"),
+    )
+    return grams.select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+
+
+@query(
+    "llm_dedup_span",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             sha256(array_to_string(ts[i:i+{GRAM - 1}], ' ')) AS gh
+      FROM toks, UNNEST(generate_series(1, greatest(len(ts) - {GRAM - 1}, 0))) AS t(i)
+    ),
+    dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gh) AS cnt FROM grams
+      ) WHERE cnt >= 2
+    ),
+    brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN LAG(pos) OVER w IS NULL OR pos - LAG(pos) OVER w > {GRAM}
+                  THEN 1 ELSE 0 END AS is_break
+      FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(is_break) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS island
+      FROM brk
+    )
+    SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {GRAM - 1} AS span_end,
+           MAX(pos) + {GRAM - 1} - MIN(pos) + 1 AS span_len
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def llm_dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token spans per document (Lee et al. 2021 style).
+
+    A token {GRAM}-gram is "duplicated" if its fingerprint occurs >= 2 times
+    anywhere in the corpus (cross-document or self-repetition). Overlapping /
+    adjacent duplicated gram positions (gap <= {GRAM}) are merged into maximal
+    spans via gaps-and-islands. Output token indices are 1-based inclusive.
+
+    Plan: one corpus shuffle keyed on the 32-byte gram hash (window count —
+    duplication test without a second join), then a per-doc window over only
+    duplicated positions. At 100 TB the dup fraction is what you pay for, not
+    the corpus size."""
+    grams = _gram_stream(spark, sf_dir)
+    dup = (
+        grams.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("gh")))
+        .filter(F.col("cnt") >= 2)
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = dup.withColumn(
+        "is_break",
+        F.when(
+            F.lag("pos").over(w).isNull() | (F.col("pos") - F.lag("pos").over(w) > GRAM),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    isl = brk.withColumn(
+        "island",
+        F.sum("is_break").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(GRAM - 1)).alias("span_end"),
+        (F.max("pos") + F.lit(GRAM - 1) - F.min("pos") + 1).alias("span_len"),
+    ).select("doc_id", "span_start", "span_end", "span_len")
+
+
+@query(
+    "llm_ngram_novelty",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    grams AS (
+      SELECT doc_id, sha256(array_to_string(ts[i:i+{GRAM - 1}], ' ')) AS gh
+      FROM toks, UNNEST(generate_series(1, greatest(len(ts) - {GRAM - 1}, 0))) AS t(i)
+    ),
+    flagged AS (
+      SELECT doc_id,
+             CASE WHEN COUNT(*) OVER (PARTITION BY gh) >= 2 THEN 1 ELSE 0 END AS is_dup
+      FROM grams
+    )
+    SELECT doc_id, COUNT(*) AS n_grams, CAST(SUM(is_dup) AS BIGINT) AS n_dup,
+           ROUND(1.0 - SUM(is_dup) / COUNT(*), 6) AS novelty
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: fraction of the doc's {GRAM}-grams NOT seen
+    elsewhere in the corpus — a memorization-risk / boilerplate score used to
+    downweight template-heavy documents before training. Shares the span
+    query's single fingerprint shuffle; the per-doc rollup is a map-side
+    combinable aggregate."""
+    grams = _gram_stream(spark, sf_dir)
+    flagged = grams.withColumn(
+        "is_dup",
+        F.when(F.count(F.lit(1)).over(Window.partitionBy("gh")) >= 2, F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("is_dup").alias("n_dup"),
+        F.round(F.lit(1.0) - F.sum("is_dup") / F.count(F.lit(1)), 6).alias("novelty"),
+    )
+
+
+N_MERGES = 12
+
+
+@query("llm_bpe_train")
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a BPE tokenizer on the corpus (Sennrich et al. 2016): one
+    corpus-scale word-count aggregate, then N_MERGES rounds of a
+    vocabulary-sized pair-frequency aggregate + 1-row driver argmax.
+    Rows-only (the merge table is engine-derived); tests/test_bpe.py pins the
+    learned merges against an independent pure-Python BPE implementation on
+    the identical corpus."""
+    from ..operators.bpe import train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = train_bpe(docs, N_MERGES)
+    rows = [
+        (rank, left, right, left + right, total)
+        for rank, (left, right, total) in enumerate(merges, start=1)
+    ]
+    return spark.createDataFrame(
+        rows, "merge_rank INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
+    )
+
+
+@query("llm_bpe_encode")
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the learned BPE merges and count tokens per
+    document: (doc_id, n_tokens_ws, n_tokens_bpe). Encoding folds run once per
+    DISTINCT word (vocabulary-sized), broadcast back to the token stream —
+    the corpus itself is scanned twice total (train word-count + final join),
+    never per merge round."""
+    from ..operators.bpe import encode_token_counts, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = train_bpe(docs, N_MERGES)
+    return encode_token_counts(docs, merges)

@@ -4310,3 +4310,75 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "q_skyline",
+    oracle="""
+    SELECT p.p_partkey, p.p_size, ROUND(p.p_retailprice, 2) AS p_retailprice
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts for which no other part is both
+    cheaper-or-equal AND larger-or-equal with at least one strict improvement
+    (minimize p_retailprice, maximize p_size).
+
+    The oracle states the semantics as a correlated NOT EXISTS (quadratic);
+    the engine plans it scale-first: aggregate to one min-price row PER SIZE
+    (domain-sized — at most |distinct sizes| rows), compute "best price among
+    strictly larger sizes" with a single window over that tiny aggregate, then
+    broadcast it back onto the part scan. One map-side-combinable shuffle over
+    part + one broadcast join; no self-join of the fact ever happens, so the
+    plan is unchanged at 100 TB. Differential value: two different algorithms
+    (quadratic dominance vs sweep) must produce identical frontiers."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_size", "p_retailprice")
+    per_size = part.groupBy("p_size").agg(F.min("p_retailprice").alias("size_min"))
+    w = Window.orderBy(F.col("p_size").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    thresholds = per_size.withColumn("min_gt", F.min("size_min").over(w))
+    return (
+        part.join(F.broadcast(thresholds), "p_size")
+        .filter(
+            (F.col("min_gt").isNull() | (F.col("min_gt") > F.col("p_retailprice")))
+            & (F.col("p_retailprice") <= F.col("size_min"))
+        )
+        .select(
+            "p_partkey", "p_size", F.round("p_retailprice", 2).alias("p_retailprice")
+        )
+    )
+
+
+@query(
+    "q_crosstab",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS "1-URGENT",
+           COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS "2-HIGH",
+           COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+           COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+           COUNT(*) FILTER (o_orderpriority = '5-LOW') AS "5-LOW"
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table (status × priority) via pivot with an EXPLICIT value
+    list. Passing the pivot values skips Spark's extra distinct-collection job
+    and keeps the whole thing one partial-aggregated shuffle — the same plan
+    as N conditional counts. The oracle spells it as FILTER aggregates, which
+    is exactly what the pivot compiles to."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority")
+    return (
+        orders.groupBy("o_orderstatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .count()
+    )
