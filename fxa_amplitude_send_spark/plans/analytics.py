@@ -427,3 +427,52 @@ def llm_dataset_card_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_percentile(nchars, F.lit(0.95), F.lit(10000)), 1
         ).alias("p95_chars"),
     )
+
+
+@query(
+    "q_seq_pattern",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             LEAD(event_type, 1) OVER w AS t1,
+             LEAD(event_type, 2) OVER w AS t2,
+             LEAD(ts, 2) OVER w AS ts2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, COUNT(*) AS n_matches,
+           MIN(ts) AS first_match_ts
+    FROM seq
+    WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+      AND ts2 <= ts + INTERVAL 1 DAY
+    GROUP BY user_id
+    """,
+)
+def q_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-pattern detection (MATCH_RECOGNIZE-lite): per user,
+    CONTIGUOUS view→click→purchase runs completing within one day —
+    contiguity encodes 'nothing else happened in between' without any
+    between-events join. Implemented as two LEADs over one (user, time)
+    window: a single shuffle + per-key sort, the same plan family as
+    q_event_transitions, then a map-side-combinable rollup. Deterministic
+    ordering via the (ts, event_id) tie-break in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("ts", 2).over(w).alias("ts2"),
+    )
+    matched = seq.filter(
+        (F.col("event_type") == "view")
+        & (F.col("t1") == "click")
+        & (F.col("t2") == "purchase")
+        & (F.col("ts2") <= F.col("ts") + F.expr("INTERVAL 1 DAY"))
+    )
+    return matched.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("ts").alias("first_match_ts"),
+    )

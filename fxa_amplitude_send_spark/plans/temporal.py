@@ -180,3 +180,71 @@ def q_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("anchor").cast("string").alias("day"), "wau_approx")
     )
+
+
+@query(
+    "q_interval_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT l_suppkey, l_shipdate AS s,
+             l_shipdate + (CAST(l_quantity AS INT) % 10 + 3) * INTERVAL 1 DAY AS e
+      FROM lineitem WHERE l_linenumber = 1
+    ),
+    marked AS (
+      SELECT l_suppkey, s, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY l_suppkey ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= s
+                  THEN 0 ELSE 1 END AS is_new
+      FROM iv
+    ),
+    isl AS (
+      SELECT l_suppkey, s, e,
+             SUM(is_new) OVER (PARTITION BY l_suppkey ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    )
+    SELECT l_suppkey, MIN(s) AS merge_start, MAX(e) AS merge_end,
+           COUNT(*) AS n_spans
+    FROM isl GROUP BY l_suppkey, island
+    """,
+)
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping [shipdate, receiptdate] intervals per supplier —
+    the range-consolidation primitive behind SLA windows, maintenance
+    calendars and contiguous-coverage checks. Gaps-and-islands with a
+    running MAX(end) over the preceding frame: an interval starts a new
+    island iff it begins after every prior interval in the key has ended.
+    One shuffle on the key, one per-key sort — the same cost envelope as
+    any windowed aggregate; no self-join of intervals ever happens (the
+    naive overlap join is quadratic per key). Interval end is derived from
+    the ship date plus a quantity-determined duration (this lineitem has no
+    receipt date); restricted to l_linenumber=1 to keep interval
+    multiplicity meaningful."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") == 1)
+        .select(
+            "l_suppkey",
+            F.col("l_shipdate").alias("s"),
+            F.expr(
+                "l_shipdate + make_dt_interval(CAST(l_quantity AS INT) % 10 + 3, 0, 0, 0)"
+            ).alias("e"),
+        )
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("s", "e")
+    marked = li.withColumn(
+        "is_new",
+        F.when(
+            F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)) >= F.col("s"),
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    isl = marked.withColumn(
+        "island",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return isl.groupBy("l_suppkey", "island").agg(
+        F.min("s").alias("merge_start"),
+        F.max("e").alias("merge_end"),
+        F.count(F.lit(1)).alias("n_spans"),
+    ).select("l_suppkey", "merge_start", "merge_end", "n_spans")

@@ -65,21 +65,58 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
-def _stage_data_files(df: DataFrame, path: str) -> list[str]:
+def _file_stats(full_path: str) -> dict[str, list]:
+    """Per-file [min, max] for every primitive column, read from the parquet
+    footer at commit time. JSON-serializable values only; columns whose
+    statistics aren't representable (nested, binary) are simply absent —
+    pruning treats absent as unknown (keep the file)."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(full_path).metadata
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, (datetime.datetime, datetime.date)):
+                lo, hi = lo.isoformat(), hi.isoformat()
+            if not isinstance(lo, (int, float, str, bool)):
+                continue
+            name = col.path_in_schema
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return {name: [mins[name], maxs[name]] for name in mins}
+
+
+def _stage_data_files(df: DataFrame, path: str) -> list[dict]:
     """Write df into the shared data/ dir under a unique subdir, then return
-    the new file names (relative to the table root). Files are immutable once
-    written; the staging subdir keeps concurrent writers from colliding."""
+    manifest file entries {path, stats} (paths relative to the table root).
+    Files are immutable once written; the staging subdir keeps concurrent
+    writers from colliding. Footer min/max stats go INTO the manifest so
+    readers can prune files without opening any of them."""
     stage = f"stage-{uuid.uuid4().hex}"
     out = os.path.join(path, "data", stage)
     df.write.mode("overwrite").parquet(out)
-    rel = []
+    entries = []
     for name in sorted(os.listdir(out)):
         if name.endswith(".parquet"):
-            rel.append(os.path.join("data", stage, name))
-    return rel
+            full = os.path.join(out, name)
+            entries.append(
+                {
+                    "path": os.path.join("data", stage, name),
+                    "stats": _file_stats(full),
+                }
+            )
+    return entries
 
 
-def _commit(path: str, files: list[str], n_rows: int, schema_ddl: str, parent: int) -> int:
+def _commit(path: str, files: list[dict], n_rows: int, schema_ddl: str, parent: int) -> int:
     version = parent + 1
     manifest = {
         "version": version,
@@ -104,7 +141,7 @@ def write_snapshot(df: DataFrame, path: str) -> int:
     snapshot): stage data files, commit a manifest listing exactly them."""
     files = _stage_data_files(df, path)
     n = _count_staged(df.sparkSession, path, files)
-    return _commit(path, files, n, df.schema.simpleString(), current_version(path))
+    return _commit(path, files, n, df.schema.json(), current_version(path))
 
 
 def append_snapshot(df: DataFrame, path: str) -> int:
@@ -139,14 +176,59 @@ def compact_snapshot(spark: SparkSession, path: str, target_files: int) -> int:
     return _commit(path, files, prev["n_rows"], prev["schema"], version)
 
 
-def read_snapshot(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+def read_snapshot(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    prune: tuple[str, object, object] | None = None,
+) -> DataFrame:
     """Time-travel read: the file list of ``version`` (default CURRENT),
     loaded directly — no directory listing, so orphaned/staged/compacted-away
-    files are invisible by construction."""
+    files are invisible by construction.
+
+    ``prune=(col, lo, hi)`` drops manifest entries whose footer [min, max]
+    for ``col`` cannot intersect [lo, hi] BEFORE Spark opens a single file —
+    manifest-level skipping, the piece that matters at 100 TB where even
+    footer reads across millions of files dominate planning. Files without
+    stats for the column are conservatively kept. The caller still applies
+    the exact row filter; pruning is a superset guarantee."""
     v = current_version(path) if version is None else version
     manifest = _read_manifest(path, v)
-    paths = [os.path.join(path, f) for f in manifest["files"]]
+    entries = manifest["files"]
+    if prune is not None:
+        col, lo, hi = prune
+        entries = [
+            e
+            for e in entries
+            if col not in e.get("stats", {})
+            or not (e["stats"][col][1] < lo or e["stats"][col][0] > hi)
+        ]
+    if not entries:
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(_json.loads(manifest["schema"]))
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(path, e["path"]) for e in entries]
     return spark.read.parquet(*paths)
+
+
+def pruned_file_count(
+    path: str, prune: tuple[str, object, object], version: int | None = None
+) -> tuple[int, int]:
+    """(files_scanned, files_total) for a prune predicate — observability for
+    the skipping contract without touching Spark."""
+    v = current_version(path) if version is None else version
+    entries = _read_manifest(path, v)["files"]
+    col, lo, hi = prune
+    kept = [
+        e
+        for e in entries
+        if col not in e.get("stats", {})
+        or not (e["stats"][col][1] < lo or e["stats"][col][0] > hi)
+    ]
+    return len(kept), len(entries)
 
 
 def snapshot_info(path: str, version: int | None = None) -> dict:
@@ -165,7 +247,7 @@ def vacuum(path: str, retain_versions: int = 2) -> list[str]:
     keep_versions = range(max(1, newest - retain_versions + 1), newest + 1)
     referenced: set[str] = set()
     for v in keep_versions:
-        referenced.update(_read_manifest(path, v)["files"])
+        referenced.update(e["path"] for e in _read_manifest(path, v)["files"])
     deleted = []
     data_root = os.path.join(path, "data")
     for dirpath, _dirs, files in os.walk(data_root):
@@ -184,5 +266,36 @@ def vacuum(path: str, retain_versions: int = 2) -> list[str]:
     return deleted
 
 
-def _count_staged(spark: SparkSession, path: str, files: list[str]) -> int:
-    return spark.read.parquet(*[os.path.join(path, f) for f in files]).count()
+def _count_staged(spark: SparkSession, path: str, files: list[dict]) -> int:
+    return spark.read.parquet(*[os.path.join(path, e["path"]) for e in files]).count()
+
+
+def read_appended(
+    spark: SparkSession, path: str, since_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Incremental (CDC-read) fast path: rows added after ``since_version``
+    up to ``to_version`` (default CURRENT), obtained by reading ONLY the data
+    files present in the newer manifest but not the older one — an
+    append-only change feed costs IO proportional to the appended data, never
+    a table diff. Raises if the window crosses a compaction (file rewrite
+    without row growth), where file-set difference no longer equals row-set
+    difference; callers then fall back to a content-level diff."""
+    v_to = current_version(path) if to_version is None else to_version
+    old = _read_manifest(path, since_version)
+    new = _read_manifest(path, v_to)
+    old_files = {e["path"] for e in old["files"]}
+    new_entries = [e for e in new["files"] if e["path"] not in old_files]
+    removed = old_files - {e["path"] for e in new["files"]}
+    if removed:
+        raise ValueError(
+            f"versions {since_version}..{v_to} rewrite {len(removed)} files "
+            "(compaction/replace in window); file-level change feed is not "
+            "append-only here — diff by content instead"
+        )
+    if not new_entries:
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromJson(_json.loads(new["schema"])))
+    return spark.read.parquet(*[os.path.join(path, e["path"]) for e in new_entries])

@@ -120,3 +120,94 @@ class TestAsofJoinModel:
         plain = skewed.join(small, "k").collect()
         salted = salted_join(skewed, small, on="k", salt_buckets=8).collect()
         assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+
+
+class TestNearestAsofModel:
+    def test_random_nearest_matches_bruteforce(self, spark):
+        """nearest as-of vs the O(n²) definition on seeded random data: the
+        chosen right row minimizes |Δt|, ties break to at-or-before."""
+        from fxa_amplitude_send_spark.operators.joins import asof_join
+
+        rng = random.Random(4321)
+        base = datetime(2024, 1, 1)
+
+        def frame(n):
+            return [
+                (rng.randrange(6), base + timedelta(seconds=rng.randrange(5000)))
+                for _ in range(n)
+            ]
+
+        left_rows = [(k, ts, i) for i, (k, ts) in enumerate(frame(100))]
+        right_rows = [(k, ts) for k, ts in frame(130)]
+
+        left = spark.createDataFrame(left_rows, "k int, ts timestamp, lid long")
+        right = spark.createDataFrame(right_rows, "k int, ts timestamp")
+        got = {
+            r["lid"]: r["asof_ts"]
+            for r in asof_join(
+                left, right, on="k", direction="nearest"
+            ).collect()
+        }
+        for k, ts, lid in left_rows:
+            cands = [rts for rk, rts in right_rows if rk == k]
+            if not cands:
+                assert got[lid] is None
+                continue
+            best = min(cands, key=lambda rts: (abs(rts - ts), rts > ts))
+            assert got[lid] == best, f"lid={lid}"
+
+
+class TestIntervalMergeModel:
+    def test_random_intervals_merge_exactly(self, spark):
+        """Windowed gaps-and-islands interval merge vs a sequential sweep
+        model: same islands, disjoint output, identical covered union."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        rng = random.Random(777)
+        rows = []
+        for _ in range(200):
+            k = rng.randrange(5)
+            s = rng.randrange(1000)
+            rows.append((k, s, s + rng.randrange(1, 40)))
+        df = spark.createDataFrame(rows, "k int, s long, e long")
+
+        w = Window.partitionBy("k").orderBy("s", "e")
+        marked = df.withColumn(
+            "is_new",
+            F.when(
+                F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+                >= F.col("s"),
+                F.lit(0),
+            ).otherwise(F.lit(1)),
+        )
+        merged = (
+            marked.withColumn(
+                "island",
+                F.sum("is_new").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+            .groupBy("k", "island")
+            .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+            .collect()
+        )
+        got = {}
+        for r in merged:
+            got.setdefault(r["k"], []).append((r["ms"], r["me"]))
+
+        # sequential sweep model
+        expected = {}
+        for k in {r[0] for r in rows}:
+            ivs = sorted((s, e) for kk, s, e in rows if kk == k)
+            out = []
+            for s, e in ivs:
+                if out and s <= out[-1][1]:
+                    out[-1] = (out[-1][0], max(out[-1][1], e))
+                else:
+                    out.append((s, e))
+            expected[k] = out
+        for k in expected:
+            assert sorted(got[k]) == expected[k], f"key {k}"
+            spans = sorted(got[k])
+            assert all(a[1] < b[0] for a, b in zip(spans, spans[1:])), "overlap"

@@ -97,3 +97,61 @@ def test_double_commit_same_version_refused(base, tmp_path):
         fh.write("{}")
     with pytest.raises(RuntimeError, match="concurrent"):
         append_snapshot(base, path)
+
+
+def test_manifest_level_file_pruning(spark, sf_smoke, tmp_path):
+    """Footer min/max stats recorded at commit let readers drop files from
+    the manifest BEFORE opening any parquet — and the pruned read still
+    returns exactly the filtered rows (superset + exact filter)."""
+    from fxa_amplitude_send_spark.sinks.versioned import pruned_file_count
+
+    path = str(tmp_path / "t")
+    orders = load_table(spark, sf_smoke, "orders").select("o_orderkey", "o_totalprice")
+    # range-partition by key so each file covers a disjoint key range
+    write_snapshot(orders.repartitionByRange(8, "o_orderkey"), path)
+
+    lo, hi = 100, 200
+    scanned, total = pruned_file_count(path, ("o_orderkey", lo, hi))
+    assert total >= 8
+    assert scanned < total, "disjoint ranges must prune most files"
+
+    pruned = read_snapshot(spark, path, prune=("o_orderkey", lo, hi)).filter(
+        f"o_orderkey BETWEEN {lo} AND {hi}"
+    )
+    full = read_snapshot(spark, path).filter(f"o_orderkey BETWEEN {lo} AND {hi}")
+    assert _ids(pruned) == _ids(full)
+    # the pruned plan reads fewer files
+    assert len(pruned.inputFiles()) == scanned < len(full.inputFiles())
+
+
+def test_prune_empty_result_keeps_schema(spark, base, tmp_path):
+    path = str(tmp_path / "t")
+    write_snapshot(base, path)
+    out = read_snapshot(spark, path, prune=("n_nationkey", 10_000, 20_000))
+    assert out.count() == 0
+    assert out.columns == base.columns
+
+
+def test_read_appended_change_feed(spark, base, tmp_path):
+    """Incremental read returns exactly the appended rows, reading only the
+    new files; a compaction inside the window is refused loudly."""
+    from fxa_amplitude_send_spark.sinks.versioned import read_appended
+
+    path = str(tmp_path / "t")
+    write_snapshot(base.filter("n_nationkey < 10"), path)            # v1
+    append_snapshot(base.filter("n_nationkey >= 10 AND n_nationkey < 20"), path)  # v2
+    append_snapshot(base.filter("n_nationkey >= 20"), path)          # v3
+
+    delta12 = read_appended(spark, path, since_version=1, to_version=2)
+    assert _ids(delta12) == _ids(base.filter("n_nationkey >= 10 AND n_nationkey < 20"))
+    delta13 = read_appended(spark, path, since_version=1)
+    assert _ids(delta13) == _ids(base.filter("n_nationkey >= 10"))
+    # only appended files are opened
+    assert set(delta12.inputFiles()) < set(read_snapshot(spark, path, 2).inputFiles())
+
+    compact_snapshot(spark, path, target_files=1)                    # v4
+    with pytest.raises(ValueError, match="append-only"):
+        read_appended(spark, path, since_version=1)
+    # but a window that starts after the compaction works again
+    append_snapshot(base.limit(3), path)                             # v5
+    assert read_appended(spark, path, since_version=4).count() == 3
