@@ -531,3 +531,92 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         feats.unpersist(blocking=False)
+
+
+_SPLIT_MULT = 2484345967  # odd multiplier reserved for dataset splitting
+
+
+@query(
+    "llm_dataset_split",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           CASE WHEN h % 100 < 90 THEN 'train'
+                WHEN h % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, lang, source,
+             ((doc_id % {_PREMOD}) * {_SPLIT_MULT}) % {_MOD} AS h
+      FROM documents
+    )
+    """,
+)
+def llm_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by multiplicative hash
+    of doc_id — reproducible across runs, engines and cluster sizes (no RNG,
+    no per-partition state), and stable under appends: a document's split
+    never changes when the corpus grows, which is the property that keeps
+    eval sets uncontaminated across dataset versions. Pure codegen'd
+    arithmetic; embarrassingly parallel."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = _h(F.col("doc_id"), _SPLIT_MULT)
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.when(h % 100 < 90, F.lit("train"))
+        .when(h % 100 < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+@query(
+    "llm_curriculum",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             ((doc_id % {_PREMOD}) * {_SPLIT_MULT}) % {_MOD} AS h
+      FROM documents
+    ),
+    tiered AS (
+      SELECT doc_id, lang, n_tokens,
+             NTILE(4) OVER (ORDER BY n_tokens, doc_id) AS tier, h
+      FROM scored
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, tier,
+           CAST(ROW_NUMBER() OVER (PARTITION BY tier ORDER BY h, doc_id)
+                AS BIGINT) AS rank_in_tier
+    FROM tiered
+    """,
+)
+def llm_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: quartile difficulty tiers (proxy: token length —
+    short to long, the classic length-based curriculum) with a deterministic
+    hash-shuffled feed order inside each tier so training sees tiers in
+    sequence but documents within a tier in reproducible pseudo-random
+    order. NTILE over a unique (score, doc_id) ordering is deterministic in
+    both engines. Note the global NTILE is a single-ordering window — at
+    100 TB you'd replace it with approx_percentile tier boundaries
+    (broadcast) + a per-partition rank, same contract; the registered form
+    keeps the oracle exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        _h(F.col("doc_id"), _SPLIT_MULT).alias("h"),
+    )
+    tiered = scored.withColumn(
+        "tier", F.ntile(4).over(Window.orderBy("n_tokens", "doc_id"))
+    )
+    return tiered.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "tier",
+        F.row_number()
+        .over(Window.partitionBy("tier").orderBy("h", "doc_id"))
+        .cast("long")
+        .alias("rank_in_tier"),
+    )

@@ -116,7 +116,14 @@ def _stage_data_files(df: DataFrame, path: str) -> list[dict]:
     return entries
 
 
-def _commit(path: str, files: list[dict], n_rows: int, schema_ddl: str, parent: int) -> int:
+def _commit(
+    path: str,
+    files: list[dict],
+    n_rows: int,
+    schema_ddl: str,
+    parent: int,
+    txn_id: str | None = None,
+) -> int:
     version = parent + 1
     manifest = {
         "version": version,
@@ -125,6 +132,8 @@ def _commit(path: str, files: list[dict], n_rows: int, schema_ddl: str, parent: 
         "n_rows": n_rows,
         "schema": schema_ddl,
     }
+    if txn_id is not None:
+        manifest["txn_id"] = txn_id
     os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
     mpath = _manifest_path(path, version)
     if os.path.exists(mpath):
@@ -299,3 +308,63 @@ def read_appended(
 
         return spark.createDataFrame([], StructType.fromJson(_json.loads(new["schema"])))
     return spark.read.parquet(*[os.path.join(path, e["path"]) for e in new_entries])
+
+
+def append_snapshot_idempotent(df: DataFrame, path: str, txn_id: str) -> int:
+    """Exactly-once append: a transaction id (e.g. a Structured Streaming
+    batchId under one query id) is recorded in the committed manifest; a
+    replay of the same txn_id is a NO-OP returning the current version. This
+    is the standard idempotent-sink contract that upgrades foreachBatch's
+    at-least-once redelivery to exactly-once table contents — the engine-side
+    analogue of the reference's insert_id dedup at the sink
+    (utils.js:74, Amplitude-side idempotence), applied to a table commit.
+    """
+    version = current_version(path)
+    seen: set[str] = set()
+    v = version
+    while v > 0:
+        try:
+            m = _read_manifest(path, v)
+        except FileNotFoundError:
+            break  # older manifests vacuumed away; their txns are ancient
+        t = m.get("txn_id")
+        if t is not None:
+            seen.add(t)
+        v = m.get("parent", 0)
+    if txn_id in seen:
+        return version
+    if version == 0:
+        files = _stage_data_files(df, path)
+        n = _count_staged(df.sparkSession, path, files)
+        return _commit(path, files, n, df.schema.json(), 0, txn_id=txn_id)
+    prev = _read_manifest(path, version)
+    new_files = _stage_data_files(df, path)
+    n_new = _count_staged(df.sparkSession, path, new_files)
+    return _commit(
+        path,
+        prev["files"] + new_files,
+        prev["n_rows"] + n_new,
+        prev["schema"],
+        version,
+        txn_id=txn_id,
+    )
+
+
+def versioned_stream_writer(stream_df: DataFrame, path: str, checkpoint: str):
+    """writeStream -> versioned table with exactly-once appends: each
+    micro-batch commits one snapshot tagged (queryId, batchId), so a batch
+    replayed after a crash-before-checkpoint is recognized and skipped.
+    Returns the started StreamingQuery."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # queryId is stable across restarts from the same checkpoint
+        qid = batch_df.sparkSession.conf.get(
+            "spark.sql.streaming.queryId", "query"
+        )
+        append_snapshot_idempotent(batch_df, path, f"{qid}-{batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

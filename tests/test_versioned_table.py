@@ -155,3 +155,55 @@ def test_read_appended_change_feed(spark, base, tmp_path):
     # but a window that starts after the compaction works again
     append_snapshot(base.limit(3), path)                             # v5
     assert read_appended(spark, path, since_version=4).count() == 3
+
+
+def test_idempotent_append_skips_replayed_txn(spark, base, tmp_path):
+    from fxa_amplitude_send_spark.sinks.versioned import append_snapshot_idempotent
+
+    path = str(tmp_path / "t")
+    v1 = append_snapshot_idempotent(base.limit(5), path, "q-0")
+    v2 = append_snapshot_idempotent(base.limit(7), path, "q-1")
+    assert (v1, v2) == (1, 2)
+    # replay of both txns: no-ops, version and rows unchanged
+    assert append_snapshot_idempotent(base.limit(5), path, "q-0") == 2
+    assert append_snapshot_idempotent(base.limit(7), path, "q-1") == 2
+    assert read_snapshot(spark, path).count() == 12
+
+
+def test_streaming_exactly_once_into_versioned_table(spark, sf_smoke, tmp_path):
+    """Restarting the same stream from the same checkpoint must not duplicate
+    rows in the table: foreachBatch redelivery is absorbed by the
+    (queryId, batchId) txn guard."""
+    import shutil
+
+    from fxa_amplitude_send_spark.sinks.versioned import versioned_stream_writer
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    events = load_table(spark, sf_smoke, "events").select("event_id", "event_type")
+    n_total = events.count()
+    events.limit(400).repartition(4).write.mode("overwrite").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = versioned_stream_writer(stream, table, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    first_count = read_snapshot(spark, table).count()
+    assert first_count == spark.read.parquet(src).count()
+
+    # restart from the same checkpoint: nothing new -> no extra rows
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2 = versioned_stream_writer(stream2, table, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    assert read_snapshot(spark, table).count() == first_count
