@@ -123,7 +123,12 @@ def _commit(
     schema_ddl: str,
     parent: int,
     txn_id: str | None = None,
+    appended: list[dict] | None = None,
 ) -> int:
+    """``appended`` = the file entries that carry rows NEW in this version
+    (everything staged by a write/append; empty for a compaction, whose
+    files only rearrange existing rows). Change-feed readers consume
+    exactly the appended lists, so rewrites are never re-emitted."""
     version = parent + 1
     manifest = {
         "version": version,
@@ -131,6 +136,7 @@ def _commit(
         "files": files,
         "n_rows": n_rows,
         "schema": schema_ddl,
+        "appended": [e["path"] for e in (files if appended is None else appended)],
     }
     if txn_id is not None:
         manifest["txn_id"] = txn_id
@@ -168,6 +174,7 @@ def append_snapshot(df: DataFrame, path: str) -> int:
         prev["n_rows"] + n_new,
         prev["schema"],
         parent,
+        appended=new_files,
     )
 
 
@@ -182,7 +189,7 @@ def compact_snapshot(spark: SparkSession, path: str, target_files: int) -> int:
     prev = _read_manifest(path, version)
     df = read_snapshot(spark, path, version).coalesce(target_files)
     files = _stage_data_files(df, path)
-    return _commit(path, files, prev["n_rows"], prev["schema"], version)
+    return _commit(path, files, prev["n_rows"], prev["schema"], version, appended=[])
 
 
 def read_snapshot(
@@ -282,32 +289,39 @@ def _count_staged(spark: SparkSession, path: str, files: list[dict]) -> int:
 def read_appended(
     spark: SparkSession, path: str, since_version: int, to_version: int | None = None
 ) -> DataFrame:
-    """Incremental (CDC-read) fast path: rows added after ``since_version``
-    up to ``to_version`` (default CURRENT), obtained by reading ONLY the data
-    files present in the newer manifest but not the older one — an
-    append-only change feed costs IO proportional to the appended data, never
-    a table diff. Raises if the window crosses a compaction (file rewrite
-    without row growth), where file-set difference no longer equals row-set
-    difference; callers then fall back to a content-level diff."""
+    """Incremental (CDC-read): rows added after ``since_version`` up to
+    ``to_version`` (default CURRENT), read ONLY from each version's
+    ``appended`` file list — IO proportional to the appended data, never a
+    table diff. A compaction inside the window contributes nothing (its
+    ``appended`` list is empty) and does NOT break the feed, because data
+    files are immutable and appended files stay on disk until vacuum.
+    Raises only if a needed appended file was vacuumed away (the consumer
+    lagged past the retention window — the same contract as any changelog
+    retention)."""
     v_to = current_version(path) if to_version is None else to_version
-    old = _read_manifest(path, since_version)
-    new = _read_manifest(path, v_to)
-    old_files = {e["path"] for e in old["files"]}
-    new_entries = [e for e in new["files"] if e["path"] not in old_files]
-    removed = old_files - {e["path"] for e in new["files"]}
-    if removed:
+    appended_paths: list[str] = []
+    try:
+        new = _read_manifest(path, v_to)
+        for v in range(since_version + 1, v_to + 1):
+            appended_paths.extend(_read_manifest(path, v)["appended"])
+    except FileNotFoundError as exc:
         raise ValueError(
-            f"versions {since_version}..{v_to} rewrite {len(removed)} files "
-            "(compaction/replace in window); file-level change feed is not "
-            "append-only here — diff by content instead"
+            f"a manifest in {since_version}..{v_to} was vacuumed — consumer "
+            "lagged past the retention window"
+        ) from exc
+    missing = [p for p in appended_paths if not os.path.exists(os.path.join(path, p))]
+    if missing:
+        raise ValueError(
+            f"versions {since_version}..{v_to}: {len(missing)} appended files "
+            "were vacuumed — consumer lagged past the retention window"
         )
-    if not new_entries:
+    if not appended_paths:
         import json as _json
 
         from pyspark.sql.types import StructType
 
         return spark.createDataFrame([], StructType.fromJson(_json.loads(new["schema"])))
-    return spark.read.parquet(*[os.path.join(path, e["path"]) for e in new_entries])
+    return spark.read.parquet(*[os.path.join(path, p) for p in appended_paths])
 
 
 def append_snapshot_idempotent(df: DataFrame, path: str, txn_id: str) -> int:
@@ -347,6 +361,7 @@ def append_snapshot_idempotent(df: DataFrame, path: str, txn_id: str) -> int:
         prev["schema"],
         version,
         txn_id=txn_id,
+        appended=new_files,
     )
 
 

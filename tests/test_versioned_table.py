@@ -134,7 +134,8 @@ def test_prune_empty_result_keeps_schema(spark, base, tmp_path):
 
 def test_read_appended_change_feed(spark, base, tmp_path):
     """Incremental read returns exactly the appended rows, reading only the
-    new files; a compaction inside the window is refused loudly."""
+    new files; compactions inside the window contribute nothing; lagging
+    past vacuum retention is refused loudly."""
     from fxa_amplitude_send_spark.sinks.versioned import read_appended
 
     path = str(tmp_path / "t")
@@ -149,12 +150,19 @@ def test_read_appended_change_feed(spark, base, tmp_path):
     # only appended files are opened
     assert set(delta12.inputFiles()) < set(read_snapshot(spark, path, 2).inputFiles())
 
+    # a compaction inside the window contributes nothing and does not break
+    # the feed (appended files are immutable and still on disk)
     compact_snapshot(spark, path, target_files=1)                    # v4
-    with pytest.raises(ValueError, match="append-only"):
-        read_appended(spark, path, since_version=1)
-    # but a window that starts after the compaction works again
+    assert _ids(read_appended(spark, path, since_version=1)) == _ids(
+        base.filter("n_nationkey >= 10")
+    )
     append_snapshot(base.limit(3), path)                             # v5
     assert read_appended(spark, path, since_version=4).count() == 3
+
+    # consumer lagging past vacuum retention is refused loudly
+    vacuum(path, retain_versions=2)
+    with pytest.raises(ValueError, match="vacuumed"):
+        read_appended(spark, path, since_version=1, to_version=3)
 
 
 def test_idempotent_append_skips_replayed_txn(spark, base, tmp_path):
@@ -207,3 +215,45 @@ def test_streaming_exactly_once_into_versioned_table(spark, sf_smoke, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert read_snapshot(spark, table).count() == first_count
+
+
+def test_versioned_table_stream_source_end_to_end(spark, base, tmp_path):
+    """readStream over the versioned table delivers each appended row exactly
+    once, skips compaction rewrites, and resumes from the checkpointed
+    version after a restart."""
+    from fxa_amplitude_send_spark.sources.versioned_stream import (
+        VersionedTableDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableDataSource)
+    path = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    write_snapshot(base.filter("n_nationkey < 10"), path)             # v1
+    append_snapshot(base.filter("n_nationkey >= 10 AND n_nationkey < 20"), path)  # v2
+
+    def run_stream():
+        stream = (
+            spark.readStream.format("versioned_table").option("path", path).load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_stream()
+    got = sorted(r[0] for r in spark.read.parquet(out).select("n_nationkey").collect())
+    assert got == _ids(base.filter("n_nationkey < 20"))
+
+    # compaction emits nothing; a fresh append after it flows through on the
+    # restarted stream, resuming from the checkpointed version
+    compact_snapshot(spark, path, target_files=1)                     # v3
+    append_snapshot(base.filter("n_nationkey >= 20"), path)           # v4
+    run_stream()
+    got = sorted(r[0] for r in spark.read.parquet(out).select("n_nationkey").collect())
+    assert got == _ids(base), "each row exactly once despite the compaction"
