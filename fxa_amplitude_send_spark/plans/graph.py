@@ -194,3 +194,100 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r"),
         )
     return ranks.select(F.col("n").alias("nation"), F.round("r", 6).alias("pagerank"))
+
+
+@query(
+    "q_graph_triangles",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS w
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    edges AS (SELECT u, v FROM pairs WHERE w >= 2),
+    tris AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    nodes AS (
+      SELECT a AS node FROM tris
+      UNION ALL SELECT b FROM tris
+      UNION ALL SELECT c FROM tris
+    )
+    SELECT node, COUNT(*) AS n_triangles FROM nodes GROUP BY node
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the co-purchase graph (parts appearing in
+    >= 2 shared orders), the clustering-coefficient numerator.
+
+    The engine runs the DEGREE-ORDERED forward algorithm (public standard:
+    Schank & Wagner / Latapy): orient every undirected edge from the
+    (degree, id)-smaller endpoint to the larger, enumerate wedges among
+    out-neighbors, close them with one equi-join. Degree orientation bounds
+    every node's out-degree by O(sqrt(|E|)) on skewed graphs — the hub that
+    would generate deg² wedges under id-ordering generates almost none —
+    which is what keeps the wedge fan-out tractable at 100 TB. The oracle
+    states the same triangle set with the naive id-ordered 3-way self-join;
+    identical per-node counts from two different algorithms is the check."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # annotate both endpoints with degree (deg is node-domain-sized: broadcast)
+    e = (
+        edges.join(F.broadcast(deg.withColumnRenamed("node", "u")
+                               .withColumnRenamed("deg", "du")), "u")
+        .join(F.broadcast(deg.withColumnRenamed("node", "v")
+                          .withColumnRenamed("deg", "dv")), "v")
+    )
+    fwd = e.select(
+        F.when(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+            F.struct(F.col("u").alias("s"), F.col("v").alias("d"),
+                     F.col("du").alias("ds"), F.col("dv").alias("dd")),
+        )
+        .otherwise(
+            F.struct(F.col("v").alias("s"), F.col("u").alias("d"),
+                     F.col("dv").alias("ds"), F.col("du").alias("dd"))
+        )
+        .alias("o")
+    ).select("o.s", "o.d", "o.dd")
+    e1, e2 = fwd.alias("e1"), fwd.alias("e2")
+    wedges = e1.join(e2, F.col("e1.s") == F.col("e2.s")).filter(
+        (F.col("e1.dd") < F.col("e2.dd"))
+        | ((F.col("e1.dd") == F.col("e2.dd")) & (F.col("e1.d") < F.col("e2.d")))
+    ).select(
+        F.col("e1.s").alias("a"),
+        F.col("e1.d").alias("b"),
+        F.col("e2.d").alias("c"),
+    )
+    closing = fwd.select(F.col("s").alias("b"), F.col("d").alias("c"))
+    tris = wedges.join(closing, ["b", "c"])
+    nodes = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

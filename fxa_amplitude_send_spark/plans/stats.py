@@ -442,3 +442,80 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("q05"), 4).alias("p05"),
         F.round(F.min("q95"), 4).alias("p95"),
     )
+
+
+@query(
+    "q_holt_trend",
+    oracle="""
+    WITH RECURSIVE
+    series AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+      FROM events GROUP BY user_id
+    ),
+    step AS (
+      SELECT user_id, vs, 2 AS i,
+             CASE WHEN len(vs) = 1 THEN vs[1] ELSE vs[2] END AS l,
+             CASE WHEN len(vs) = 1 THEN 0.0e0 ELSE vs[2] - vs[1] END AS b
+      FROM series
+      UNION ALL
+      SELECT user_id, vs, i + 1,
+             0.4e0 * vs[i+1] + 0.6e0 * (l + b),
+             0.3e0 * ((0.4e0 * vs[i+1] + 0.6e0 * (l + b)) - l) + 0.7e0 * b
+      FROM step WHERE i < len(vs)
+    )
+    SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+           ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
+           ROUND(l + b, 6) AS forecast
+    FROM step WHERE i >= len(vs)
+    """,
+)
+def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (α=0.4, β=0.3) per user: level +
+    trend state folded over the time-ordered value series, one-step-ahead
+    forecast = level + trend. Initialization: level₂ = x₂, trend₂ = x₂ − x₁
+    (textbook), degenerate 1-point series → (x₁, 0).
+
+    Like q_ewma, the recurrence is inherently sequential, so it runs as
+    sort_array(collect_list(struct)) + a single F.aggregate fold with a
+    STRUCT accumulator; the level expression is repeated inside the trend
+    update (not let-bound) so both engines execute the identical operation
+    sequence and a 6-decimal round is exact. The oracle states the same
+    recurrence as a recursive CTE rather than list_reduce: DuckDB's
+    list_reduce aliases a struct accumulator's already-updated fields into
+    later field expressions of the same iteration (observed: trend reads
+    the NEW level from iteration 2 on), so a lambda-fold oracle diverges —
+    the CTE reads only the previous row's state and is unambiguous. State
+    per group is one user's history — the same bounded-entity contract as
+    q_ewma; the O(1) streaming twin would carry (level, trend) in
+    applyInPandasWithState."""
+    ev = _t(spark, sf_dir, "events")
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+    )
+    g = ev.groupBy("user_id").agg(arr.alias("_arr"))
+    vals = F.transform(F.col("_arr"), lambda s: s["value"])
+    x1 = F.element_at(vals, 1)
+    x2 = F.element_at(vals, 2)
+    rest = F.slice(vals, F.lit(3), F.greatest(F.size(vals) - 2, F.lit(0)))
+    init = F.struct(x2.alias("a"), (x2 - x1).alias("b"))
+    lvl = lambda acc, x: F.lit(0.4) * x + F.lit(0.6) * (acc["a"] + acc["b"])  # noqa: E731
+    folded = F.aggregate(
+        rest,
+        init,
+        lambda acc, x: F.struct(
+            lvl(acc, x).alias("a"),
+            (
+                F.lit(0.3) * (lvl(acc, x) - acc["a"]) + F.lit(0.7) * acc["b"]
+            ).alias("b"),
+        ),
+    )
+    st = F.when(F.size(vals) == 1, F.struct(x1.alias("a"), F.lit(0.0).alias("b"))).otherwise(
+        folded
+    )
+    return g.select(
+        "user_id",
+        F.size(vals).cast("long").alias("n_events"),
+        F.round(st["a"], 6).alias("level"),
+        F.round(st["b"], 6).alias("trend"),
+        F.round(st["a"] + st["b"], 6).alias("forecast"),
+    )
