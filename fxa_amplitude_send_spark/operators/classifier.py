@@ -112,3 +112,62 @@ def logreg_accuracy(scored: DataFrame, label_col: str) -> float:
 
 def sigmoid(x: float) -> float:
     return 1.0 / (1.0 + math.exp(-x))
+
+
+def train_logreg_newton(
+    features: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    n_iter: int = 6,
+    ridge: float = 1e-6,
+) -> list[float]:
+    """Newton / IRLS training for logistic regression: per round ONE
+    mergeable aggregate produces both the gradient (k+1 sums) and the
+    Hessian upper triangle ((k+1)(k+2)/2 sums of p(1-p)·xᵢxⱼ); the
+    (k+1)-dim solve happens on the driver. Logistic loss is convex and
+    self-concordant, so Newton reaches machine-precision optima in ~5-6
+    rounds where first-order GD needs 25+ — at cluster scale that is 4×
+    fewer job launches for the same (strictly better) optimum. State per
+    partition is O(k²), independent of row count; the tiny ridge keeps the
+    solve well-posed under collinear features."""
+    stats_row = features.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.avg(c).alias(f"mu_{c}") for c in feature_cols],
+        *[F.coalesce(F.stddev_pop(c), F.lit(1.0)).alias(f"sd_{c}") for c in feature_cols],
+    ).collect()[0]
+    n = stats_row["n"]
+    mu = {c: float(stats_row[f"mu_{c}"]) for c in feature_cols}
+    sd = {c: max(float(stats_row[f"sd_{c}"]), 1e-9) for c in feature_cols}
+    k = len(feature_cols)
+
+    def std_cols():
+        return [((F.col(c) - F.lit(mu[c])) / F.lit(sd[c])) for c in feature_cols]
+
+    import numpy as np
+
+    w = np.zeros(k + 1)
+    y = F.col(label_col).cast("double")
+    for _ in range(n_iter):
+        xs = std_cols()
+        xall = [F.lit(1.0)] + xs  # intercept first
+        z = F.lit(float(w[0]))
+        for wi, x in zip(w[1:], xs):
+            z = z + F.lit(float(wi)) * x
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        err = p - y
+        wgt = p * (F.lit(1.0) - p)
+        aggs = [F.sum(err * xall[i]).alias(f"g{i}") for i in range(k + 1)]
+        aggs += [
+            F.sum(wgt * xall[i] * xall[j]).alias(f"h{i}_{j}")
+            for i in range(k + 1)
+            for j in range(i, k + 1)
+        ]
+        row = features.agg(*aggs).collect()[0]
+        g = np.array([float(row[f"g{i}"]) for i in range(k + 1)])
+        H = np.zeros((k + 1, k + 1))
+        for i in range(k + 1):
+            for j in range(i, k + 1):
+                H[i, j] = H[j, i] = float(row[f"h{i}_{j}"])
+        H += ridge * n * np.eye(k + 1)
+        w = w - np.linalg.solve(H, g)
+    return [float(v) for v in w]

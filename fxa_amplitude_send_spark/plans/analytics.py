@@ -476,3 +476,133 @@ def q_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_matches"),
         F.min("ts").alias("first_match_ts"),
     )
+
+
+@query(
+    "q_attribution",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type, value, 0 AS _side
+      FROM events WHERE event_type IN ('view', 'click', 'signup')
+      UNION ALL
+      SELECT user_id, ts, event_id, event_type, value, 1 AS _side
+      FROM events WHERE event_type = 'purchase'
+    ),
+    filled AS (
+      SELECT user_id, event_type, value, _side,
+             first_value(CASE WHEN _side = 0 THEN event_type END IGNORE NULLS)
+               OVER w AS first_touch,
+             last_value(CASE WHEN _side = 0 THEN event_type END IGNORE NULLS)
+               OVER w AS last_touch
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, _side, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    conv AS (SELECT * FROM filled WHERE _side = 1)
+    SELECT model, touch_type, COUNT(*) AS n_conversions,
+           ROUND(SUM(value), 2) AS revenue
+    FROM (
+      SELECT 'first' AS model, COALESCE(first_touch, '(none)') AS touch_type,
+             value FROM conv
+      UNION ALL
+      SELECT 'last', COALESCE(last_touch, '(none)'), value FROM conv
+    )
+    GROUP BY model, touch_type
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch AND last-touch revenue attribution in one pass: every
+    purchase's value credits the user's earliest (first-touch model) and
+    most recent (last-touch model) preceding view/click/signup event.
+
+    Same one-shuffle union + windowed ignorenulls-fill skeleton as the as-of
+    joins — no join of conversions back to touches, so a user with 10k
+    touches costs a sort, not a fan-out. Purchases with no preceding touch
+    report as '(none)' instead of silently dropping (the honest row every
+    attribution report needs). Output: (model, touch_type) rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    touches = ev.filter(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select("user_id", "ts", "event_id", "event_type", "value", F.lit(0).alias("_side"))
+    convs = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "event_type", "value", F.lit(1).alias("_side")
+    )
+    tagged = touches.unionByName(convs)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "_side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch_type = F.when(F.col("_side") == 0, F.col("event_type"))
+    filled = tagged.select(
+        "user_id",
+        "value",
+        "_side",
+        F.first(touch_type, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch_type, ignorenulls=True).over(w).alias("last_touch"),
+    )
+    conv = filled.filter(F.col("_side") == 1)
+    per_model = conv.select(
+        F.lit("first").alias("model"),
+        F.coalesce("first_touch", F.lit("(none)")).alias("touch_type"),
+        "value",
+    ).unionByName(
+        conv.select(
+            F.lit("last").alias("model"),
+            F.coalesce("last_touch", F.lit("(none)")).alias("touch_type"),
+            "value",
+        )
+    )
+    return per_model.groupBy("model", "touch_type").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(F.sum("value"), 2).alias("revenue"),
+    )
+
+
+@query(
+    "q_survivorship",
+    oracle="""
+    SELECT user_id,
+           ROUND((MAX(CASE WHEN event_type = 'purchase'
+                      THEN struct_pack(ts := ts, event_id := event_id,
+                                       v := value) END)).v, 2)
+             AS last_purchase_value,
+           (MAX(CASE WHEN event_type = 'error'
+                THEN struct_pack(ts := ts, event_id := event_id) END)).ts
+             AS last_error_ts,
+           MAX(ts) AS last_seen_ts,
+           COUNT(*) AS n_records
+    FROM events GROUP BY user_id
+    """,
+)
+def q_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship: one consolidated row per entity carrying,
+    for each attribute, the value from the LATEST record that actually has
+    it (last purchase amount, last error time, last activity), nulls where
+    the entity never produced one — the master-data-management merge step
+    after entity resolution.
+
+    Pattern: conditional MAX over a (ts, event_id, payload) struct — struct
+    comparison is lexicographic, so 'latest record wins, deterministic
+    tie-break' is a plain aggregate in both engines. One map-side-combinable
+    shuffle; no per-attribute self-joins, no windows — this is the shape
+    that survives a billion entities."""
+    ev = load_table(spark, sf_dir, "events")
+    last_purchase = F.max(
+        F.when(
+            F.col("event_type") == "purchase",
+            F.struct(F.col("ts"), F.col("event_id"), F.col("value").alias("v")),
+        )
+    )["v"]
+    last_error = F.max(
+        F.when(
+            F.col("event_type") == "error",
+            F.struct(F.col("ts"), F.col("event_id")),
+        )
+    )["ts"]
+    return ev.groupBy("user_id").agg(
+        F.round(last_purchase, 2).alias("last_purchase_value"),
+        last_error.alias("last_error_ts"),
+        F.max("ts").alias("last_seen_ts"),
+        F.count(F.lit(1)).alias("n_records"),
+    )

@@ -481,14 +481,16 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained quality classifier (fastText-style doc filter) end-to-end on
     the cluster: codegen'd features (length, stopword ratio, mean token
     length, digit ratio), weak labels from the heuristic quality rule, then
-    LOGISTIC REGRESSION trained by batch gradient descent where each round
-    is one mergeable aggregate over the persisted feature frame
-    (operators/classifier.py — the MLlib treeAggregate shape, no UDFs).
-    Output: per-doc label vs model prediction; accuracy floor ≥ 0.9 is
-    pytest-asserted (tests/test_training.py). At 100 TB: features are one
-    scan, each GD round reads the cached projection, gradient state is
-    O(features) per partition."""
-    from ..operators.classifier import score_logreg, train_logreg
+    LOGISTIC REGRESSION trained by Newton/IRLS where each round is ONE
+    mergeable aggregate over the persisted feature frame producing gradient
+    + Hessian together (operators/classifier.py — the MLlib treeAggregate
+    shape, no UDFs); 6 Newton rounds replace the earlier 25 GD rounds for a
+    strictly better optimum at 4× fewer job launches (equivalence vs GD is
+    pytest-checked). Output: per-doc label vs model prediction; accuracy
+    floor ≥ 0.9 is pytest-asserted (tests/test_training.py). At 100 TB:
+    features are one scan, each round reads the cached projection, state
+    per partition is O(k²) independent of rows."""
+    from ..operators.classifier import score_logreg, train_logreg_newton
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
@@ -521,7 +523,7 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     cols = ["f_len", "f_stop", "f_tok", "f_digit"]
     try:
-        w = train_logreg(feats, cols, "label", n_iter=25, lr=2.0)
+        w = train_logreg_newton(feats, cols, "label", n_iter=6)
         scored = score_logreg(feats, cols, w)
         return scored.select(
             "doc_id",

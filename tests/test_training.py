@@ -195,3 +195,42 @@ def test_logreg_learns_known_boundary(spark):
     w = train_logreg(df, ["x1", "x2"], "label", n_iter=60, lr=2.0)
     acc = logreg_accuracy(score_logreg(df, ["x1", "x2"], w), "label")
     assert acc >= 0.97, (w, acc)
+
+
+def test_newton_matches_gd_optimum_with_fewer_rounds(spark):
+    """IRLS in 6 rounds reaches at least the accuracy of 60-round GD on the
+    same separable-ish synthetic data, and the decision boundaries agree."""
+    import random
+
+    from fxa_amplitude_send_spark.operators.classifier import (
+        logreg_accuracy,
+        score_logreg,
+        train_logreg,
+        train_logreg_newton,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(400):
+        x1, x2 = rng.gauss(0, 1), rng.gauss(0, 1)
+        label = 1 if x1 + 0.5 * x2 + rng.gauss(0, 0.3) > 0 else 0
+        rows.append((i, x1, x2, label))
+    df = spark.createDataFrame(rows, "id long, x1 double, x2 double, label int")
+
+    w_gd = train_logreg(df, ["x1", "x2"], "label", n_iter=60, lr=2.0)
+    w_nt = train_logreg_newton(df, ["x1", "x2"], "label", n_iter=6)
+
+    acc_gd = logreg_accuracy(score_logreg(df, ["x1", "x2"], w_gd), "label")
+    acc_nt = logreg_accuracy(score_logreg(df, ["x1", "x2"], w_nt), "label")
+    # Newton minimizes the LOSS to machine precision; training accuracy is
+    # not monotone in loss, so allow a hair of slack vs GD's trajectory.
+    assert acc_nt >= acc_gd - 0.01
+    assert acc_nt >= 0.9
+    # same sign structure and similar direction (Newton converges to the
+    # true optimum; GD-60 is close but not identical)
+    import math
+
+    n_gd = math.sqrt(sum(v * v for v in w_gd[1:]))
+    n_nt = math.sqrt(sum(v * v for v in w_nt[1:]))
+    cos = sum(a * b for a, b in zip(w_gd[1:], w_nt[1:])) / (n_gd * n_nt)
+    assert cos > 0.99
