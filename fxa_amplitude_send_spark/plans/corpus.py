@@ -309,3 +309,70 @@ def llm_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("kept_ts").cast("long").alias("n_tokens_kept"),
         (F.size("ts") - F.size("kept_ts")).cast("long").alias("n_tokens_removed"),
     )
+
+
+@query(
+    "llm_preference_pairs",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source, lang, text,
+             0.5 * least(len(string_split(text, ' ')), 200) / 200.0
+             + 0.5 * (len(list_filter(string_split(text, ' '),
+                          t -> t IN ('the', 'a', 'of', 'to', 'and')))
+                      / greatest(len(string_split(text, ' ')), 1))
+               AS q
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, lang,
+             (MAX(struct_pack(q := q, neg_id := -doc_id))).neg_id * -1
+               AS chosen_id,
+             ROUND((MAX(struct_pack(q := q, neg_id := -doc_id))).q, 6)
+               AS chosen_q,
+             (MIN(struct_pack(q := q, doc_id := doc_id))).doc_id
+               AS rejected_id,
+             ROUND((MIN(struct_pack(q := q, doc_id := doc_id))).q, 6)
+               AS rejected_q,
+             COUNT(*) AS group_n
+      FROM scored GROUP BY source, lang
+    )
+    SELECT source, lang, chosen_id, chosen_q, rejected_id, rejected_q, group_n
+    FROM ranked WHERE group_n >= 2 AND chosen_id <> rejected_id
+    """,
+)
+def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for DPO/RLHF-style training: within each
+    (source, lang) group, pair the highest-quality document (chosen) against
+    the lowest (rejected), with deterministic tie-breaks — max quality ties
+    resolve to the LOWEST doc_id (via the negated-id struct key), min
+    quality ties likewise. Degenerate groups (singletons, or where chosen ==
+    rejected) are dropped rather than emitting self-pairs.
+
+    Both extremes come from ONE conditional struct-MIN/MAX aggregate — the
+    same survivorship pattern as q_survivorship, one map-side-combinable
+    shuffle, no per-group sort or window. The quality score mirrors
+    llm_quality_score's heuristic (length + stopword density)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in ("the", "a", "of", "to", "and")])
+    stop_ratio = F.size(
+        F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+    ).cast("double") / F.greatest(n_tokens, F.lit(1.0))
+    q = (
+        F.lit(0.5) * F.least(n_tokens, F.lit(200.0)) / F.lit(200.0)
+        + F.lit(0.5) * stop_ratio
+    )
+    scored = docs.select("doc_id", "source", "lang", q.alias("q"))
+    best = F.max(F.struct(F.col("q"), (-F.col("doc_id")).alias("neg_id")))
+    worst = F.min(F.struct(F.col("q"), F.col("doc_id")))
+    ranked = scored.groupBy("source", "lang").agg(
+        (best["neg_id"] * -1).alias("chosen_id"),
+        F.round(best["q"], 6).alias("chosen_q"),
+        worst["doc_id"].alias("rejected_id"),
+        F.round(worst["q"], 6).alias("rejected_q"),
+        F.count(F.lit(1)).alias("group_n"),
+    )
+    return ranked.filter(
+        (F.col("group_n") >= 2) & (F.col("chosen_id") != F.col("rejected_id"))
+    )

@@ -124,11 +124,16 @@ def _commit(
     parent: int,
     txn_id: str | None = None,
     appended: list[dict] | None = None,
+    changes: list[dict] | None = None,
 ) -> int:
     """``appended`` = the file entries that carry rows NEW in this version
     (everything staged by a write/append; empty for a compaction, whose
     files only rearrange existing rows). Change-feed readers consume
-    exactly the appended lists, so rewrites are never re-emitted."""
+    exactly the appended lists, so rewrites are never re-emitted.
+    ``changes`` = dedicated change files (rows + _change_type) for versions
+    whose delta is not expressible as pure appends (MERGE) — the Delta-CDF
+    shape. Manifests are immutable once visible: everything is staged
+    before this commit writes the manifest."""
     version = parent + 1
     manifest = {
         "version": version,
@@ -138,6 +143,8 @@ def _commit(
         "schema": schema_ddl,
         "appended": [e["path"] for e in (files if appended is None else appended)],
     }
+    if changes is not None:
+        manifest["changes"] = [e["path"] for e in changes]
     if txn_id is not None:
         manifest["txn_id"] = txn_id
     os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
@@ -382,4 +389,69 @@ def versioned_stream_writer(stream_df: DataFrame, path: str, checkpoint: str):
         stream_df.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint)
         .start()
+    )
+
+
+def merge_snapshot(
+    spark: SparkSession, path: str, updates: DataFrame, key_cols: list[str]
+) -> int:
+    """MERGE (upsert) into the versioned table: rows in ``updates`` replace
+    current rows with the same key, new keys are inserted; commits ONE new
+    version whose data files are a full rewrite of the logical content.
+
+    Change-data-feed contract: a merge version's ``appended`` list is EMPTY
+    (the plain append feed must not re-deliver rewritten rows), and the
+    actually-changed rows (with a ``_change_type`` column: 'insert' |
+    'update_postimage') are written to dedicated change files recorded under
+    ``changes`` — exactly Delta's CDF shape. Readers that ask for the change
+    feed get inserts + update post-images; readers of the append-only feed
+    skip merge versions entirely.
+
+    Scale: the join is key-partitioned (updates vs current), and the change
+    files are proportional to the UPDATE SIZE, not the table; the full
+    rewrite of data files is the simple-correct baseline (a production
+    implementation rewrites only affected files via the manifest's min/max,
+    which read_snapshot's pruning already enables)."""
+    version = current_version(path)
+    if version == 0:
+        v = write_snapshot(updates, path)
+        return v
+    prev = _read_manifest(path, version)
+    cur = read_snapshot(spark, path, version)
+    cols = cur.columns
+    if sorted(updates.columns) != sorted(cols):
+        raise ValueError(f"updates schema {updates.columns} != table schema {cols}")
+
+    from pyspark.sql import functions as F
+
+    u = updates.select(*cols).alias("u")
+    c = cur.alias("c")
+    joined = c.join(u, key_cols, "full_outer")
+    val_cols = [x for x in cols if x not in key_cols]
+    merged = joined.select(
+        *key_cols,
+        *[F.coalesce(F.col(f"u.{x}"), F.col(f"c.{x}")).alias(x) for x in val_cols],
+    ).select(*cols)
+
+    # presence flags via a marker column carried through the outer join
+    c2 = cur.withColumn("_c_present", F.lit(1)).alias("c")
+    u2 = updates.select(*cols).withColumn("_u_present", F.lit(1)).alias("u")
+    j2 = c2.join(u2, key_cols, "full_outer")
+    changed_pred = F.lit(False)
+    for x in val_cols:
+        changed_pred = changed_pred | ~F.col(f"u.{x}").eqNullSafe(F.col(f"c.{x}"))
+    changes = j2.filter(F.col("_u_present").isNotNull()).select(
+        *key_cols,
+        *[F.col(f"u.{x}").alias(x) for x in val_cols],
+        F.when(F.col("_c_present").isNull(), F.lit("insert"))
+        .when(changed_pred, F.lit("update_postimage"))
+        .otherwise(F.lit(None))
+        .alias("_change_type"),
+    ).filter(F.col("_change_type").isNotNull()).select(*cols, "_change_type")
+
+    data_files = _stage_data_files(merged, path)
+    change_files = _stage_data_files(changes, path)
+    n = _count_staged(spark, path, data_files)
+    return _commit(
+        path, data_files, n, prev["schema"], version, appended=[], changes=change_files
     )

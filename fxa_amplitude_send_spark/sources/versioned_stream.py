@@ -35,9 +35,13 @@ from pyspark.sql.types import StructType
 
 
 class _AppendedFilePartition(InputPartition):
-    def __init__(self, full_path: str, field_names: list[str]):
+    def __init__(self, full_path: str, field_names: list[str], synth_change: str | None = None):
         self.full_path = full_path
         self.field_names = field_names
+        # readChangeFeed mode: 'insert' to synthesize _change_type for plain
+        # appended files; None when the file physically carries the column
+        # (or CDF mode is off)
+        self.synth_change = synth_change
 
 
 class _VersionedStreamReader(DataSourceStreamReader):
@@ -45,7 +49,10 @@ class _VersionedStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("versioned_table requires option 'path'")
-        self.field_names = [f.name for f in schema.fields]
+        self.cdf = options.get("readChangeFeed", "false").lower() == "true"
+        self.field_names = [
+            f.name for f in schema.fields if f.name != "_change_type"
+        ]
         # cap versions per micro-batch so a long-idle consumer catches up in
         # bounded batches instead of one giant one
         self.max_versions = int(options.get("maxVersionsPerBatch", "10"))
@@ -82,12 +89,25 @@ class _VersionedStreamReader(DataSourceStreamReader):
         self._cursor = max(getattr(self, "_cursor", 0), hi)
         parts = []
         for v in range(lo + 1, hi + 1):
-            for rel in self._manifest(v)["appended"]:
+            m = self._manifest(v)
+            for rel in m["appended"]:
                 parts.append(
                     _AppendedFilePartition(
-                        os.path.join(self.path, rel), self.field_names
+                        os.path.join(self.path, rel),
+                        self.field_names,
+                        synth_change="insert" if self.cdf else None,
                     )
                 )
+            if self.cdf:
+                # MERGE versions: dedicated change files carrying the
+                # _change_type column physically (insert / update_postimage)
+                for rel in m.get("changes", []):
+                    parts.append(
+                        _AppendedFilePartition(
+                            os.path.join(self.path, rel),
+                            self.field_names + ["_change_type"],
+                        )
+                    )
         return parts or [_AppendedFilePartition("", [])]
 
     def read(self, partition):
@@ -97,7 +117,10 @@ class _VersionedStreamReader(DataSourceStreamReader):
 
         table = pq.read_table(partition.full_path)
         for row in table.to_pylist():
-            yield tuple(row.get(name) for name in partition.field_names)
+            out = tuple(row.get(name) for name in partition.field_names)
+            if partition.synth_change is not None:
+                out = out + (partition.synth_change,)
+            yield out
 
     def commit(self, end):
         self._cursor = max(getattr(self, "_cursor", 0), end["version"])
@@ -124,7 +147,14 @@ class VersionedTableDataSource(DataSource):
             os.path.join(path, "_manifests", f"v{v:06d}.json"), encoding="utf-8"
         ) as fh:
             manifest = json.load(fh)
-        return StructType.fromJson(json.loads(manifest["schema"]))
+        schema = StructType.fromJson(json.loads(manifest["schema"]))
+        if self.options.get("readChangeFeed", "false").lower() == "true":
+            from pyspark.sql.types import StringType, StructField
+
+            schema = StructType(
+                schema.fields + [StructField("_change_type", StringType())]
+            )
+        return schema
 
     def streamReader(self, schema):
         return _VersionedStreamReader(self.options, schema)

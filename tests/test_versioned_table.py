@@ -257,3 +257,63 @@ def test_versioned_table_stream_source_end_to_end(spark, base, tmp_path):
     run_stream()
     got = sorted(r[0] for r in spark.read.parquet(out).select("n_nationkey").collect())
     assert got == _ids(base), "each row exactly once despite the compaction"
+
+
+def test_merge_snapshot_upsert_and_change_feed(spark, base, tmp_path):
+    """MERGE updates matching keys, inserts new ones, publishes change files
+    with _change_type; the append-only stream skips the merge version while
+    the readChangeFeed stream delivers inserts + update post-images."""
+    from pyspark.sql import functions as F
+
+    from fxa_amplitude_send_spark.sinks.versioned import merge_snapshot
+    from fxa_amplitude_send_spark.sources.versioned_stream import (
+        VersionedTableDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableDataSource)
+    path = str(tmp_path / "t")
+    write_snapshot(base, path)  # v1: 25 nations
+
+    updates = base.filter("n_nationkey < 3").withColumn(
+        "n_name", F.concat(F.col("n_name"), F.lit("_X"))
+    ).unionByName(
+        spark.createDataFrame([(100, "ATLANTIS"), (101, "LEMURIA")],
+                              "n_nationkey bigint, n_name string")
+    )
+    # one no-op row: same key, same value → must NOT appear in the feed
+    updates = updates.unionByName(base.filter("n_nationkey = 5"))
+    v2 = merge_snapshot(spark, path, updates, ["n_nationkey"])
+    assert v2 == 2
+
+    cur = read_snapshot(spark, path)
+    assert cur.count() == 27
+    assert cur.filter("n_name LIKE '%_X'").count() == 3
+    assert _ids(read_snapshot(spark, path, 1)) == _ids(base)  # time travel
+
+    # append-only feed: the merge version contributes nothing
+    out_a = str(tmp_path / "out_a")
+    qa = (
+        spark.readStream.format("versioned_table").option("path", path).load()
+        .writeStream.format("parquet").option("path", out_a)
+        .option("checkpointLocation", str(tmp_path / "ck_a")).start()
+    )
+    qa.processAllAvailable(); qa.stop()
+    assert spark.read.parquet(out_a).count() == 25  # v1 only
+
+    # CDF feed: v1 appends as inserts + v2's 3 updates + 2 inserts (no no-op)
+    out_c = str(tmp_path / "out_c")
+    qc = (
+        spark.readStream.format("versioned_table").option("path", path)
+        .option("readChangeFeed", "true").load()
+        .writeStream.format("parquet").option("path", out_c)
+        .option("checkpointLocation", str(tmp_path / "ck_c")).start()
+    )
+    qc.processAllAvailable(); qc.stop()
+    cdf = spark.read.parquet(out_c)
+    assert cdf.count() == 25 + 5
+    by_type = {r["_change_type"]: r["n"] for r in
+               cdf.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_type == {"insert": 27, "update_postimage": 3}
+    assert cdf.filter("_change_type = 'update_postimage'").count() == 3
+    # the no-op upsert row (key 5, identical value) never enters the feed
+    assert cdf.filter("n_nationkey = 5").count() == 1  # its v1 insert only
