@@ -455,3 +455,31 @@ def merge_snapshot(
     return _commit(
         path, data_files, n, prev["schema"], version, appended=[], changes=change_files
     )
+
+
+def delete_snapshot(spark: SparkSession, path: str, predicate: str) -> int:
+    """DELETE FROM the versioned table: publishes one new version whose data
+    files hold the surviving rows; deleted rows are recorded as change files
+    with _change_type='delete' (pre-images), completing the CRUD + CDF
+    surface (insert/update via merge_snapshot, delete here). Time travel to
+    any pre-delete version still returns the deleted rows — deletion is a
+    logical event in the version history, never a data-file mutation; the
+    rows physically disappear only when vacuum retires every manifest that
+    references their files."""
+    version = current_version(path)
+    if version == 0:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    prev = _read_manifest(path, version)
+    cur = read_snapshot(spark, path, version)
+
+    from pyspark.sql import functions as F
+
+    surviving = cur.filter(f"NOT ({predicate})")
+    deleted = cur.filter(predicate).withColumn("_change_type", F.lit("delete"))
+
+    data_files = _stage_data_files(surviving, path)
+    change_files = _stage_data_files(deleted, path)
+    n = _count_staged(spark, path, data_files)
+    return _commit(
+        path, data_files, n, prev["schema"], version, appended=[], changes=change_files
+    )

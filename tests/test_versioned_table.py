@@ -317,3 +317,34 @@ def test_merge_snapshot_upsert_and_change_feed(spark, base, tmp_path):
     assert cdf.filter("_change_type = 'update_postimage'").count() == 3
     # the no-op upsert row (key 5, identical value) never enters the feed
     assert cdf.filter("n_nationkey = 5").count() == 1  # its v1 insert only
+
+
+def test_delete_snapshot_and_cdf_preimages(spark, base, tmp_path):
+    """DELETE publishes survivors + 'delete' pre-images in the change feed;
+    pre-delete versions still contain the rows (logical deletion)."""
+    from fxa_amplitude_send_spark.sinks.versioned import delete_snapshot
+    from fxa_amplitude_send_spark.sources.versioned_stream import (
+        VersionedTableDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableDataSource)
+    path = str(tmp_path / "t")
+    write_snapshot(base, path)                       # v1: 25 rows
+    v2 = delete_snapshot(spark, path, "n_nationkey >= 20")
+    assert v2 == 2
+    assert read_snapshot(spark, path).count() == 20
+    assert read_snapshot(spark, path, 1).count() == 25  # time travel
+
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("versioned_table").option("path", path)
+        .option("readChangeFeed", "true").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck")).start()
+    )
+    q.processAllAvailable(); q.stop()
+    cdf = spark.read.parquet(out)
+    assert cdf.filter("_change_type = 'delete'").count() == 5
+    assert _ids(cdf.filter("_change_type = 'delete'")) == _ids(
+        base.filter("n_nationkey >= 20")
+    )
