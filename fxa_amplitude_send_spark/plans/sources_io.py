@@ -13,6 +13,8 @@ and cached, so repeated runs only pay the readback.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -240,4 +242,88 @@ def q_source_json_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.when(F.col("_corrupt").isNull(), F.col("value"))), 2
         ).alias("sum_value"),
+    )
+
+
+@query(
+    "q_versioned_roundtrip",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    """
+    + "GROUP BY event_type",
+)
+def q_versioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned-table (sinks/versioned.py) pulled into the driver's
+    correctness gate: events flow through write_snapshot (even ids) →
+    append_snapshot (odd ids) → compact_snapshot, then the CURRENT snapshot
+    is read back and aggregated. Hash-matching the oracle run on the RAW
+    parquet proves the whole manifest/commit/compaction machinery is
+    byte-lossless — the same certification pattern as the q_source_* staged
+    round-trips."""
+    import shutil
+    import tempfile
+
+    from ..sinks.versioned import (
+        append_snapshot,
+        compact_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    tag = abs(hash(os.path.abspath(sf_dir))) % 10**8
+    table = os.path.join(tempfile.gettempdir(), f"fxa_spark_vtable_{tag}")
+    shutil.rmtree(table, ignore_errors=True)  # fresh deterministic staging
+    write_snapshot(ev.filter(F.col("event_id") % 2 == 0), table)
+    append_snapshot(ev.filter(F.col("event_id") % 2 == 1), table)
+    compact_snapshot(spark, table, target_files=4)
+    back = read_snapshot(spark, table)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "q_versioned_timetravel",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events WHERE event_id % 2 = 0
+    GROUP BY event_type
+    """,
+)
+def q_versioned_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel under the correctness gate: after an append AND a delete
+    have moved CURRENT forward, reading version 1 must still return exactly
+    the original snapshot (even event_ids) — the oracle recomputes that
+    state from the raw parquet. Proves historical versions are immutable
+    through subsequent mutations, hash-for-hash."""
+    import shutil
+    import tempfile
+
+    from ..sinks.versioned import (
+        append_snapshot,
+        delete_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    tag = abs(hash(os.path.abspath(sf_dir))) % 10**8
+    table = os.path.join(tempfile.gettempdir(), f"fxa_spark_vtravel_{tag}")
+    shutil.rmtree(table, ignore_errors=True)  # fresh deterministic staging
+    write_snapshot(ev.filter(F.col("event_id") % 2 == 0), table)     # v1
+    append_snapshot(ev.filter(F.col("event_id") % 2 == 1), table)    # v2
+    delete_snapshot(spark, table, "value < 50")                      # v3
+    v1 = read_snapshot(spark, table, version=1)
+    return v1.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
     )
