@@ -185,16 +185,49 @@ def append_snapshot(df: DataFrame, path: str) -> int:
     )
 
 
-def compact_snapshot(spark: SparkSession, path: str, target_files: int) -> int:
+def compact_snapshot(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    zorder_by: tuple[str, str] | None = None,
+    zorder_bits: int = 6,
+) -> int:
     """Rewrite the CURRENT snapshot's rows into ``target_files`` data files
     and publish that as a new version. Older snapshots keep referencing the
     original files, which are left in place — time travel across a
-    compaction is exact."""
+    compaction is exact.
+
+    ``zorder_by=(col_a, col_b)`` runs OPTIMIZE-ZORDER-style clustering
+    instead of a plain coalesce: both columns are rank-normalized, Morton-
+    interleaved, range-partitioned and sorted (sinks/parquet_layout
+    machinery), so the rewritten files carry tight min/max boxes in BOTH
+    dimensions — and because those boxes land in the manifest stats at
+    commit, read_snapshot's manifest-level pruning gets 2-D skipping on the
+    compacted table for free."""
     version = current_version(path)
     if version == 0:
         raise FileNotFoundError(f"no committed snapshot at {path}")
     prev = _read_manifest(path, version)
-    df = read_snapshot(spark, path, version).coalesce(target_files)
+    df = read_snapshot(spark, path, version)
+    if zorder_by is not None:
+        from .parquet_layout import _rank_bucket, zorder_key
+
+        col_a, col_b = zorder_by
+        keyed = df.withColumn(
+            "_zkey",
+            zorder_key(
+                _rank_bucket(df, col_a, zorder_bits),
+                _rank_bucket(df, col_b, zorder_bits),
+                zorder_bits,
+            ),
+        )
+        df = (
+            keyed.repartitionByRange(target_files, "_zkey")
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey")
+        )
+    else:
+        df = df.coalesce(target_files)
     files = _stage_data_files(df, path)
     return _commit(path, files, prev["n_rows"], prev["schema"], version, appended=[])
 
@@ -234,7 +267,13 @@ def read_snapshot(
         schema = StructType.fromJson(_json.loads(manifest["schema"]))
         return spark.createDataFrame([], schema)
     paths = [os.path.join(path, e["path"]) for e in entries]
-    return spark.read.parquet(*paths)
+    # Read under the MANIFEST's schema, not footer inference: files written
+    # before a schema evolution lack the newer columns (null-backfilled
+    # here), and skipping inference avoids a footer-sampling pass entirely.
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    return spark.read.schema(schema).parquet(*paths)
 
 
 def pruned_file_count(
@@ -482,4 +521,51 @@ def delete_snapshot(spark: SparkSession, path: str, predicate: str) -> int:
     n = _count_staged(spark, path, data_files)
     return _commit(
         path, data_files, n, prev["schema"], version, appended=[], changes=change_files
+    )
+
+
+def append_snapshot_evolve(df: DataFrame, path: str) -> int:
+    """Append with SCHEMA EVOLUTION (mergeSchema semantics): the incoming
+    frame may carry columns the table has never seen (they become nullable
+    table columns; old files backfill null) and may omit existing columns
+    (filled null in the new files). Removing or retyping a column is
+    refused — widening-only evolution, the lakehouse-safe subset. The
+    committed manifest records the UNIONED schema, so every reader —
+    snapshot, change feed, stream — agrees on one shape per version."""
+    parent = current_version(path)
+    if parent == 0:
+        return write_snapshot(df, path)
+    prev = _read_manifest(path, parent)
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    old_schema = StructType.fromJson(json.loads(prev["schema"]))
+    old_names = {f.name: f for f in old_schema.fields}
+    for f in df.schema.fields:
+        if f.name in old_names and f.dataType != old_names[f.name].dataType:
+            raise ValueError(
+                f"column {f.name!r}: type change "
+                f"{old_names[f.name].dataType} -> {f.dataType} is not "
+                "widening-only evolution"
+            )
+    new_only = [f for f in df.schema.fields if f.name not in old_names]
+    unioned = StructType(
+        old_schema.fields + [StructField(f.name, f.dataType, True) for f in new_only]
+    )
+    aligned = df.select(
+        *[
+            F.col(f.name) if f.name in df.columns else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in unioned.fields
+        ]
+    )
+    new_files = _stage_data_files(aligned, path)
+    n_new = _count_staged(df.sparkSession, path, new_files)
+    return _commit(
+        path,
+        prev["files"] + new_files,
+        prev["n_rows"] + n_new,
+        unioned.json(),
+        parent,
+        appended=new_files,
     )

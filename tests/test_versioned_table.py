@@ -348,3 +348,91 @@ def test_delete_snapshot_and_cdf_preimages(spark, base, tmp_path):
     assert _ids(cdf.filter("_change_type = 'delete'")) == _ids(
         base.filter("n_nationkey >= 20")
     )
+
+
+def test_schema_evolution_append(spark, base, tmp_path):
+    """Widening-only schema evolution: new columns null-backfill old files,
+    missing columns null-fill new files, type changes are refused, and the
+    stream reader adopts the evolved schema."""
+    from pyspark.sql import functions as F
+
+    from fxa_amplitude_send_spark.sinks.versioned import append_snapshot_evolve
+    from fxa_amplitude_send_spark.sources.versioned_stream import (
+        VersionedTableDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableDataSource)
+    path = str(tmp_path / "t")
+    write_snapshot(base.filter("n_nationkey < 10"), path)  # v1: 2 cols
+
+    widened = (
+        base.filter("n_nationkey >= 10 AND n_nationkey < 15")
+        .withColumn("region_code", F.col("n_nationkey") % 5)
+        .drop("n_name")  # also OMITS an existing column
+    )
+    v2 = append_snapshot_evolve(widened, path)
+    assert v2 == 2
+
+    cur = read_snapshot(spark, path)
+    assert set(cur.columns) == {"n_nationkey", "n_name", "region_code"}
+    assert cur.count() == 15
+    # old rows: region_code null; new rows: n_name null
+    assert cur.filter("n_nationkey < 10 AND region_code IS NULL").count() == 10
+    assert cur.filter("n_nationkey >= 10 AND n_name IS NULL").count() == 5
+    # v1 still reads under its own 2-column schema
+    assert set(read_snapshot(spark, path, 1).columns) == {"n_nationkey", "n_name"}
+
+    # type change refused
+    bad = base.limit(1).withColumn("n_nationkey", F.col("n_nationkey").cast("string"))
+    with pytest.raises(ValueError, match="widening-only"):
+        append_snapshot_evolve(bad, path)
+
+    # stream sees the evolved shape (v1 rows with null region_code)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("versioned_table").option("path", path).load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck")).start()
+    )
+    q.processAllAvailable(); q.stop()
+    streamed = spark.read.parquet(out)
+    assert set(streamed.columns) == {"n_nationkey", "n_name", "region_code"}
+    assert streamed.count() == 15
+
+
+def test_zorder_compaction_improves_manifest_pruning(spark, sf_smoke, tmp_path):
+    """OPTIMIZE ZORDER through the versioned table: after z-order compaction
+    the manifest stats prune point-range predicates on BOTH clustered
+    columns, strictly better than the random layout, with rows intact."""
+    from fxa_amplitude_send_spark.sinks.versioned import (
+        compact_snapshot,
+        pruned_file_count,
+    )
+
+    path = str(tmp_path / "t")
+    orders = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_snapshot(orders.repartition(8), path)  # random layout, v1
+    n = orders.count()
+
+    compact_snapshot(
+        spark, path, target_files=8, zorder_by=("o_orderkey", "o_custkey")
+    )  # v2
+    assert read_snapshot(spark, path).count() == n
+
+    kmin, kmax = [
+        r[0] for r in orders.agg({"o_orderkey": "min"}).collect()
+    ][0], [r[0] for r in orders.agg({"o_orderkey": "max"}).collect()][0]
+    span = (kmax - kmin) // 8
+    pred_a = ("o_orderkey", kmin, kmin + span)
+    s1_a, t1 = pruned_file_count(path, pred_a, version=1)
+    s2_a, t2 = pruned_file_count(path, pred_a, version=2)
+    assert s1_a == t1, "random layout cannot prune"
+    assert s2_a < t2, "z-ordered layout must prune the first dimension"
+
+    cmin = orders.agg({"o_custkey": "min"}).collect()[0][0]
+    cmax = orders.agg({"o_custkey": "max"}).collect()[0][0]
+    pred_b = ("o_custkey", cmin, cmin + (cmax - cmin) // 8)
+    s2_b, _ = pruned_file_count(path, pred_b, version=2)
+    assert s2_b < t2, "z-ordered layout must prune the second dimension too"
