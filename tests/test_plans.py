@@ -397,3 +397,70 @@ def test_decontaminate_broadcasts_eval_grams(spark, sf_smoke):
     plan = physical_plan(QUERIES["llm_decontaminate"](spark, sf_smoke))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_span_dedup_single_corpus_scan(spark, sf_smoke):
+    """llm_dedup_span reads documents ONCE (the dup test is a window count
+    in the gram-hash partition, not a second join back to the corpus)."""
+    plan = physical_plan(QUERIES["llm_dedup_span"](spark, sf_smoke))
+    assert plan.count("documents.parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_span_removal_text_never_explodes_into_shuffle(spark, sf_smoke):
+    """llm_dedup_span_removal: the document text shuffles once intact (the
+    doc_id join); removal positions travel as per-doc arrays, so there is
+    no exploded token-stream exchange. Two corpus scans are inherent (gram
+    stream + rebuild source); no more than that."""
+    import re
+
+    plan = physical_plan(QUERIES["llm_dedup_span_removal"](spark, sf_smoke))
+    assert plan.count("documents.parquet") == 2
+    # gram-hash window + removal groupBy + doc_id join sides = bounded
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 4
+
+
+def test_skyline_broadcasts_thresholds_no_fact_self_join(spark, sf_smoke):
+    """q_skyline: the dominance test is a BROADCAST of the domain-sized
+    per-size aggregate onto one part scan — never a part×part self-join."""
+    plan = physical_plan(QUERIES["q_skyline"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("part.parquet") == 2  # scan + tiny aggregate source
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_attribution_single_pass_no_conversion_join(spark, sf_smoke):
+    """q_attribution computes both models from one union + one window —
+    there must be NO join between conversions and touches."""
+    plan = physical_plan(QUERIES["q_attribution"](spark, sf_smoke))
+    assert "Join" not in plan  # no join operator of any kind
+    assert plan.count("Window") >= 1
+
+
+def test_survivorship_is_one_aggregate_no_windows(spark, sf_smoke):
+    """q_survivorship: latest-non-null per attribute via struct-max — a
+    plain partial+final aggregate, no window, no join."""
+    plan = physical_plan(QUERIES["q_survivorship"](spark, sf_smoke))
+    assert "Window" not in plan and "Join" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_triangles_all_joins_are_equi(spark, sf_smoke):
+    """q_graph_triangles: wedge generation and closure are equi-joins (the
+    degree-ordered forward algorithm); no BNLJ/cartesian anywhere."""
+    plan = physical_plan(QUERIES["q_graph_triangles"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_curriculum_global_ntile_documented_single_partition(spark, sf_smoke):
+    """llm_curriculum's NTILE is a deliberate single-ordering window (the
+    docstring names the approx-percentile-boundary replacement for 100 TB).
+    Pin the shape: exactly ONE exchange — the global sort — and the per-tier
+    rank window rides the same distribution (SinglePartition satisfies any
+    clustering) instead of paying a second shuffle."""
+    import re
+
+    plan = physical_plan(QUERIES["llm_curriculum"](spark, sf_smoke))
+    assert plan.count("Window") >= 2
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
