@@ -8,6 +8,9 @@ it, with every guarantee exercised in order:
   3. compact small files — old versions stay readable (time travel)
   4. tail the table as a CDC STREAM (readStream.format("versioned_table"))
      into a downstream aggregate — compaction contributes no duplicates
+  4b. MERGE (upsert) + DELETE, then read the change feed
+      (readChangeFeed=true): inserts / update post-images / delete
+      pre-images, each counted
   5. prune a point-range read at the MANIFEST level (no file opens)
   6. vacuum past-retention files and show what survived
 
@@ -116,6 +119,39 @@ def main() -> None:
     for r in rollup.orderBy("event_type").collect():
         print(f"  {r['event_type']:10s} n={r['n']:6d} total={r['total']}")
 
+    # 4b. full CRUD: merge (upsert) then delete, with CDF visibility
+    from fxa_amplitude_send_spark.sinks.versioned import (
+        delete_snapshot,
+        merge_snapshot,
+    )
+
+    updates = events.filter(F.col("event_id") < 10).withColumn(
+        "value", F.col("value") + 1000
+    )
+    merge_snapshot(spark, table, updates, ["event_id"])
+    delete_snapshot(spark, table, "event_type = 'error'")
+    n_after = read_snapshot(spark, table).count()
+    feed2 = (
+        spark.readStream.format("versioned_table").option("path", table)
+        .option("readChangeFeed", "true").load()
+    )
+    q3 = (
+        feed2.writeStream.format("parquet")
+        .option("path", os.path.join(root, "cdf"))
+        .option("checkpointLocation", os.path.join(root, "ckpt_cdf"))
+        .start()
+    )
+    q3.processAllAvailable()
+    q3.stop()
+    cdf = spark.read.parquet(os.path.join(root, "cdf"))
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in cdf.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    print(f"after merge+delete: {n_after} rows; CDF counts: {by_type}")
+
     # 5. manifest-level pruning: on the range-partitioned v1 layout a narrow
     # event_id range opens almost nothing (CURRENT was just compacted to 2
     # coarse files — layout, not format, decides skipping)
@@ -124,11 +160,11 @@ def main() -> None:
     scanned_c, total_c = pruned_file_count(table, ("event_id", 0, 50))
     print(f"  same predicate on the compacted CURRENT: {scanned_c}/{total_c}")
 
-    # 6. vacuum: retain only CURRENT -> pre-compaction files are deleted
+    # 6. vacuum: retain only CURRENT -> superseded files are deleted
     deleted = vacuum(table, retain_versions=1)
-    assert read_snapshot(spark, table).count() == n
+    assert read_snapshot(spark, table).count() == n_after
     print(f"vacuum removed {len(deleted)} unreferenced files; "
-          f"CURRENT still {n} rows")
+          f"CURRENT still {n_after} rows")
 
     spark.stop()
 
