@@ -274,6 +274,10 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("o")
     ).select("o.s", "o.d", "o.dd")
+    # The oriented edge list feeds THREE consumers (wedge sides + closure);
+    # checkpoint it so the basket self-join that builds it runs once, not
+    # three times — at scale the edge list is a persisted artifact anyway.
+    fwd = fwd.localCheckpoint(eager=False)
     e1, e2 = fwd.alias("e1"), fwd.alias("e2")
     wedges = e1.join(e2, F.col("e1.s") == F.col("e2.s")).filter(
         (F.col("e1.dd") < F.col("e2.dd"))
