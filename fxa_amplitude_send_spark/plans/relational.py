@@ -4429,3 +4429,47 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
         direction="nearest",
     )
+
+
+@query(
+    "q_percent_total",
+    oracle="""
+    WITH nat AS (
+      SELECT n.n_name AS nation, ROUND(SUM(o.o_totalprice), 2) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT nation, revenue,
+           ROUND(100.0 * revenue / SUM(revenue) OVER (), 4) AS pct_of_total,
+           RANK() OVER (ORDER BY revenue DESC) AS revenue_rank
+    FROM nat
+    """,
+)
+def q_percent_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's revenue share of the global total plus
+    its rank — the universal BI footer row. The empty-frame window runs over
+    the ALREADY-AGGREGATED per-nation table (|nations| rows), so the
+    single-partition stage that SUM() OVER () implies touches dozens of
+    rows, not the fact table; the fact-sized work is one partial-aggregated
+    join shuffle. Rounding AFTER the share division keeps both engines on
+    the same float path."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    nat = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w_all = Window.partitionBy()
+    return nat.select(
+        "nation",
+        "revenue",
+        F.round(F.lit(100.0) * F.col("revenue") / F.sum("revenue").over(w_all), 4).alias(
+            "pct_of_total"
+        ),
+        F.rank().over(Window.orderBy(F.col("revenue").desc())).alias("revenue_rank"),
+    )
