@@ -149,12 +149,35 @@ def _commit(
         manifest["txn_id"] = txn_id
     os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
     mpath = _manifest_path(path, version)
-    if os.path.exists(mpath):
+    # Exclusive-create commit: the manifest for version N may be created by
+    # exactly ONE writer. A check-then-write (os.path.exists + os.replace)
+    # would let two writers racing from the same parent both "succeed" with
+    # one commit silently clobbered; os.link from a private temp file fails
+    # with FileExistsError if the target exists (POSIX link(2) is atomic and
+    # never overwrites), so the loser gets a clean conflict to retry against
+    # the new parent. Object-store deployments use the equivalent
+    # conditional-put (If-None-Match).
+    tmp = mpath + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(json.dumps(manifest, indent=1))
+    try:
+        os.link(tmp, mpath)
+    except FileExistsError:
         raise RuntimeError(
             f"version {version} already committed (concurrent writer?) at {mpath}"
-        )
-    _atomic_write(mpath, json.dumps(manifest, indent=1))
-    _atomic_write(os.path.join(path, _MANIFEST_DIR, _CURRENT), str(version))
+        ) from None
+    finally:
+        os.remove(tmp)
+    # Advance CURRENT monotonically: with concurrent committers the pointer
+    # writes can interleave, so never let a slow writer regress CURRENT below
+    # a version someone else already published.
+    while True:
+        cur = current_version(path)
+        if cur >= version:
+            break
+        _atomic_write(os.path.join(path, _MANIFEST_DIR, _CURRENT), str(version))
+        if current_version(path) >= version:
+            break
     return version
 
 
@@ -309,7 +332,15 @@ def vacuum(path: str, retain_versions: int = 2) -> list[str]:
     keep_versions = range(max(1, newest - retain_versions + 1), newest + 1)
     referenced: set[str] = set()
     for v in keep_versions:
-        referenced.update(e["path"] for e in _read_manifest(path, v)["files"])
+        m = _read_manifest(path, v)
+        referenced.update(e["path"] for e in m["files"])
+        # A retained version's CHANGE files (MERGE/DELETE CDF, recorded under
+        # 'changes', staged in the same data/ tree) are part of its readable
+        # surface: readChangeFeed consumers resolve them by path, so they must
+        # survive any vacuum that retains the version. 'appended' paths are a
+        # subset of 'files' for appends but included for safety.
+        referenced.update(m.get("changes", []))
+        referenced.update(m.get("appended", []))
     deleted = []
     data_root = os.path.join(path, "data")
     for dirpath, _dirs, files in os.walk(data_root):
@@ -411,6 +442,33 @@ def append_snapshot_idempotent(df: DataFrame, path: str, txn_id: str) -> int:
     )
 
 
+def streaming_txn_tag(batch_df: DataFrame, checkpoint: str) -> str:
+    """Query-scoped prefix for (query, batchId) txn ids. The REAL query id
+    lives in a SparkContext local property (``sql.streaming.queryId``), not a
+    SQL conf — ``conf.get("spark.sql.streaming.queryId")`` always hits its
+    fallback, so naively-tagged txns from two different queries (or a reset
+    checkpoint) writing to one table would collide on batchId and silently
+    drop batches. Prefer the local property when the foreachBatch callback
+    thread sees it; otherwise fall back to a hash of the checkpoint location,
+    which Spark requires to be unique per query and which is stable across
+    restarts of the same query — the two properties the txn guard needs."""
+    import hashlib
+
+    qid = batch_df.sparkSession.sparkContext.getLocalProperty(
+        "sql.streaming.queryId"
+    )
+    if qid:
+        return qid
+    if not checkpoint:
+        raise ValueError(
+            "streaming_txn_tag: no queryId local property and no checkpoint "
+            "location — cannot derive a stable query-scoped txn id"
+        )
+    return "ckpt-" + hashlib.sha256(
+        os.path.abspath(checkpoint).encode("utf-8")
+    ).hexdigest()[:16]
+
+
 def versioned_stream_writer(stream_df: DataFrame, path: str, checkpoint: str):
     """writeStream -> versioned table with exactly-once appends: each
     micro-batch commits one snapshot tagged (queryId, batchId), so a batch
@@ -418,10 +476,7 @@ def versioned_stream_writer(stream_df: DataFrame, path: str, checkpoint: str):
     Returns the started StreamingQuery."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # queryId is stable across restarts from the same checkpoint
-        qid = batch_df.sparkSession.conf.get(
-            "spark.sql.streaming.queryId", "query"
-        )
+        qid = streaming_txn_tag(batch_df, checkpoint)
         append_snapshot_idempotent(batch_df, path, f"{qid}-{batch_id}")
 
     return (
@@ -472,16 +527,24 @@ def merge_snapshot(
         *[F.coalesce(F.col(f"u.{x}"), F.col(f"c.{x}")).alias(x) for x in val_cols],
     ).select(*cols)
 
-    # presence flags via a marker column carried through the outer join
+    # presence flags via a marker column carried through the outer join.
+    # CDF coherence with the merged table: the committed row state is
+    # coalesce(u.x, c.x) (a NULL in an update keeps the old value), so the
+    # change feed must emit the SAME merged values as update_postimage and
+    # judge "changed" by the merged value vs the old one — never the update's
+    # raw (possibly NULL) fields, which could disagree with the table.
     c2 = cur.withColumn("_c_present", F.lit(1)).alias("c")
     u2 = updates.select(*cols).withColumn("_u_present", F.lit(1)).alias("u")
     j2 = c2.join(u2, key_cols, "full_outer")
+    merged_val = {
+        x: F.coalesce(F.col(f"u.{x}"), F.col(f"c.{x}")) for x in val_cols
+    }
     changed_pred = F.lit(False)
     for x in val_cols:
-        changed_pred = changed_pred | ~F.col(f"u.{x}").eqNullSafe(F.col(f"c.{x}"))
+        changed_pred = changed_pred | ~merged_val[x].eqNullSafe(F.col(f"c.{x}"))
     changes = j2.filter(F.col("_u_present").isNotNull()).select(
         *key_cols,
-        *[F.col(f"u.{x}").alias(x) for x in val_cols],
+        *[merged_val[x].alias(x) for x in val_cols],
         F.when(F.col("_c_present").isNull(), F.lit("insert"))
         .when(changed_pred, F.lit("update_postimage"))
         .otherwise(F.lit(None))

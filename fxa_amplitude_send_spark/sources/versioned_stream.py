@@ -56,6 +56,11 @@ class _VersionedStreamReader(DataSourceStreamReader):
         # cap versions per micro-batch so a long-idle consumer catches up in
         # bounded batches instead of one giant one
         self.max_versions = int(options.get("maxVersionsPerBatch", "10"))
+        # startingVersion=N skips history: the feed begins AFTER version N
+        # (first batch covers N+1..). Only consulted for a fresh checkpoint
+        # (initialOffset); restarts resume from the checkpointed offset.
+        self.start_version = int(options.get("startingVersion", "0"))
+        self._cursor = self.start_version
 
     def _current(self) -> int:
         cur = os.path.join(self.path, "_manifests", "CURRENT")
@@ -72,21 +77,24 @@ class _VersionedStreamReader(DataSourceStreamReader):
             return json.load(fh)
 
     def initialOffset(self):
-        # start of the change feed: before version 1 (reads the table's
-        # entire history; pass startingVersion to skip ahead)
-        return {"version": 0}
+        # start of the change feed: before version startingVersion+1
+        # (default 0 = the table's entire history)
+        return {"version": self.start_version}
 
     def latestOffset(self):
         # monotonic: CURRENT only moves forward (commits are append-only
-        # renames), capped to bound batch size after long idle periods
-        cur = getattr(self, "_cursor", 0)
+        # renames), capped to bound batch size after long idle periods.
+        # _cursor re-syncs from every Spark-provided offset (partitions /
+        # commit), so after a checkpoint restart it catches up on the first
+        # planned batch instead of replaying from 0.
+        cur = self._cursor
         latest = min(self._current(), cur + self.max_versions)
         self._cursor = max(cur, latest)
         return {"version": self._cursor}
 
     def partitions(self, start, end):
         lo, hi = start["version"], end["version"]
-        self._cursor = max(getattr(self, "_cursor", 0), hi)
+        self._cursor = max(self._cursor, lo, hi)
         parts = []
         for v in range(lo + 1, hi + 1):
             m = self._manifest(v)
@@ -123,7 +131,7 @@ class _VersionedStreamReader(DataSourceStreamReader):
             yield out
 
     def commit(self, end):
-        self._cursor = max(getattr(self, "_cursor", 0), end["version"])
+        self._cursor = max(self._cursor, end["version"])
 
     def stop(self):
         pass

@@ -73,11 +73,15 @@ def dedup_ingest_stream(stream_docs: DataFrame, table_path: str, index_path: str
     under a (queryId, batchId) transaction id. Checkpoint-restart replays
     at most the last uncommitted batch, which the txn guard absorbs."""
 
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        qid = batch_df.sparkSession.conf.get("spark.sql.streaming.queryId", "q")
-        ingest_batch(batch_df, table_path, index_path, f"{qid}-{batch_id}")
-
     checkpoint = table_path + "_ingest_ckpt"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        # query-scoped tag (real queryId local property, or checkpoint hash)
+        # — see sinks/versioned.streaming_txn_tag for why conf.get won't do
+        from ..sinks.versioned import streaming_txn_tag
+
+        qid = streaming_txn_tag(batch_df, checkpoint)
+        ingest_batch(batch_df, table_path, index_path, f"{qid}-{batch_id}")
     return (
         stream_docs.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint)

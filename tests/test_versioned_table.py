@@ -436,3 +436,183 @@ def test_zorder_compaction_improves_manifest_pruning(spark, sf_smoke, tmp_path):
     pred_b = ("o_custkey", cmin, cmin + (cmax - cmin) // 8)
     s2_b, _ = pruned_file_count(path, pred_b, version=2)
     assert s2_b < t2, "z-ordered layout must prune the second dimension too"
+
+
+def test_vacuum_after_merge_retains_cdf_change_files(spark, base, tmp_path):
+    """Round-5 ADVICE (high): change files live under 'changes' (not 'files'),
+    but they are part of a retained version's readable surface — vacuum must
+    never delete the CDF files of a version it retains."""
+    from pyspark.sql import functions as F
+
+    from fxa_amplitude_send_spark.sinks.versioned import merge_snapshot
+    from fxa_amplitude_send_spark.sources.versioned_stream import (
+        VersionedTableDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableDataSource)
+    path = str(tmp_path / "t")
+    write_snapshot(base, path)  # v1
+    updates = base.filter("n_nationkey < 2").withColumn(
+        "n_name", F.concat(F.col("n_name"), F.lit("_Y"))
+    )
+    merge_snapshot(spark, path, updates, ["n_nationkey"])  # v2 (has changes)
+    append_snapshot(base.limit(3), path)  # v3
+
+    deleted = vacuum(path, retain_versions=2)  # keep v2, v3
+    # v2's change files must all survive
+    chg = snapshot_info(path, 2)["changes"]
+    assert chg, "merge version must record change files"
+    for rel in chg:
+        assert os.path.exists(os.path.join(path, rel)), f"vacuum deleted CDF file {rel}"
+    assert all(rel not in deleted for rel in chg)
+    # and a CDF stream over the retained window still works end-to-end
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("versioned_table").option("path", path)
+        .option("readChangeFeed", "true").option("startingVersion", "1").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck")).start()
+    )
+    q.processAllAvailable(); q.stop()
+    cdf = spark.read.parquet(out)
+    assert cdf.filter("_change_type = 'update_postimage'").count() == 2
+
+
+def test_merge_cdf_postimage_matches_committed_state(spark, tmp_path):
+    """Round-5 ADVICE (medium): a NULL in an update keeps the old value
+    (coalesce semantics) — the change feed must agree with the table: no
+    phantom NULL postimages, and postimage rows equal the committed rows."""
+    from fxa_amplitude_send_spark.sinks.versioned import merge_snapshot
+
+    path = str(tmp_path / "t")
+    schema = "k bigint, a string, b string"
+    cur = spark.createDataFrame(
+        [(1, "a1", "b1"), (2, "a2", "b2"), (3, "a3", "b3")], schema
+    )
+    write_snapshot(cur, path)  # v1
+    updates = spark.createDataFrame(
+        [
+            (1, None, None),      # all-NULL update: keeps old row → NOT in feed
+            (2, None, "b2_new"),  # partial: 'a' kept, 'b' changed
+            (4, "a4", None),      # insert with a NULL field
+        ],
+        schema,
+    )
+    merge_snapshot(spark, path, updates, ["k"])  # v2
+
+    table = {r["k"]: (r["a"], r["b"]) for r in read_snapshot(spark, path).collect()}
+    assert table[1] == ("a1", "b1")          # all-NULL update is a no-op
+    assert table[2] == ("a2", "b2_new")      # NULL field keeps old value
+    assert table[4] == ("a4", None)
+
+    chg_paths = [os.path.join(path, p) for p in snapshot_info(path, 2)["changes"]]
+    feed = {r["k"]: r for r in spark.read.parquet(*chg_paths).collect()}
+    assert 1 not in feed, "no-op (all-NULL) update must not enter the feed"
+    assert feed[2]["_change_type"] == "update_postimage"
+    # the postimage must be the COMMITTED merged values, not the raw update
+    assert (feed[2]["a"], feed[2]["b"]) == table[2]
+    assert feed[4]["_change_type"] == "insert"
+    assert (feed[4]["a"], feed[4]["b"]) == table[4]
+
+
+def test_concurrent_committers_exactly_one_wins(spark, base, tmp_path):
+    """Round-5 ADVICE (medium) + VERDICT item 7: two writers racing from the
+    same parent — exclusive manifest creation makes exactly one win version
+    N; the winner's manifest is never clobbered; the loser retries cleanly
+    against the new parent."""
+    import json as _json
+
+    from fxa_amplitude_send_spark.sinks.versioned import (
+        _commit,
+        _manifest_path,
+        _read_manifest,
+        _stage_data_files,
+    )
+
+    path = str(tmp_path / "t")
+    write_snapshot(base.filter("n_nationkey < 20"), path)  # v1: 20 rows
+    parent = current_version(path)
+
+    # both writers observe parent=1 and stage their data before committing
+    df_a = base.filter("n_nationkey = 20")
+    df_b = base.filter("n_nationkey = 21")
+    files_a = _stage_data_files(df_a, path)
+    files_b = _stage_data_files(df_b, path)
+    prev = _read_manifest(path, parent)
+
+    va = _commit(path, prev["files"] + files_a, prev["n_rows"] + 1,
+                 prev["schema"], parent, appended=files_a)
+    assert va == 2
+    with open(_manifest_path(path, 2)) as fh:
+        winner_manifest = fh.read()
+
+    # writer B commits from the SAME stale parent → must fail, not clobber
+    with pytest.raises(RuntimeError, match="concurrent"):
+        _commit(path, prev["files"] + files_b, prev["n_rows"] + 1,
+                prev["schema"], parent, appended=files_b)
+    with open(_manifest_path(path, 2)) as fh:
+        assert fh.read() == winner_manifest, "loser clobbered the winner's manifest"
+
+    # loser's retry against the refreshed parent lands cleanly
+    parent2 = current_version(path)
+    prev2 = _read_manifest(path, parent2)
+    vb = _commit(path, prev2["files"] + files_b, prev2["n_rows"] + 1,
+                 prev2["schema"], parent2, appended=files_b)
+    assert vb == 3
+    assert _ids(read_snapshot(spark, path)) == _ids(base.filter("n_nationkey < 22"))
+    mf = _json.loads(open(_manifest_path(path, 3)).read())
+    assert mf["parent"] == 2
+
+
+def test_streaming_txn_tag_distinct_per_checkpoint(spark, base, tmp_path):
+    """Round-5 ADVICE (medium): txn tags must be query-scoped. Two queries
+    (distinct checkpoints) producing the same batchId must BOTH commit; a
+    replay under the same checkpoint must still be recognized."""
+    from fxa_amplitude_send_spark.sinks.versioned import (
+        append_snapshot_idempotent,
+        streaming_txn_tag,
+    )
+
+    ck1, ck2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
+    t1a = streaming_txn_tag(base, ck1)
+    t1b = streaming_txn_tag(base, ck1)
+    t2 = streaming_txn_tag(base, ck2)
+    assert t1a == t1b, "tag must be stable across restarts of the same query"
+    assert t1a != t2, "distinct queries must get distinct tags"
+    with pytest.raises(ValueError, match="checkpoint"):
+        streaming_txn_tag(base, "")
+
+    path = str(tmp_path / "t")
+    # query 1, batch 0 and a replayed batch 0
+    append_snapshot_idempotent(base.limit(5), path, f"{t1a}-0")
+    v_after_replay = append_snapshot_idempotent(base.limit(5), path, f"{t1a}-0")
+    assert v_after_replay == 1 and read_snapshot(spark, path).count() == 5
+    # query 2, batch 0 — same batchId, different query: MUST land
+    v2 = append_snapshot_idempotent(base.limit(3), path, f"{t2}-0")
+    assert v2 == 2 and read_snapshot(spark, path).count() == 8
+
+
+def test_versioned_stream_starting_version(spark, base, tmp_path):
+    """Round-5 ADVICE (low): startingVersion=N skips history — the feed
+    begins after version N."""
+    from fxa_amplitude_send_spark.sources.versioned_stream import (
+        VersionedTableDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableDataSource)
+    path = str(tmp_path / "t")
+    write_snapshot(base.filter("n_nationkey < 10"), path)   # v1: 10 rows
+    append_snapshot(base.filter("n_nationkey >= 10 and n_nationkey < 20"), path)  # v2
+    append_snapshot(base.filter("n_nationkey >= 20"), path)  # v3: 5 rows
+
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("versioned_table").option("path", path)
+        .option("startingVersion", "2").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck")).start()
+    )
+    q.processAllAvailable(); q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == 5
+    assert _ids(got) == _ids(base.filter("n_nationkey >= 20"))
