@@ -146,6 +146,12 @@ def brute_force_topk(
     )
 
 
+#: brute_force_topk_many collects the query set to the driver; above this
+#: many queries the closure-shipped matrix stops being "bounded evaluation
+#: sample"-sized and the caller should batch queries or use the ANN paths.
+MAX_COLLECTED_QUERIES = 10_000
+
+
 def brute_force_topk_many(
     emb: DataFrame,
     queries: DataFrame,
@@ -154,6 +160,7 @@ def brute_force_topk_many(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "qvec",
+    max_queries: int = MAX_COLLECTED_QUERIES,
 ) -> DataFrame:
     """Exact cosine top-k for MANY queries — blocked matrix multiply.
 
@@ -168,6 +175,17 @@ def brute_force_topk_many(
     import numpy as np
     from pyspark.sql import Window
 
+    # Enforce the "bounded query set" premise instead of silently OOMing the
+    # driver: limit()+1 makes the check itself cost O(max_queries), never a
+    # full materialization of an unexpectedly huge query frame.
+    probe = queries.select(query_id_col).limit(max_queries + 1).count()
+    if probe > max_queries:
+        raise ValueError(
+            f"brute_force_topk_many: query set exceeds max_queries="
+            f"{max_queries}; it is collected to the driver and shipped in "
+            "the scan closure, so batch the queries or use an ANN path "
+            "(ann_topk/ivf_topk) for query sets this large"
+        )
     qrows = sorted(
         queries.select(query_id_col, query_vec_col).collect(), key=lambda r: r[0]
     )

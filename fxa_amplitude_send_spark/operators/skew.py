@@ -79,3 +79,45 @@ def salted_join(
     ).withColumn("_salt", F.col("_salt").cast("bigint"))
     out = left.join(right, on=[on, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def cap_basket(
+    df: DataFrame,
+    basket_key: str | list[str],
+    order_cols: list[str],
+    cap: int,
+) -> DataFrame:
+    """Bound basket size before a quadratic intra-basket operation
+    (pair-generation self-joins: co-purchase, edge building).
+
+    A self-join on a basket key fans out Σ basket_size² — fine when baskets
+    are bounded (TPC-H orders hold ≤7 lines) but a single pathological
+    basket (a null/default key aggregating millions of members in a real
+    100 TB corpus) turns into one quadratic straggler task. This guard keeps
+    at most ``cap`` members per basket, chosen DETERMINISTICALLY (the first
+    ``cap`` under ``order_cols``), so:
+
+    - results are exactly unchanged whenever cap >= the true max basket size
+      (property-tested), making a generous cap a pure safety net;
+    - a hub basket contributes at most cap² pairs instead of size² — task
+      time is bounded by the cap, not the skew;
+    - the row_number window shuffles on the SAME key as the downstream
+      self-join, so the exchange is reused — no extra shuffle in the plan.
+
+    Deliberately a truncation, not a salt: intra-basket pair generation
+    needs all pair partners co-located, so salting would have to replicate
+    each bucket against every other (cap²/bucket² tasks) — heavier than
+    capping and still quadratic in total. For baskets where the full
+    quadratic output is genuinely wanted, raise the cap.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    from pyspark.sql import Window
+
+    keys = [basket_key] if isinstance(basket_key, str) else list(basket_key)
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        df.withColumn("_basket_rn", F.row_number().over(w))
+        .filter(F.col("_basket_rn") <= cap)
+        .drop("_basket_rn")
+    )

@@ -40,6 +40,23 @@ _EDGE_SQL = """
 """
 
 
+#: rows per partition for graph-sized iteration stages: small enough that a
+#: partition's join+agg state fits comfortably in executor memory, large
+#: enough that a 625-edge nation graph collapses to a single task.
+GRAPH_ROWS_PER_PARTITION = 1_000_000
+
+
+def graph_stage_partitions(
+    n_edges: int, rows_per_partition: int = GRAPH_ROWS_PER_PARTITION
+) -> int:
+    """Partition target for iterative graph stages, derived from the edge
+    count: ceil(n_edges / rows_per_partition), min 1. The nation graph
+    (625 edges) gets 1 — iteration over a 64-partition exchange was pure
+    scheduling overhead — while a 50M-edge graph gets 50 tasks per
+    iteration instead of a single straggler."""
+    return max(1, -(-max(0, n_edges) // rows_per_partition))
+
+
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(src nation, dst nation, revenue weight) edge list. Fact-side joins
     keep lineitem's partitioning; nation/supplier are broadcast dims; the
@@ -161,12 +178,16 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # normalization, node set, all three iterations — derives from it, so
     # the fact-scale join+aggregation materializes exactly once per call
     # (uncached, the en subtree and the nodes.count() subtree each re-ran
-    # the full edge build). coalesce(1) right-sizes the iteration stages to
-    # the GRAPH's cardinality, not the fact table's shuffle-partition conf —
-    # 3 iterations over 625 rows across 64-partition exchanges was pure
-    # scheduling overhead (measured 4.1s → ~1s at sf0.1). A million-node
-    # graph raises the coalesce target, not the algorithm.
-    e = _trade_edges(spark, sf_dir).coalesce(1).cache()
+    # the full edge build). The coalesce right-sizes the iteration stages
+    # to the GRAPH's cardinality, not the fact table's shuffle-partition
+    # conf — 3 iterations over 625 rows across 64-partition exchanges was
+    # pure scheduling overhead (measured 4.1s → ~1s at sf0.1). The target
+    # is DERIVED from the edge count (graph_stage_partitions), so a
+    # million-edge graph automatically gets proportionally more partitions
+    # — the count is read from the cache forced below, never a second scan.
+    e0 = _trade_edges(spark, sf_dir).cache()
+    n_edges = e0.count()  # forces the single cached materialization
+    e = e0.coalesce(graph_stage_partitions(n_edges))
     d = 0.85
     outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
     en = e.join(outw, "src").select(
@@ -177,7 +198,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(e.select(F.col("dst").alias("n")))
         .distinct()
     )
-    n_nodes = nodes.count()  # forces the single cached materialization
+    n_nodes = nodes.count()
     ranks = nodes.select("n", F.lit(1.0 / n_nodes).alias("r"))
     for _ in range(3):
         contrib = (
@@ -230,10 +251,23 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     out-neighbors, close them with one equi-join. Degree orientation bounds
     every node's out-degree by O(sqrt(|E|)) on skewed graphs — the hub that
     would generate deg² wedges under id-ordering generates almost none —
-    which is what keeps the wedge fan-out tractable at 100 TB. The oracle
-    states the same triangle set with the naive id-ordered 3-way self-join;
-    identical per-node counts from two different algorithms is the check."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    which is what keeps the wedge fan-out tractable at 100 TB. The basket
+    self-join that builds the edge list carries the same Σ basket² skew
+    hazard as q_copurchase_pairs, so the same cap_basket guard truncates
+    pathological baskets first (no-op on TPC-H's ≤7-line orders,
+    property-tested; the guard's window rides the self-join's own
+    l_orderkey shuffle). The oracle states the same triangle set with the
+    naive id-ordered 3-way self-join; identical per-node counts from two
+    different algorithms is the check."""
+    from ..operators.skew import cap_basket
+    from .relational import BASKET_PAIR_CAP
+
+    li = cap_basket(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+        ["l_partkey"],
+        BASKET_PAIR_CAP,
+    )
     a, b = li.alias("a"), li.alias("b")
     edges = (
         a.join(

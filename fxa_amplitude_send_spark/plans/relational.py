@@ -4271,6 +4271,13 @@ def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Σ basket² guard for pair-generation self-joins: baskets above this size
+#: are deterministically truncated (operators/skew.cap_basket). 256 is far
+#: above any real order's line count (zero effect here, property-tested)
+#: while bounding a pathological 100 TB hub basket to 256²/2 pairs per task.
+BASKET_PAIR_CAP = 256
+
+
 @query(
     "q_copurchase_pairs",
     oracle="""
@@ -4288,12 +4295,20 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all orders, top-20 — the market-basket co-occurrence primitive behind
     recommendations and association-rule mining. The pair generator is a
     SELF-JOIN ON THE BASKET KEY (l_orderkey) with an anti-symmetric
-    part-key predicate, so fan-out is Σ basket_size² — bounded because
-    TPC-H baskets hold ≤7 lines (at 100 TB, cap or sample pathological
-    baskets first; the join stays a single shuffle on the basket key
-    either way). Top-20 by the unique (count, part_a, part_b) key
-    compiles to TakeOrderedAndProject."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part-key predicate, so fan-out is Σ basket_size² — bounded two ways:
+    TPC-H baskets hold ≤7 lines, AND cap_basket truncates any pathological
+    basket at BASKET_PAIR_CAP members first (its row_number window rides
+    the same l_orderkey shuffle the self-join needs, so the guard adds no
+    exchange). Top-20 by the unique (count, part_a, part_b) key compiles
+    to TakeOrderedAndProject."""
+    from ..operators.skew import cap_basket
+
+    li = cap_basket(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+        ["l_partkey"],
+        BASKET_PAIR_CAP,
+    )
     a = li.alias("a")
     b = li.alias("b")
     return (

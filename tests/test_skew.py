@@ -53,3 +53,94 @@ def test_salted_join_matches_plain(spark, sf_smoke):
         salt_buckets=4,
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_cap_basket_noop_when_cap_above_max(spark, sf_smoke):
+    """Property (VERDICT r4 item 2): capping above the true max basket size
+    is an exact no-op — same rows, so every downstream pair/aggregate hash
+    is preserved."""
+    from fxa_amplitude_send_spark.operators.skew import cap_basket
+
+    li = load_table(spark, sf_smoke, "lineitem").select("l_orderkey", "l_partkey")
+    max_basket = (
+        li.groupBy("l_orderkey").count().agg(F.max("count")).collect()[0][0]
+    )
+    from fxa_amplitude_send_spark.plans.relational import BASKET_PAIR_CAP
+
+    # the production cap must sit above every real basket → pure safety net
+    assert max_basket < BASKET_PAIR_CAP
+    capped = cap_basket(li, "l_orderkey", ["l_partkey"], cap=max_basket)
+    assert capped.count() == li.count()
+    assert capped.exceptAll(li).count() == 0 and li.exceptAll(capped).count() == 0
+
+
+def test_cap_basket_bounds_pathological_basket(spark):
+    """One synthetic 10k-line hub basket: the capped self-join generates at
+    most cap*(cap-1)/2 pairs for it instead of ~5*10^7 — the quadratic
+    straggler is bounded by the cap, not the skew."""
+    from fxa_amplitude_send_spark.operators.skew import cap_basket
+
+    rows = [(1, i) for i in range(10_000)] + [(2, i) for i in range(5)]
+    df = spark.createDataFrame(rows, "basket bigint, item bigint")
+    capped = cap_basket(df, "basket", ["item"], cap=64)
+    sizes = {r["basket"]: r["n"] for r in
+             capped.groupBy("basket").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {1: 64, 2: 5}
+    # deterministic truncation: the FIRST 64 under the order column
+    kept = sorted(r["item"] for r in capped.filter("basket = 1").collect())
+    assert kept == list(range(64))
+    a, b = capped.alias("a"), capped.alias("b")
+    n_pairs = a.join(
+        b,
+        (F.col("a.basket") == F.col("b.basket"))
+        & (F.col("a.item") < F.col("b.item")),
+    ).count()
+    assert n_pairs == 64 * 63 // 2 + 5 * 4 // 2
+
+
+def test_cap_basket_rejects_bad_cap(spark):
+    import pytest as _pytest
+
+    from fxa_amplitude_send_spark.operators.skew import cap_basket
+
+    df = spark.createDataFrame([(1, 1)], "basket bigint, item bigint")
+    with _pytest.raises(ValueError, match="cap"):
+        cap_basket(df, "basket", ["item"], cap=0)
+
+
+def test_graph_stage_partitions_scales_with_edges(spark):
+    """VERDICT r4 item 5: iteration-stage sizing is derived from the edge
+    count — a small graph collapses to 1 partition, a big one gets more."""
+    from fxa_amplitude_send_spark.plans.graph import graph_stage_partitions
+
+    assert graph_stage_partitions(625) == 1
+    assert graph_stage_partitions(1_000_000) == 1
+    assert graph_stage_partitions(1_000_001) == 2
+    assert graph_stage_partitions(50_000_000) == 50
+    assert graph_stage_partitions(0) == 1
+    # end-to-end: a synthetic edge list larger than rows_per_partition keeps
+    # >1 partition through the coalesce that sizes iteration stages
+    edges = spark.range(10_000).selectExpr("id AS src", "id + 1 AS dst")
+    target = graph_stage_partitions(10_000, rows_per_partition=4096)
+    assert target == 3
+    assert edges.repartition(32).coalesce(target).rdd.getNumPartitions() == 3
+
+
+def test_brute_force_topk_many_refuses_oversized_query_set(spark):
+    """VERDICT r4 item 4: the driver-collect is bounded — an oversized query
+    set raises instead of silently OOMing the driver."""
+    import pytest as _pytest
+
+    from fxa_amplitude_send_spark.operators.similarity import brute_force_topk_many
+
+    emb = spark.range(10).selectExpr(
+        "id AS vec_id", "array(cast(id AS float), 1.0F) AS embedding"
+    )
+    queries = spark.range(50).selectExpr(
+        "id AS query_id", "array(cast(id AS float), 1.0F) AS qvec"
+    )
+    with _pytest.raises(ValueError, match="max_queries"):
+        brute_force_topk_many(emb, queries, k=2, max_queries=49)
+    # at the bound it still runs
+    out = brute_force_topk_many(emb, queries, k=2, max_queries=50)
+    assert out.groupBy("query_id").count().filter("count > 2").count() == 0
