@@ -42,6 +42,16 @@ def main() -> None:
     from fxa_amplitude_send_spark.plans import all_queries
 
     queries = all_queries()
+    # SPARK_GRAFT_ONLY="a,b,c" restricts the run (scale-slope studies at
+    # other SFs); subset runs skip the trend CSV so they can't pollute the
+    # full-registry trend, and write results to SPARK_GRAFT_BENCH_OUT if set.
+    only = os.environ.get("SPARK_GRAFT_ONLY", "")
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = wanted - queries.keys()
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_ONLY: unknown queries {sorted(unknown)}")
+        queries = {n: queries[n] for n in wanted}
 
     def run_once(fn) -> float:
         t0 = time.perf_counter()
@@ -78,7 +88,10 @@ def main() -> None:
         "method": "best_of_2_noop_sink",
         "wall_seconds": wall,
     }
-    with open(os.path.join(REPO, "bench_results.json"), "w") as fh:
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", os.path.join(REPO, "bench_results.json")
+    )
+    with open(out_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
 
     # Trend artifact: per-query seconds across every recorded round
@@ -87,29 +100,30 @@ def main() -> None:
     # regression is a one-line diff instead of a JSON-tail excavation.
     import glob
 
-    cols: list[tuple[str, dict]] = []
-    for p in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
-        try:
-            with open(p) as fh:
-                rec = json.load(fh)
-            # driver snapshots wrap the bench line under "parsed"
-            q = (rec.get("parsed") or rec).get("queries")
-            if isinstance(q, dict):
-                cols.append((os.path.basename(p).removesuffix(".json"), q))
-        except (OSError, ValueError, AttributeError):
-            continue
-    cols.append(("current", timings))
-    os.makedirs(os.path.join(REPO, "evidence"), exist_ok=True)
-    names = sorted({n for _, q in cols for n in q})
-    with open(os.path.join(REPO, "evidence", "bench_trend.csv"), "w") as fh:
-        fh.write("query," + ",".join(c for c, _ in cols) + "\n")
-        for n in names:
-            fh.write(
-                n
-                + ","
-                + ",".join("" if n not in q else str(q[n]) for _, q in cols)
-                + "\n"
-            )
+    if not only:  # subset runs must not rewrite the full-registry trend
+        cols: list[tuple[str, dict]] = []
+        for p in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
+            try:
+                with open(p) as fh:
+                    rec = json.load(fh)
+                # driver snapshots wrap the bench line under "parsed"
+                q = (rec.get("parsed") or rec).get("queries")
+                if isinstance(q, dict):
+                    cols.append((os.path.basename(p).removesuffix(".json"), q))
+            except (OSError, ValueError, AttributeError):
+                continue
+        cols.append(("current", timings))
+        os.makedirs(os.path.join(REPO, "evidence"), exist_ok=True)
+        names = sorted({n for _, q in cols for n in q})
+        with open(os.path.join(REPO, "evidence", "bench_trend.csv"), "w") as fh:
+            fh.write("query," + ",".join(c for c, _ in cols) + "\n")
+            for n in names:
+                fh.write(
+                    n
+                    + ","
+                    + ",".join("" if n not in q else str(q[n]) for _, q in cols)
+                    + "\n"
+                )
 
     slowest = dict(
         sorted(

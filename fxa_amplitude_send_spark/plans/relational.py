@@ -49,9 +49,7 @@ def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_filter_pred",
-    oracle="""
+_FILTER_PRED_SQL = """
     SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
     FROM lineitem
     WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01' AND TIMESTAMP '1995-12-31'
@@ -59,19 +57,20 @@ def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_quantity < 24
       AND l_returnflag IN ('A', 'R')
       AND l_linestatus LIKE 'F%'
-    """,
-)
+"""
+
+
+@query("q_filter_pred", oracle=_FILTER_PRED_SQL)
 def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive predicates: BETWEEN / IN / LIKE / comparison — all pushed
-    to the parquet scan (PushedFilters in explain)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.filter(
-        F.col("l_shipdate").between("1994-01-01", "1995-12-31")
-        & F.col("l_discount").between(0.02, 0.08)
-        & (F.col("l_quantity") < 24)
-        & F.col("l_returnflag").isin("A", "R")
-        & F.col("l_linestatus").like("F%")
-    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
+    to the parquet scan (PushedFilters in explain, plan-asserted). Rides the
+    SQL-TEXT door: the identical string is the engine query AND the DuckDB
+    oracle (sql_api.py), so no translation step can hide a semantic gap —
+    and the pushdown assertions prove spark.sql text gets the same scan-level
+    optimization as the DataFrame form did."""
+    from ..sql_api import run_sql
+
+    return run_sql(spark, sf_dir, _FILTER_PRED_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -253,9 +252,7 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "q_agg_group",
-    oracle="""
+_AGG_GROUP_SQL = """
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2) AS sum_qty,
            ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
@@ -273,32 +270,26 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
-    """,
-)
+"""
+
+
+@query("q_agg_group", oracle=_AGG_GROUP_SQL)
 def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1: the canonical hash aggregate. Spark does partial (map-side)
     + final aggregation automatically; with 4 groups the reduce side is tiny
-    at any scale — the map-side combine is what makes this 100 TB-safe.
+    at any scale — the map-side combine is what makes this 100 TB-safe
+    (plan-asserted: two HashAggregate nodes around one Exchange).
 
-    The 4/6-decimal money sums aggregate in exact DECIMAL and cast to double
-    at the end: at sf0.1 the charge sum's magnitude (2.8e9) already puts the
-    double ULP at the 6th decimal, so float summation order would make the
-    last digit engine-dependent — decimal aggregation is order-independent
-    at every scale."""
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
-    price_d = F.col("l_extendedprice").cast("decimal(12,2)")
-    one_minus_disc = F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
-    one_plus_tax = F.lit(1).cast("decimal(4,2)") + F.col("l_tax").cast("decimal(4,2)")
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.sum(price_d * one_minus_disc).cast("double").alias("sum_disc_price"),
-        F.sum(price_d * one_minus_disc * one_plus_tax).cast("double").alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-        F.count(F.lit(1)).alias("count_order"),
-    )
+    Rides the SQL-TEXT door: one dialect-portable string is both the engine
+    query and the DuckDB oracle (sql_api.py). The 4/6-decimal money sums
+    aggregate in exact DECIMAL and cast to double at the end: at sf0.1 the
+    charge sum's magnitude (2.8e9) already puts the double ULP at the 6th
+    decimal, so float summation order would make the last digit
+    engine-dependent — decimal aggregation is order-independent at every
+    scale."""
+    from ..sql_api import run_sql
+
+    return run_sql(spark, sf_dir, _AGG_GROUP_SQL)
 
 
 @query(
@@ -1066,9 +1057,7 @@ def q_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_tpch_q3",
-    oracle="""
+_TPCH_Q3_SQL = """
     SELECT l.l_orderkey,
            ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
            o.o_orderdate, o.o_orderpriority
@@ -1081,33 +1070,23 @@ def q_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
     ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
     LIMIT 10
-    """,
-)
+    """
+
+
+@query("q_tpch_q3", oracle=_TPCH_Q3_SQL)
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 (shipping priority): selective filters pushed to all three
     scans, join order customer→orders→lineitem (small→large), top-10 via
-    TakeOrderedAndProject with full tiebreak."""
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
-    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
-    return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
-        )
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
-        .limit(10)
-    )
+    TakeOrderedAndProject with full tiebreak.
 
+    Rides the SQL-TEXT door: the identical dialect-portable string is
+    the engine query (spark.sql) and the DuckDB oracle (sql_api.py) —
+    the strongest differential form, with no translation step."""
+    from ..sql_api import run_sql
 
-@query(
-    "q_tpch_q10",
-    oracle="""
+    return run_sql(spark, sf_dir, _TPCH_Q3_SQL)
+
+_TPCH_Q10_SQL = """
     SELECT c.c_custkey, c.c_name,
            ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
            n.n_name
@@ -1121,32 +1100,20 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c.c_custkey, c.c_name, n.n_name
     ORDER BY revenue DESC, c.c_custkey
     LIMIT 20
-    """,
-)
+    """
+
+
+@query("q_tpch_q10", oracle=_TPCH_Q10_SQL)
 def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 (returned-item reporting): quarter filter + returnflag
-    filter at the scans, broadcast nation, top-20."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= "1995-10-01") & (F.col("o_orderdate") < "1996-01-01")
-    )
-    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    n = _t(spark, sf_dir, "nation")
-    return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
-        )
-        .select("c_custkey", "c_name", "revenue", "n_name")
-        .orderBy(F.col("revenue").desc(), "c_custkey")
-        .limit(20)
-    )
+    filter at the scans, broadcast nation, top-20.
 
+    Rides the SQL-TEXT door: the identical dialect-portable string is
+    the engine query (spark.sql) and the DuckDB oracle (sql_api.py) —
+    the strongest differential form, with no translation step."""
+    from ..sql_api import run_sql
+
+    return run_sql(spark, sf_dir, _TPCH_Q10_SQL)
 
 @query(
     "q_window_nth",
@@ -2410,9 +2377,7 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_tpch_q12",
-    oracle="""
+_TPCH_Q12_SQL = """
     SELECT l.l_returnflag AS shipmode_proxy,
            CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
                          THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
@@ -2423,28 +2388,21 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l.l_shipdate < TIMESTAMP '1996-01-01'
       AND l.l_linestatus = 'F'
     GROUP BY l.l_returnflag
-    """,
-)
+    """
+
+
+@query("q_tpch_q12", oracle=_TPCH_Q12_SQL)
 def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape (shipping modes & priority): join + conditional
     aggregation (CASE inside SUM). The synthetic schema lacks l_shipmode, so
-    l_returnflag stands in as the grouping proxy."""
-    o = _t(spark, sf_dir, "orders")
-    l = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1995-01-01")
-        & (F.col("l_shipdate") < "1996-01-01")
-        & (F.col("l_linestatus") == "F")
-    )
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy(F.col("l_returnflag").alias("shipmode_proxy"))
-        .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
-        )
-    )
+    l_returnflag stands in as the grouping proxy.
 
+    Rides the SQL-TEXT door: the identical dialect-portable string is
+    the engine query (spark.sql) and the DuckDB oracle (sql_api.py) —
+    the strongest differential form, with no translation step."""
+    from ..sql_api import run_sql
+
+    return run_sql(spark, sf_dir, _TPCH_Q12_SQL)
 
 # ---------------------------------------------------------------------------
 # TPC-H composites, second batch (Q7/Q8/Q13/Q14/Q15/Q17/Q18/Q19/Q21/Q22

@@ -202,11 +202,30 @@ def running_user_totals_v2(events: DataFrame, key_col: str = "user_id") -> DataF
     TTL/timer for eviction of dormant keys (the v2 API's
     ``registerTimer``/``handleExpiredTimer`` replaces v1's timeoutConf).
     """
+    return events.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=make_running_totals_processor(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def make_running_totals_processor():
+    """Instantiate the v2 StatefulProcessor for running per-user totals.
+
+    Factored out of :func:`running_user_totals_v2` so its state-transition
+    logic is executable WITHOUT Spark's tws state server (which needs the
+    protobuf runtime, absent in some environments): the in-process harness
+    in tests/test_stateful_streaming.py drives init/handleInputRows/close
+    against a stub handle and checks the accumulated totals against the
+    batch ground truth — so the processor body is verified everywhere, and
+    only Spark's own wire machinery stays behind the protobuf gate.
+
+    The class is defined INSIDE this factory so cloudpickle serializes it
+    by value — executor Python workers don't have the repo package on
+    sys.path (executor pickling discipline)."""
     from pyspark.sql.streaming import StatefulProcessor
 
-    # the processor class is defined INSIDE this factory so cloudpickle
-    # serializes it by value — executor Python workers don't have the repo
-    # package on sys.path (executor pickling discipline)
     class _RunningTotals(StatefulProcessor):
         def init(self, handle):
             self._totals = handle.getValueState(
@@ -233,9 +252,4 @@ def running_user_totals_v2(events: DataFrame, key_col: str = "user_id") -> DataF
         def close(self):
             pass
 
-    return events.groupBy(key_col).transformWithStateInPandas(
-        statefulProcessor=_RunningTotals(),
-        outputStructType="user_id long, n_events long, total_value double",
-        outputMode="Update",
-        timeMode="None",
-    )
+    return _RunningTotals()

@@ -8,6 +8,15 @@ entry module by path exactly like a harness would, then:
      order-insensitive value hash over canonicalized rows.
 
 Usage: python tools/driver_sim.py [sf_dir]
+
+Scale-study knobs (all optional, default = full fidelity):
+  DRIVER_SIM_ONLY="a,b"   run only these queries
+  DRIVER_SIM_SKIP="a,b"   skip these queries (e.g. deliberately-quadratic
+                          ORACLES that are intractable above sf0.1 — the
+                          engine side stays scale-safe; it is DuckDB's
+                          reference formulation that explodes)
+  DRIVER_SIM_OUT=path     also write a JSON report with per-query status +
+                          spark/oracle wall seconds (slope evidence)
 """
 
 from __future__ import annotations
@@ -97,25 +106,38 @@ def main() -> int:
 
     queries = mod.queries()
     oracles = mod.oracle_sql()
+    only = {n for n in os.environ.get("DRIVER_SIM_ONLY", "").split(",") if n}
+    skip = {n for n in os.environ.get("DRIVER_SIM_SKIP", "").split(",") if n}
+    if only:
+        queries = {n: f for n, f in queries.items() if n in only}
+    if skip:
+        queries = {n: f for n, f in queries.items() if n not in skip}
     results = {}
+    timings: dict[str, dict] = {}
     n_match = n_rows_only = n_fail = 0
+    import time as _time
+
     for name in sorted(queries):
+        t0 = _time.perf_counter()
         try:
             sdf = queries[name](spark, sf_dir).toPandas()
         except Exception as exc:  # noqa: BLE001
             results[name] = f"SPARK ERROR: {exc}"
             n_fail += 1
             continue
+        timings[name] = {"spark_sec": round(_time.perf_counter() - t0, 3)}
         if name not in oracles:
             results[name] = f"rows-only ({len(sdf)} rows)"
             n_rows_only += 1
             continue
+        t1 = _time.perf_counter()
         try:
             ddf = con.execute(oracles[name]).fetchdf()
         except Exception as exc:  # noqa: BLE001
             results[name] = f"ORACLE ERROR: {exc}"
             n_fail += 1
             continue
+        timings[name]["oracle_sec"] = round(_time.perf_counter() - t1, 3)
         count_ok = len(sdf) == len(ddf)
         schema_ok = sorted(sdf.columns) == sorted(ddf.columns)
         hash_ok = schema_ok and value_hash(sdf) == value_hash(ddf)
@@ -131,11 +153,17 @@ def main() -> int:
 
     for name, status in sorted(results.items()):
         print(f"  {name:28s} {status}")
-    print(
-        json.dumps(
-            {"match": n_match, "rows_only": n_rows_only, "fail": n_fail, "sf_dir": sf_dir}
-        )
-    )
+    summary = {
+        "match": n_match, "rows_only": n_rows_only, "fail": n_fail, "sf_dir": sf_dir
+    }
+    out = os.environ.get("DRIVER_SIM_OUT")
+    if out:
+        with open(out, "w") as fh:
+            json.dump(
+                {"summary": summary, "results": results, "timings": timings},
+                fh, indent=1, sort_keys=True,
+            )
+    print(json.dumps(summary))
     return 1 if n_fail else 0
 
 
