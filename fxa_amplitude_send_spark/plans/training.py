@@ -622,3 +622,95 @@ def llm_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rank_in_tier"),
     )
+
+
+@query(
+    "llm_bm25",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tok2 AS (
+      SELECT doc_id, token FROM tok WHERE len(token) > 0
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY doc_id
+    ), stats AS (
+      SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n_total,
+             (SELECT AVG(CAST(dl AS DOUBLE)) FROM dl) AS avgdl
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok2
+      WHERE token IN ('hash', 'join', 'stream')
+      GROUP BY doc_id, token
+    ), dfreq AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), contrib AS (
+      SELECT tf.doc_id,
+             CAST(FLOOR(
+               LN((s.n_total - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+               * 1e6 + 0.5) AS BIGINT) AS c_micro
+      FROM tf
+      JOIN dfreq USING (token)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+    ), scored AS (
+      SELECT doc_id, SUM(c_micro) AS micro FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, ROUND(micro / 1e6, 6) AS bm25, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY micro DESC, doc_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 20
+    """,
+)
+def llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Okapi, k1=1.2, b=0.75) for the fixed query
+    {hash, join, stream} — the lexical-search scoring behind corpus search
+    and retrieval-based decontamination.
+
+    Scale: document length aggregates map-side per doc_id; term frequencies
+    are computed only for the query terms (the filter lands BEFORE the
+    (doc_id, token) aggregate, so the shuffled volume is O(matching tokens),
+    not O(corpus tokens)); document frequencies and the corpus stats join in
+    as broadcast scalars. Per-term contributions are fixed to an integer
+    micro-score grid (floor(x*1e6+0.5) as BIGINT) and summed EXACTLY, so the
+    ranking never depends on float summation order — the property that makes
+    a distributed top-k reproducible run-to-run and engine-to-engine.
+    """
+    k1, b = 1.2, 0.75
+    terms = ["hash", "join", "stream"]
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = docs.agg(F.count(F.lit(1)).cast("double").alias("n_total")).crossJoin(
+        dl.agg(F.avg(F.col("dl").cast("double")).alias("avgdl"))
+    )
+    tf = (
+        tok.filter(F.col("token").isin(*terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_total") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    denom = F.col("tf") + k1 * ((1 - b) + b * F.col("dl") / F.col("avgdl"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(idf * (F.col("tf") * (k1 + 1)) / denom * 1e6 + 0.5)
+            .cast("long")
+            .alias("c_micro"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(F.sum("c_micro").alias("micro"))
+    w = Window.orderBy(F.col("micro").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("doc_id", F.round(F.col("micro") / 1e6, 6).alias("bm25"), "rnk")
+    )
