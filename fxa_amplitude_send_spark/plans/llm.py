@@ -1589,3 +1589,60 @@ def llm_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("pca", lambda x: F.round(x, 5)).alias("pca16"),
         F.round(norm, 5).alias("pca_norm"),
     )
+
+
+@query(
+    "llm_hard_negatives",
+    oracle="""
+    WITH a AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label,
+             CAST(embedding AS DOUBLE[]) AS avec
+      FROM embeddings WHERE vec_id < 8
+    )
+    SELECT anchor_id, vec_id, label, cos_sim, rnk FROM (
+      SELECT a.anchor_id, e.vec_id, e.label,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          a.avec), 6) AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.anchor_id
+               ORDER BY ROUND(list_cosine_similarity(
+                          CAST(e.embedding AS DOUBLE[]), a.avec), 6) DESC,
+                        e.vec_id) AS rnk
+      FROM embeddings e, a
+      WHERE e.label <> a.anchor_label)
+    WHERE rnk <= 5
+    """,
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor vector,
+    the 5 nearest neighbors carrying a DIFFERENT label — maximally confusing
+    negatives, the standard way to build triplet/InfoNCE batches.
+
+    Scale: the anchor set is small by construction (a training batch), so it
+    broadcasts and the corpus streams past it in one scan — a broadcast
+    nested-loop that Catalyst keeps inside whole-stage codegen; per-anchor
+    top-5 is a bounded window over (anchor_id). At billions of vectors you'd
+    swap the exact scan for the IVF candidate generator
+    (operators/similarity.py) and re-rank candidates exactly — the contract
+    (anchor_id, vec_id, cos_sim, rnk) is unchanged. Ordering is on the
+    6-dp-rounded similarity with vec_id tiebreak, so the top-5 set is total-
+    ordered and engine-independent."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("avec"),
+    )
+    sim = F.round(cosine_similarity_col(F.col("embedding"), F.col("avec")), 6)
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("label") != F.col("anchor_label"))
+        .select("anchor_id", "vec_id", "label", sim.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+    )
