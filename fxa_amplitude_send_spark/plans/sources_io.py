@@ -327,3 +327,65 @@ def q_versioned_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "q_mv_incremental",
+    oracle="""
+    WITH final AS (
+      SELECT event_id,
+             CASE WHEN event_id % 10 = 3 THEN 'migrated'
+                  ELSE event_type END AS event_type,
+             CASE WHEN event_id % 10 = 3 THEN value * 0.5
+                  ELSE value END AS value
+      FROM events
+    )
+    SELECT event_type, COUNT(*) AS mv_count, ROUND(SUM(value), 2) AS sum_value
+    FROM final WHERE event_type <> 'error'
+    GROUP BY event_type
+    """,
+)
+def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance under the correctness gate
+    (sinks/materialized_view.py): a COUNT/SUM view is created over half the
+    events, then the base absorbs an append, a reshaping merge (key moves
+    BETWEEN groups — exercising update pre-image retraction), and a group
+    delete; ONE refresh folds only the change feed — O(changes), never
+    O(base) — and the maintained view must hash-match the oracle's
+    from-scratch aggregate of the final logical state."""
+    import shutil
+    import tempfile
+
+    from ..sinks.materialized_view import create_mv, read_mv, refresh_mv
+    from ..sinks.versioned import (
+        append_snapshot,
+        delete_snapshot,
+        merge_snapshot,
+        write_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    tag = abs(hash(os.path.abspath(sf_dir))) % 10**8
+    base = os.path.join(tempfile.gettempdir(), f"fxa_spark_mvbase_{tag}")
+    mv = os.path.join(tempfile.gettempdir(), f"fxa_spark_mv_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(mv, ignore_errors=True)
+    write_snapshot(ev.filter(F.col("event_id") % 2 == 0), base)  # v1
+    create_mv(spark, base, mv, keys=["event_type"], sums=["value"])
+    append_snapshot(ev.filter(F.col("event_id") % 2 == 1), base)  # v2
+    migrated = ev.filter(F.col("event_id") % 10 == 3).select(
+        "event_id",
+        F.lit("migrated").alias("event_type"),
+        (F.col("value") * 0.5).alias("value"),  # *0.5 is exact in binary
+    )
+    merge_snapshot(spark, base, migrated, ["event_id"])  # v3
+    delete_snapshot(spark, base, "event_type = 'error'")  # v4
+    refresh_mv(spark, mv)  # folds v2..v4 from the change feed alone
+    out = read_mv(spark, mv)
+    return out.select(
+        "event_type",
+        "mv_count",
+        F.round("sum_value", 2).alias("sum_value"),
+    )

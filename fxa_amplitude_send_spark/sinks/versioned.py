@@ -542,7 +542,7 @@ def merge_snapshot(
     changed_pred = F.lit(False)
     for x in val_cols:
         changed_pred = changed_pred | ~merged_val[x].eqNullSafe(F.col(f"c.{x}"))
-    changes = j2.filter(F.col("_u_present").isNotNull()).select(
+    changes_post = j2.filter(F.col("_u_present").isNotNull()).select(
         *key_cols,
         *[merged_val[x].alias(x) for x in val_cols],
         F.when(F.col("_c_present").isNull(), F.lit("insert"))
@@ -550,6 +550,20 @@ def merge_snapshot(
         .otherwise(F.lit(None))
         .alias("_change_type"),
     ).filter(F.col("_change_type").isNotNull()).select(*cols, "_change_type")
+    # Delta-parity pre-images: for every genuinely updated key, the OLD row
+    # values under _change_type='update_preimage'. Consumers that maintain
+    # downstream state incrementally (sinks/materialized_view.py) subtract
+    # the pre-image and add the post-image — without pre-images, SUM/COUNT
+    # maintenance under updates would need a time-travel join against the
+    # parent snapshot (O(table), not O(changes)).
+    changes_pre = j2.filter(
+        F.col("_u_present").isNotNull() & F.col("_c_present").isNotNull()
+    ).filter(changed_pred).select(
+        *key_cols,
+        *[F.col(f"c.{x}").alias(x) for x in val_cols],
+        F.lit("update_preimage").alias("_change_type"),
+    ).select(*cols, "_change_type")
+    changes = changes_post.unionByName(changes_pre)
 
     data_files = _stage_data_files(merged, path)
     change_files = _stage_data_files(changes, path)

@@ -1,0 +1,184 @@
+"""Incrementally maintained materialized views (sinks/materialized_view.py):
+every refresh folds only the base table's change feed — O(changes), never
+O(base) — and the maintained view must equal a from-scratch recompute after
+any interleaving of appends, merges, and deletes."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fxa_amplitude_send_spark.sinks.materialized_view import (
+    create_mv,
+    read_mv,
+    refresh_mv,
+)
+from fxa_amplitude_send_spark.sinks.versioned import (
+    append_snapshot,
+    compact_snapshot,
+    current_version,
+    delete_snapshot,
+    merge_snapshot,
+    read_snapshot,
+    vacuum,
+    write_snapshot,
+)
+from fxa_amplitude_send_spark.sources import load_table
+
+
+@pytest.fixture()
+def ev(spark, sf_smoke):
+    return load_table(spark, sf_smoke, "events").select(
+        "event_id", "event_type", "value"
+    )
+
+
+def _as_map(df):
+    return {
+        r["event_type"]: (r["mv_count"], round(r["sum_value"], 4))
+        for r in df.collect()
+    }
+
+
+def _recompute(spark, base_path):
+    return _as_map(
+        read_snapshot(spark, base_path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("mv_count"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+
+
+def test_mv_refresh_after_appends_matches_recompute(spark, ev, tmp_path):
+    base, mv = str(tmp_path / "b"), str(tmp_path / "mv")
+    write_snapshot(ev.filter("event_id % 3 = 0"), base)
+    create_mv(spark, base, mv, keys=["event_type"], sums=["value"])
+    append_snapshot(ev.filter("event_id % 3 = 1"), base)
+    append_snapshot(ev.filter("event_id % 3 = 2"), base)
+    refresh_mv(spark, mv)
+    assert _as_map(read_mv(spark, mv)) == _recompute(spark, base)
+
+
+def test_mv_refresh_after_merge_uses_preimages(spark, ev, tmp_path):
+    """Updates change group membership and sums: the preimage retracts the
+    old contribution, the postimage adds the new one."""
+    base, mv = str(tmp_path / "b"), str(tmp_path / "mv")
+    write_snapshot(ev.filter("event_id < 200"), base)
+    create_mv(spark, base, mv, keys=["event_type"], sums=["value"])
+    # move 20 rows into a brand-new group and change their values
+    updates = (
+        ev.filter("event_id < 20")
+        .withColumn("event_type", F.lit("migrated"))
+        .withColumn("value", F.col("value") * 2)
+    )
+    merge_snapshot(spark, base, updates, ["event_id"])
+    refresh_mv(spark, mv)
+    got = _as_map(read_mv(spark, mv))
+    assert got == _recompute(spark, base)
+    assert "migrated" in got and got["migrated"][0] == 20
+
+
+def test_mv_groups_drop_at_zero_count(spark, ev, tmp_path):
+    base, mv = str(tmp_path / "b"), str(tmp_path / "mv")
+    write_snapshot(ev.filter("event_id < 100"), base)
+    create_mv(spark, base, mv, keys=["event_type"], sums=["value"])
+    victim = read_snapshot(spark, base).select("event_type").first()[0]
+    delete_snapshot(spark, base, f"event_type = '{victim}'")
+    refresh_mv(spark, mv)
+    got = _as_map(read_mv(spark, mv))
+    assert victim not in got
+    assert got == _recompute(spark, base)
+
+
+def test_mv_refresh_is_o_changes_survives_base_vacuum(spark, ev, tmp_path):
+    """Refresh reads only change data in (last_synced, current]: vacuuming
+    base history older than the window must not break it."""
+    base, mv = str(tmp_path / "b"), str(tmp_path / "mv")
+    write_snapshot(ev.filter("event_id % 2 = 0"), base)  # v1
+    append_snapshot(ev.filter("event_id % 2 = 1"), base)  # v2
+    create_mv(spark, base, mv, keys=["event_type"], sums=["value"])  # synced@2
+    compact_snapshot(spark, base, target_files=2)  # v3 rewrites data files
+    merge_snapshot(
+        spark,
+        base,
+        ev.filter("event_id < 10").withColumn("value", F.col("value") + 1.0),
+        ["event_id"],
+    )  # v4
+    vacuum(base, retain_versions=2)  # v1/v2's unreferenced files retire;
+    # v3+v4 (the MV's unsynced window) stay — refresh needs their manifests
+    refresh_mv(spark, mv)
+    assert _as_map(read_mv(spark, mv)) == _recompute(spark, base)
+
+
+def test_mv_refresh_refuses_vacuumed_window(spark, ev, tmp_path):
+    """Vacuum past the unsynced window must fail loudly, not fold a partial
+    feed (Delta's CDF-after-vacuum contract)."""
+    base, mv = str(tmp_path / "b"), str(tmp_path / "mv")
+    write_snapshot(ev.filter("event_id < 50"), base)  # v1
+    create_mv(spark, base, mv, keys=["event_type"], sums=["value"])
+    append_snapshot(ev.filter("event_id >= 50 AND event_id < 70"), base)  # v2
+    append_snapshot(ev.filter("event_id >= 70 AND event_id < 90"), base)  # v3
+    vacuum(base, retain_versions=1)  # v2's manifest retires — window torn
+    with pytest.raises(RuntimeError, match="vacuumed past"):
+        refresh_mv(spark, mv)
+
+
+def test_mv_noop_refresh_and_idempotent_version(spark, ev, tmp_path):
+    base, mv = str(tmp_path / "b"), str(tmp_path / "mv")
+    write_snapshot(ev.filter("event_id < 50"), base)
+    create_mv(spark, base, mv, keys=["event_type"], sums=["value"])
+    v = current_version(mv)
+    assert refresh_mv(spark, mv) == v  # base unmoved -> no new MV version
+    assert current_version(mv) == v
+
+
+def test_mv_compaction_only_window_advances_cursor(spark, ev, tmp_path):
+    base, mv = str(tmp_path / "b"), str(tmp_path / "mv")
+    write_snapshot(ev.filter("event_id < 50"), base)
+    create_mv(spark, base, mv, keys=["event_type"], sums=["value"])
+    compact_snapshot(spark, base, target_files=1)  # no logical change
+    v = current_version(mv)
+    assert refresh_mv(spark, mv) == v
+    # the cursor advanced past the compaction: a later refresh after a real
+    # append folds only the append
+    append_snapshot(ev.filter("event_id >= 50 AND event_id < 80"), base)
+    refresh_mv(spark, mv)
+    assert _as_map(read_mv(spark, mv)) == _recompute(spark, base)
+
+
+def test_mv_time_travel_across_refreshes(spark, ev, tmp_path):
+    base, mv = str(tmp_path / "b"), str(tmp_path / "mv")
+    write_snapshot(ev.filter("event_id < 100"), base)
+    create_mv(spark, base, mv, keys=["event_type"], sums=["value"])
+    before = _as_map(read_mv(spark, mv))
+    append_snapshot(ev.filter("event_id >= 100 AND event_id < 150"), base)
+    refresh_mv(spark, mv)
+    assert _as_map(read_mv(spark, mv, version=1)) == before  # old view intact
+
+
+def test_mv_rejects_non_maintainable_aggregates(spark, ev, tmp_path):
+    base, mv = str(tmp_path / "b"), str(tmp_path / "mv")
+    write_snapshot(ev.filter("event_id < 10"), base)
+    with pytest.raises(ValueError, match="not self-maintainable"):
+        create_mv(
+            spark, base, mv, keys=["event_type"], sums=["value"], aggs=["min"]
+        )
+
+
+def test_mv_refuses_fold_after_crash_between_commit_and_meta(spark, ev, tmp_path):
+    """A refresh that committed its snapshot but died before the meta write
+    leaves mv_version out of step with CURRENT; the next refresh must refuse
+    (double-counting) rather than fold the same window again."""
+    base, mv = str(tmp_path / "b"), str(tmp_path / "mv")
+    write_snapshot(ev.filter("event_id < 50"), base)
+    create_mv(spark, base, mv, keys=["event_type"], sums=["value"])
+    append_snapshot(ev.filter("event_id >= 50 AND event_id < 60"), base)
+    # simulate the crash: a new MV snapshot exists but the meta still points
+    # at the old mv_version
+    write_snapshot(read_mv(spark, mv), mv)
+    with pytest.raises(RuntimeError, match="rebuild with create_mv"):
+        refresh_mv(spark, mv)

@@ -310,10 +310,11 @@ def test_merge_snapshot_upsert_and_change_feed(spark, base, tmp_path):
     )
     qc.processAllAvailable(); qc.stop()
     cdf = spark.read.parquet(out_c)
-    assert cdf.count() == 25 + 5
+    # 25 v1 inserts + v2: 2 inserts + 3 updates x (preimage + postimage)
+    assert cdf.count() == 25 + 2 + 3 * 2
     by_type = {r["_change_type"]: r["n"] for r in
                cdf.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n")).collect()}
-    assert by_type == {"insert": 27, "update_postimage": 3}
+    assert by_type == {"insert": 27, "update_postimage": 3, "update_preimage": 3}
     assert cdf.filter("_change_type = 'update_postimage'").count() == 3
     # the no-op upsert row (key 5, identical value) never enters the feed
     assert cdf.filter("n_nationkey = 5").count() == 1  # its v1 insert only
@@ -506,13 +507,20 @@ def test_merge_cdf_postimage_matches_committed_state(spark, tmp_path):
     assert table[4] == ("a4", None)
 
     chg_paths = [os.path.join(path, p) for p in snapshot_info(path, 2)["changes"]]
-    feed = {r["k"]: r for r in spark.read.parquet(*chg_paths).collect()}
-    assert 1 not in feed, "no-op (all-NULL) update must not enter the feed"
-    assert feed[2]["_change_type"] == "update_postimage"
+    rows = spark.read.parquet(*chg_paths).collect()
+    feed = {(r["k"], r["_change_type"]): r for r in rows}
+    assert not any(k == 1 for k, _ in feed), (
+        "no-op (all-NULL) update must not enter the feed"
+    )
     # the postimage must be the COMMITTED merged values, not the raw update
-    assert (feed[2]["a"], feed[2]["b"]) == table[2]
-    assert feed[4]["_change_type"] == "insert"
-    assert (feed[4]["a"], feed[4]["b"]) == table[4]
+    post = feed[(2, "update_postimage")]
+    assert (post["a"], post["b"]) == table[2]
+    # the preimage must be the OLD committed values (Delta CDF parity)
+    pre = feed[(2, "update_preimage")]
+    assert (pre["a"], pre["b"]) == ("a2", "b2")
+    ins = feed[(4, "insert")]
+    assert (ins["a"], ins["b"]) == table[4]
+    assert len(rows) == 3  # exactly insert + preimage + postimage
 
 
 def test_concurrent_committers_exactly_one_wins(spark, base, tmp_path):
