@@ -182,3 +182,68 @@ def test_mv_refuses_fold_after_crash_between_commit_and_meta(spark, ev, tmp_path
     write_snapshot(read_mv(spark, mv), mv)
     with pytest.raises(RuntimeError, match="rebuild with create_mv"):
         refresh_mv(spark, mv)
+
+
+def test_mv_random_mutation_walk_matches_model(spark, tmp_path):
+    """Seeded random interleaving of append/merge/delete with a refresh after
+    every step: the maintained view must equal a pure-Python model of the
+    table at each point. Values are k/2 (exact in binary) so float identity
+    is exact — any divergence is an algebra bug, not rounding."""
+    import random
+
+    from fxa_amplitude_send_spark.sinks.versioned import current_version
+
+    rng = random.Random(4242)
+    base, mv = str(tmp_path / "b"), str(tmp_path / "mv")
+    groups = ["g0", "g1", "g2", "g3"]
+    model: dict[int, tuple[str, float]] = {}
+    next_id = 0
+
+    def rows(n, id_pool=None):
+        nonlocal next_id
+        out = []
+        for _ in range(n):
+            if id_pool is not None and id_pool and rng.random() < 0.6:
+                i = rng.choice(id_pool)  # update an existing key
+            else:
+                i = next_id
+                next_id += 1
+            out.append((i, rng.choice(groups), rng.randrange(0, 64) / 2.0))
+        return {r[0]: r for r in out}.values()  # unique keys per batch
+
+    schema = "k bigint, grp string, value double"
+    first = list(rows(30))
+    write_snapshot(spark.createDataFrame(first, schema), base)
+    model.update({k: (g, v) for k, g, v in first})
+    create_mv(spark, base, mv, keys=["grp"], sums=["value"])
+
+    def view_model():
+        agg: dict[str, tuple[int, float]] = {}
+        for g, v in model.values():
+            c, s = agg.get(g, (0, 0.0))
+            agg[g] = (c + 1, s + v)
+        return {g: (c, round(s, 6)) for g, (c, s) in agg.items()}
+
+    for step in range(12):
+        op = rng.choice(["append", "merge", "delete"])
+        if op == "append":
+            batch = list(rows(rng.randrange(1, 12)))
+            append_snapshot(spark.createDataFrame(batch, schema), base)
+            model.update({k: (g, v) for k, g, v in batch})
+        elif op == "merge":
+            batch = list(rows(rng.randrange(1, 12), id_pool=list(model)))
+            merge_snapshot(
+                spark, base, spark.createDataFrame(batch, schema), ["k"]
+            )
+            model.update({k: (g, v) for k, g, v in batch})
+        else:
+            victim = rng.choice(groups)
+            delete_snapshot(spark, base, f"grp = '{victim}'")
+            model = {k: gv for k, gv in model.items() if gv[0] != victim}
+        refresh_mv(spark, mv)
+        got = {
+            r["grp"]: (r["mv_count"], round(r["sum_value"], 6))
+            for r in read_mv(spark, mv).collect()
+        }
+        assert got == view_model(), f"diverged at step {step} after {op}"
+    assert current_version(mv) > 1  # the walk actually exercised refreshes
