@@ -27,9 +27,17 @@ from pyspark.sql import functions as F
 from ..sources import load_table
 from .registry import query
 
+#: Edge weight in 1e-4-dollar INTEGER units (cents × discount-pct): integer
+#: summation is order-independent, so the fact-scale aggregate underneath
+#: every graph query is bit-identical across engines and runs at any SF —
+#: a float SUM's order-dependent error at sf1 (~5e-4 over 240k rows/edge)
+#: crossed the 2-dp rounding grid of q_graph_degree. int64 headroom: the
+#: total trade volume in these units is ~2.8e14 at sf1; overflow needs
+#: sf~30000.
 _EDGE_SQL = """
     SELECT n1.n_name AS src, n2.n_name AS dst,
-           SUM(l_extendedprice * (1 - l_discount)) AS w
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) AS w
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey  = c_custkey
@@ -80,7 +88,12 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
         .groupBy("src", "dst")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("w"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * F.round((1 - F.col("l_discount")) * 100).cast("long")
+            ).alias("w")
+        )
     )
 
 
@@ -89,15 +102,16 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS ({_EDGE_SQL}),
     both_dirs AS (
-      SELECT src AS nation, 1 AS outd, 0 AS ind, w AS outw, 0.0 AS inw FROM e
+      SELECT src AS nation, 1 AS outd, 0 AS ind,
+             w AS outw, CAST(0 AS BIGINT) AS inw FROM e
       UNION ALL
-      SELECT dst AS nation, 0, 1, 0.0, w FROM e
+      SELECT dst AS nation, 0, 1, CAST(0 AS BIGINT), w FROM e
     )
     SELECT nation,
            CAST(SUM(outd) AS BIGINT) AS out_degree,
            CAST(SUM(ind) AS BIGINT) AS in_degree,
-           ROUND(SUM(outw), 2) AS out_weight,
-           ROUND(SUM(inw), 2) AS in_weight
+           ROUND(CAST(SUM(outw) AS DOUBLE) / 10000, 2) AS out_weight,
+           ROUND(CAST(SUM(inw) AS DOUBLE) / 10000, 2) AS in_weight
     FROM both_dirs
     GROUP BY nation
     """,
@@ -108,18 +122,19 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     direction. Single pass over the (already tiny) edge list via an
     unpivot-style union — no joins after the edge aggregation."""
     e = _trade_edges(spark, sf_dir)
+    zero = F.lit(0).cast("long")
     out_part = e.select(
         F.col("src").alias("nation"),
         F.lit(1).alias("outd"),
         F.lit(0).alias("ind"),
         F.col("w").alias("outw"),
-        F.lit(0.0).alias("inw"),
+        zero.alias("inw"),
     )
     in_part = e.select(
         F.col("dst").alias("nation"),
         F.lit(0).alias("outd"),
         F.lit(1).alias("ind"),
-        F.lit(0.0).alias("outw"),
+        zero.alias("outw"),
         F.col("w").alias("inw"),
     )
     return (
@@ -128,8 +143,8 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("outd").alias("out_degree"),
             F.sum("ind").alias("in_degree"),
-            F.round(F.sum("outw"), 2).alias("out_weight"),
-            F.round(F.sum("inw"), 2).alias("in_weight"),
+            F.round(F.sum("outw").cast("double") / 10000, 2).alias("out_weight"),
+            F.round(F.sum("inw").cast("double") / 10000, 2).alias("in_weight"),
         )
     )
 

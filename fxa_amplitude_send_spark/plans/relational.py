@@ -116,7 +116,9 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_multi",
     oracle="""
     SELECT n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND((1 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE)
+             / 10000 AS revenue,
            COUNT(*) AS n_lineitems
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -128,8 +130,13 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped 5-way join: fact-fact shuffle join on orderkey, then
-    broadcast joins for the shrinking dimension chain. Revenue rounded to the
-    exact decimal scale of the true sum (price 2dp × discount 2dp → 4dp)."""
+    broadcast joins for the shrinking dimension chain. Revenue sums on the
+    exact integer grid of the data (cents × discount-pct = 1e-4 dollars):
+    a float SUM's order-dependent error over ~240k rows/nation at sf1
+    (~5e-4) exceeds the 4-dp scale of the true value, so the naive
+    ROUND(SUM(double), 4) diverges between engines — integer summation is
+    order-free and the single final int→double division is identical in
+    both."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
@@ -141,10 +148,11 @@ def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
     )
+    rev_grid = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("long")
     return joined.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-            "revenue"
-        ),
+        (F.sum(rev_grid).cast("double") / 10000).alias("revenue"),
         F.count(F.lit(1)).alias("n_lineitems"),
     )
 
@@ -255,16 +263,18 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AGG_GROUP_SQL = """
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
-                AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
-                    * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))))
-                AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS sum_base_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) AS DOUBLE)
+             / 10000 AS sum_disc_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)
+                    * CAST(ROUND((1 + l_tax) * 100) AS BIGINT)) AS DOUBLE)
+             / 1000000 AS sum_charge,
            ROUND(AVG(l_quantity), 6) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100 / COUNT(*), 6) AS avg_price,
            ROUND(AVG(l_discount), 6) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
@@ -281,12 +291,17 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plan-asserted: two HashAggregate nodes around one Exchange).
 
     Rides the SQL-TEXT door: one dialect-portable string is both the engine
-    query and the DuckDB oracle (sql_api.py). The 4/6-decimal money sums
-    aggregate in exact DECIMAL and cast to double at the end: at sf0.1 the
-    charge sum's magnitude (2.8e9) already puts the double ULP at the 6th
-    decimal, so float summation order would make the last digit
-    engine-dependent — decimal aggregation is order-independent at every
-    scale."""
+    query and the DuckDB oracle (sql_api.py). The money sums aggregate on an
+    INTEGER grid (cents × discount-pct × tax-pct, each factor an exact
+    BIGINT) and divide back to dollars once at the end: integer summation
+    is order-independent at every scale, and — unlike DECIMAL-sum-then-cast,
+    which the sf1 scale study caught diverging by one ULP between engines'
+    decimal→double conversions at 2.8e10 magnitude — the final int→double
+    conversion and division are single correctly-rounded operations both
+    engines perform identically. avg_price derives from the same exact sum
+    (a float AVG's summation-order error at sf1, ~1e-8, already brushes the
+    6-dp rounding grid). Headroom: the charge sum in 1e-6-dollar units is
+    ~2.8e16 at sf1 — int64 overflows only past sf~300."""
     from ..sql_api import run_sql
 
     return run_sql(spark, sf_dir, _AGG_GROUP_SQL)
@@ -1341,8 +1356,8 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_minmax_by",
     oracle="""
     SELECT o_orderstatus,
-           arg_max(o_orderkey, o_totalprice) AS biggest_order,
-           arg_min(o_orderkey, o_totalprice) AS smallest_order,
+           MAX(struct_pack(p := o_totalprice, k := o_orderkey)).k AS biggest_order,
+           MIN(struct_pack(p := o_totalprice, k := o_orderkey)).k AS smallest_order,
            MAX(o_totalprice) AS max_price,
            MIN(o_totalprice) AS min_price
     FROM orders
@@ -1350,13 +1365,20 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """max_by/min_by (argmax/argmin) aggregates. Deterministic because
-    o_totalprice values are distinct per status group at these scales; ties
-    would need a composite ordering value."""
+    """max_by/min_by (argmax/argmin) aggregates with a TOTAL ordering: the
+    argmax value is a (price, orderkey) struct, so price ties break on the
+    key instead of on partition visit order. Plain max_by is
+    nondeterministic under ties on ANY parallel engine — at sf1 the scaled
+    data has exact cross-replica price ties and the naive form diverges
+    run-to-run; both engines compare structs lexicographically, so the
+    composite stays a single (still mergeable, min/max-combinable)
+    aggregate rather than a window rewrite."""
     o = _t(spark, sf_dir, "orders")
+    big = F.max(F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")))
+    small = F.min(F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")))
     return o.groupBy("o_orderstatus").agg(
-        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
-        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        big.getField("k").alias("biggest_order"),
+        small.getField("k").alias("smallest_order"),
         F.max("o_totalprice").alias("max_price"),
         F.min("o_totalprice").alias("min_price"),
     )
