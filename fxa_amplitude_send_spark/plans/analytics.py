@@ -144,7 +144,8 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
       SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-             ROUND(SUM(o_totalprice), 2) AS revenue
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100 AS revenue
       FROM orders GROUP BY 1
     )
     SELECT CAST(month AS VARCHAR) AS month, revenue,
@@ -168,7 +169,14 @@ def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("date")
             .alias("month")
         )
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast(
+                    "double"
+                )
+                / 100
+            ).alias("revenue")
+        )
     )
     w = Window.orderBy("month")
     prev = F.lag("revenue").over(w)

@@ -361,17 +361,23 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cube",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS sum_price,
            COUNT(*) AS n_orders
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full grouping-set lattice (cube) over two low-cardinality dims."""
+    """Full grouping-set lattice (cube) over two low-cardinality dims. The
+    grand-total cell sums EVERY order — exactly where a float SUM's
+    order-dependent error first crosses a 2-dp grid as SF grows — so the
+    price rolls up in exact integer cents (money-sum discipline,
+    q_agg_group)."""
     orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        (F.sum(cents).cast("double") / 100).alias("sum_price"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
@@ -2438,10 +2444,12 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q7",
     oracle="""
-    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 4) AS revenue
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) / 10000 AS revenue
     FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                  CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
-                 l.l_extendedprice * (1 - l.l_discount) AS volume
+                 CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                   * CAST(ROUND((1 - l.l_discount) * 100) AS BIGINT) AS volume
           FROM supplier s
           JOIN lineitem l ON s.s_suppkey = l.l_suppkey
           JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -2484,8 +2492,15 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            # exact integer grid (cents x discount-pct): the per-pair-year
+            # float sum crosses the 4-dp grid by ~sf10 (money-sum
+            # discipline, q_agg_group)
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    * F.round((1 - F.col("l_discount")) * 100).cast("long")
+                ).cast("double")
+                / 10000
             ).alias("revenue")
         )
     )
@@ -2891,7 +2906,8 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, metric, val FROM (
       SELECT l_returnflag,
              ROUND(SUM(l_quantity), 2) AS sum_qty,
-             ROUND(SUM(l_extendedprice), 2) AS sum_price,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100 AS sum_price,
              ROUND(AVG(l_discount), 6) AS avg_disc
       FROM lineitem GROUP BY l_returnflag
     ) UNPIVOT (val FOR metric IN (sum_qty, sum_price, avg_disc))
@@ -2904,9 +2920,12 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     doing it AFTER the aggregate keeps the exploded rowcount at
     groups×metrics instead of rows×metrics."""
     li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     agg = li.groupBy("l_returnflag").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        # exact integer cents: per-flag price sums cross the 2-dp grid's
+        # float-error margin as SF grows (money-sum discipline, q_agg_group)
+        (F.sum(cents).cast("double") / 100).alias("sum_price"),
         F.round(F.avg("l_discount"), 6).alias("avg_disc"),
     )
     return agg.unpivot(
@@ -3057,9 +3076,9 @@ def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TPCH_Q5_SQL = """
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
-                AS DOUBLE) AS revenue
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) AS DOUBLE)
+             / 10000 AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey
       AND l_orderkey = o_orderkey
@@ -4452,7 +4471,9 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_percent_total",
     oracle="""
     WITH nat AS (
-      SELECT n.n_name AS nation, ROUND(SUM(o.o_totalprice), 2) AS revenue
+      SELECT n.n_name AS nation,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100 AS revenue
       FROM orders o
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -4479,7 +4500,14 @@ def q_percent_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast(
+                    "double"
+                )
+                / 100
+            ).alias("revenue")
+        )
     )
     w_all = Window.partitionBy()
     return nat.select(

@@ -75,7 +75,8 @@ def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            COUNT(*) AS n,
            ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_price
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS sum_price
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -89,7 +90,13 @@ def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        # exact integer cents (money-sum discipline, q_agg_group)
+        (
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast(
+                "double"
+            )
+            / 100
+        ).alias("sum_price"),
     )
 
 
