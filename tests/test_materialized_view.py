@@ -247,3 +247,53 @@ def test_mv_random_mutation_walk_matches_model(spark, tmp_path):
         }
         assert got == view_model(), f"diverged at step {step} after {op}"
     assert current_version(mv) > 1  # the walk actually exercised refreshes
+
+
+def test_mv_streaming_triggered_refresh(spark, ev, tmp_path):
+    """Table -> CDF stream -> view loop: a streaming reader tails the base
+    table's change feed and each micro-batch TRIGGERS an incremental
+    refresh (the Delta pattern of driving downstream maintenance off the
+    change stream). refresh_mv's own version cursor makes the trigger
+    idempotent — duplicate or empty micro-batches fold nothing twice."""
+    from fxa_amplitude_send_spark.sources.versioned_stream import (
+        VersionedTableDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableDataSource)
+    base, mv = str(tmp_path / "b"), str(tmp_path / "mv")
+    write_snapshot(ev.filter("event_id < 40"), base)
+    create_mv(spark, base, mv, keys=["event_type"], sums=["value"])
+    # base moves on while the stream is down: two appends and a merge
+    append_snapshot(ev.filter("event_id >= 40 AND event_id < 80"), base)
+    append_snapshot(ev.filter("event_id >= 80 AND event_id < 120"), base)
+    merge_snapshot(
+        spark,
+        base,
+        ev.filter("event_id < 15").withColumn("value", F.col("value") * 3),
+        ["event_id"],
+    )
+
+    refreshes: list[int] = []
+
+    def on_batch(batch_df, batch_id):
+        # the batch content is the notification; the fold itself goes
+        # through refresh_mv's cursor for exactly-once accounting
+        refreshes.append(refresh_mv(batch_df.sparkSession, mv))
+
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", base)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert refreshes, "stream delivered no batches"
+    assert _as_map(read_mv(spark, mv)) == _recompute(spark, base)
+    # idempotence: a direct re-refresh after the stream folds nothing new
+    v = current_version(mv)
+    assert refresh_mv(spark, mv) == v
