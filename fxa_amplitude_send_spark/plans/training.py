@@ -714,3 +714,87 @@ def llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .select("doc_id", F.round(F.col("micro") / 1e6, 6).alias("bm25"), "rnk")
     )
+
+
+_TEMP_MULT = 2971215073  # odd 32-bit (Fibonacci prime), independent of the
+# other sampling multipliers
+
+
+@query(
+    "llm_mix_temperature",
+    oracle=f"""
+    WITH src AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT SUM(n) AS big_n,
+             SUM(CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000000) AS BIGINT))
+               AS denom
+      FROM src
+    ), rate AS (
+      SELECT s.lang, s.n AS n_lang,
+             (CAST(CAST(FLOOR(SQRT(CAST(s.n AS DOUBLE)) * 1000000) AS BIGINT)
+                   AS DOUBLE) * CAST(t.big_n AS DOUBLE))
+             / (CAST(t.denom AS DOUBLE) * CAST(s.n AS DOUBLE)) AS c
+      FROM src s CROSS JOIN tot t
+    ), decided AS (
+      SELECT d.doc_id, d.lang, r.n_lang,
+             CAST(FLOOR(r.c) AS BIGINT)
+             + CASE WHEN ((d.doc_id % {_PREMOD}) * {_TEMP_MULT}) % {_MOD}
+                         % 1000000
+                       < CAST(FLOOR((r.c - FLOOR(r.c)) * 1000000) AS BIGINT)
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM documents d JOIN rate r USING (lang)
+    )
+    SELECT doc_id, lang, n_lang,
+           CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_n
+    FROM decided WHERE n_copies >= 1
+    """,
+)
+def llm_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the mT5/multilingual sampling rule,
+    α = 0.5): target share q_i ∝ p_i^α, so small languages are up-sampled and
+    large languages down-sampled while total corpus size is preserved in
+    expectation. Unlike llm_source_mix's FIXED weight table, the per-language
+    copy rate is COMPUTED from the corpus itself — the two-phase shape
+    (O(sources) aggregate → broadcast back → row-local decision) every
+    adaptive curation step uses.
+
+    Determinism across engines: sqrt(n) snaps to an integer micro grid
+    BEFORE the normalizing sum, so the denominator is an exact BIGINT (a
+    float Σ over sources would be summation-order-dependent); the copy rate
+    is then a fixed-order expression over integers, and the fractional part
+    is decided by an independent multiplicative hash against a micro-grid
+    threshold. Scale: one O(sources) aggregate, a broadcast join, zero
+    additional shuffle; the up-sample is a row-local explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    s_micro = F.floor(F.sqrt(F.col("n").cast("double")) * 1000000).cast("long")
+    tot = src.agg(
+        F.sum("n").alias("big_n"), F.sum(s_micro).alias("denom")
+    )
+    rate = src.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.col("n").alias("n_lang"),
+        (
+            (s_micro.cast("double") * F.col("big_n").cast("double"))
+            / (F.col("denom").cast("double") * F.col("n").cast("double"))
+        ).alias("c"),
+    )
+    h = _h(F.col("doc_id"), _TEMP_MULT)
+    frac_thresh = F.floor((F.col("c") - F.floor(F.col("c"))) * 1000000).cast("long")
+    n_copies = F.floor(F.col("c")).cast("long") + F.when(
+        (h % 1000000) < frac_thresh, 1
+    ).otherwise(0)
+    return (
+        docs.join(F.broadcast(rate), "lang")
+        .select("doc_id", "lang", "n_lang", n_copies.alias("n_copies"))
+        .filter(F.col("n_copies") >= 1)
+        .select(
+            "doc_id",
+            "lang",
+            "n_lang",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("n_copies"))
+            ).alias("copy_n"),
+        )
+    )
