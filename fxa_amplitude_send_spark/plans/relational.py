@@ -2344,8 +2344,9 @@ def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q6",
     oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE)
+             / 10000 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1995-01-01'
       AND l_shipdate < TIMESTAMP '1996-01-01'
@@ -2364,12 +2365,13 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.sum(
-            F.col("l_extendedprice").cast("decimal(12,2)")
-            * F.col("l_discount").cast("decimal(4,2)")
-        )
-        .cast("double")
-        .alias("revenue")
+        (
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * F.round(F.col("l_discount") * 100).cast("long")
+            ).cast("double")
+            / 10000
+        ).alias("revenue")
     )
 
 
@@ -3113,9 +3115,9 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n_name AS nation,
            CAST(year(o_orderdate) AS BIGINT) AS o_year,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
-                AS DOUBLE) AS sum_profit
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) AS DOUBLE)
+             / 10000 AS sum_profit
     FROM part, supplier, lineitem, orders, nation
     WHERE s_suppkey = l_suppkey
       AND p_partkey = l_partkey
@@ -3140,10 +3142,9 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders")
     n = _t(spark, sf_dir, "nation")
-    price_d = F.col("l_extendedprice").cast("decimal(12,2)")
-    one_minus_disc = F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast(
-        "decimal(4,2)"
-    )
+    rev_grid = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("long")
     return (
         li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
@@ -3153,7 +3154,7 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(F.sum(price_d * one_minus_disc).cast("double").alias("sum_profit"))
+        .agg((F.sum(rev_grid).cast("double") / 10000).alias("sum_profit"))
     )
 
 
@@ -4027,12 +4028,12 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH """ + _PARTSUPP_SQL + """
     SELECT n_name AS nation,
            CAST(year(o_orderdate) AS BIGINT) AS o_year,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
-                AS DOUBLE)
-           - CAST(SUM(CAST(ps.ps_costcents AS DECIMAL(18,0))
-                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / 100
-             AS sum_profit
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) AS DOUBLE)
+             / 10000
+           - CAST(SUM(ps.ps_costcents
+                      * CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+             / 10000 AS sum_profit
     FROM part, supplier, lineitem, partsupp ps, orders, nation
     WHERE s_suppkey = l_suppkey
       AND p_partkey = l_partkey
@@ -4060,13 +4061,12 @@ def q_tpch_q9_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     n = _t(spark, sf_dir, "nation")
     ps = _partsupp(spark, sf_dir)
-    price_d = F.col("l_extendedprice").cast("decimal(12,2)")
-    one_minus_disc = F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast(
-        "decimal(4,2)"
+    rev_grid = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    cost_grid = F.col("ps_costcents") * F.round(F.col("l_quantity") * 100).cast(
+        "long"
     )
-    cost_cents_d = F.col("ps_costcents").cast("decimal(18,0)") * F.col(
-        "l_quantity"
-    ).cast("decimal(12,2)")
     return (
         li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
@@ -4083,8 +4083,8 @@ def q_tpch_q9_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             (
-                F.sum(price_d * one_minus_disc).cast("double")
-                - F.sum(cost_cents_d).cast("double") / 100
+                F.sum(rev_grid).cast("double") / 10000
+                - F.sum(cost_grid).cast("double") / 10000
             ).alias("sum_profit")
         )
     )
