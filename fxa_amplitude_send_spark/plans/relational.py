@@ -3101,8 +3101,8 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     point: the exact oracle string executes via spark.sql over temp views —
     no DataFrame translation at all, so parser/analyzer/Catalyst handle the
     6-way star join directly (join reordering + AQE pick the physical
-    order; nation/region are broadcast by size). Revenue aggregates in
-    exact DECIMAL and casts to double at the end, same money discipline as
+    order; nation/region are broadcast by size). Revenue aggregates on the
+    exact integer grid (cents x discount-pct), same money discipline as
     q_agg_group. The l_suppkey = s_suppkey AND c_nationkey = s_nationkey
     correlation is what makes Q5 the canonical join-order stress test."""
     from ..sql_api import run_sql
