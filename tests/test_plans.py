@@ -370,6 +370,7 @@ def test_no_cartesian_product_in_any_registered_query(spark, sf_smoke):
         "llm_tfidf",           # 1-row corpus-N broadcast
         "llm_vocab_build",     # 1-row token-total broadcast
         "llm_bm25",            # 1-row (N, avgdl) corpus-stats broadcast
+        "llm_mix_temperature", # 1-row (N, denom) mixing-stats broadcast
         "llm_hard_negatives",  # broadcast bounded anchor batch (a training
                                # batch by construction), one corpus scan
     }
