@@ -102,7 +102,11 @@ def main() -> None:
     # regression is a one-line diff instead of a JSON-tail excavation.
     import glob
 
-    if not only:  # subset runs must not rewrite the full-registry trend
+    # subset runs and non-default-SF runs must not rewrite the sf0.1
+    # full-registry trend (an sf1 study would silently replace the
+    # "current" column with numbers at a different scale)
+    default_sf = "SPARK_GRAFT_SF_DIR" not in os.environ
+    if not only and default_sf:
         cols: list[tuple[str, dict]] = []
         for p in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
             try:
