@@ -95,7 +95,8 @@ def cap_basket(
     basket (a null/default key aggregating millions of members in a real
     100 TB corpus) turns into one quadratic straggler task. This guard keeps
     at most ``cap`` members per basket, chosen DETERMINISTICALLY (the first
-    ``cap`` under ``order_cols``), so:
+    ``cap`` under ``order_cols``, ties broken by every remaining orderable
+    column so the ordering is total), so:
 
     - results are exactly unchanged whenever cap >= the true max basket size
       (property-tested), making a generous cap a pure safety net;
@@ -113,9 +114,25 @@ def cap_basket(
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
     from pyspark.sql import Window
+    from pyspark.sql.types import MapType
 
     keys = [basket_key] if isinstance(basket_key, str) else list(basket_key)
-    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    # order_cols need not be a total order within a basket (duplicate
+    # (basket, order) rows exist in real data), and row_number over a
+    # partial order is partition-order dependent: WHICH tied row survives a
+    # binding cap could differ run-to-run. Append every remaining orderable
+    # column as a uniquifier so the window ordering is total over distinct
+    # rows; fully-identical duplicates are interchangeable, so the result
+    # set is deterministic either way. (Map columns are not orderable in
+    # Spark and are skipped — ties then break on all other columns.)
+    tie_breakers = [
+        f.name
+        for f in df.schema.fields
+        if f.name not in keys
+        and f.name not in order_cols
+        and not isinstance(f.dataType, MapType)
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order_cols, *tie_breakers)
     return (
         df.withColumn("_basket_rn", F.row_number().over(w))
         .filter(F.col("_basket_rn") <= cap)

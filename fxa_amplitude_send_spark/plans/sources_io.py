@@ -22,6 +22,28 @@ from ..sources import load_table, stage_roundtrip
 from .registry import query
 
 
+def _work_root(kind: str, sf_dir: str) -> str:
+    """Fresh process-private scratch dir for the versioned-table round-trip
+    queries. The tag mixes a STABLE hashlib digest of sf_dir — not Python's
+    per-process-salted ``hash()`` — with pid and thread id, so two
+    concurrent harnesses (separate processes, or threads inside one) can
+    never share a root and ``rmtree`` each other's half-written state.
+    Serial reruns in one thread reuse (and first clear) the same dir, so
+    /tmp stays bounded across bench loops."""
+    import hashlib
+    import shutil
+    import tempfile
+    import threading
+
+    digest = hashlib.sha256(os.path.abspath(sf_dir).encode("utf-8")).hexdigest()[:12]
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"fxa_spark_{kind}_{digest}_{os.getpid()}_{threading.get_ident()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
 @query(
     "q_source_csv",
     oracle="""
@@ -269,9 +291,6 @@ def q_versioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet proves the whole manifest/commit/compaction machinery is
     byte-lossless — the same certification pattern as the q_source_* staged
     round-trips."""
-    import shutil
-    import tempfile
-
     from ..sinks.versioned import (
         append_snapshot,
         compact_snapshot,
@@ -282,9 +301,7 @@ def q_versioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    tag = abs(hash(os.path.abspath(sf_dir))) % 10**8
-    table = os.path.join(tempfile.gettempdir(), f"fxa_spark_vtable_{tag}")
-    shutil.rmtree(table, ignore_errors=True)  # fresh deterministic staging
+    table = _work_root("vtable", sf_dir)
     write_snapshot(ev.filter(F.col("event_id") % 2 == 0), table)
     append_snapshot(ev.filter(F.col("event_id") % 2 == 1), table)
     compact_snapshot(spark, table, target_files=4)
@@ -310,9 +327,6 @@ def q_versioned_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the original snapshot (even event_ids) — the oracle recomputes that
     state from the raw parquet. Proves historical versions are immutable
     through subsequent mutations, hash-for-hash."""
-    import shutil
-    import tempfile
-
     from ..sinks.versioned import (
         append_snapshot,
         delete_snapshot,
@@ -323,9 +337,7 @@ def q_versioned_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    tag = abs(hash(os.path.abspath(sf_dir))) % 10**8
-    table = os.path.join(tempfile.gettempdir(), f"fxa_spark_vtravel_{tag}")
-    shutil.rmtree(table, ignore_errors=True)  # fresh deterministic staging
+    table = _work_root("vtravel", sf_dir)
     write_snapshot(ev.filter(F.col("event_id") % 2 == 0), table)     # v1
     append_snapshot(ev.filter(F.col("event_id") % 2 == 1), table)    # v2
     delete_snapshot(spark, table, "value < 50")                      # v3
@@ -360,9 +372,6 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     delete; ONE refresh folds only the change feed — O(changes), never
     O(base) — and the maintained view must hash-match the oracle's
     from-scratch aggregate of the final logical state."""
-    import shutil
-    import tempfile
-
     from ..sinks.materialized_view import create_mv, read_mv, refresh_mv
     from ..sinks.versioned import (
         append_snapshot,
@@ -374,11 +383,8 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    tag = abs(hash(os.path.abspath(sf_dir))) % 10**8
-    base = os.path.join(tempfile.gettempdir(), f"fxa_spark_mvbase_{tag}")
-    mv = os.path.join(tempfile.gettempdir(), f"fxa_spark_mv_{tag}")
-    shutil.rmtree(base, ignore_errors=True)
-    shutil.rmtree(mv, ignore_errors=True)
+    base = _work_root("mvbase", sf_dir)
+    mv = _work_root("mv", sf_dir)
     write_snapshot(ev.filter(F.col("event_id") % 2 == 0), base)  # v1
     create_mv(spark, base, mv, keys=["event_type"], sums=["value"])
     append_snapshot(ev.filter(F.col("event_id") % 2 == 1), base)  # v2

@@ -41,7 +41,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .versioned import (
+    _commit,
+    _count_staged,
     _read_manifest,
+    _stage_data_files,
     current_version,
     read_snapshot,
     write_snapshot,
@@ -124,8 +127,12 @@ def _change_feed(
     Append commits list their files under ``appended`` (plain inserts —
     _change_type synthesized); merge/delete commits list dedicated change
     files under ``changes`` (the column is physical). Compactions contribute
-    nothing. Reads only files belonging to versions in the window — the
-    O(changes) property."""
+    nothing. REPLACE commits (write_snapshot over an existing base) are
+    refused: a replace lists ALL its files under ``appended``, so folding it
+    would add the whole replacement without retracting prior content —
+    the delta of a full replace is simply not expressible as change rows,
+    the view must be rebuilt. Reads only files belonging to versions in the
+    window — the O(changes) property."""
     inserts: list[str] = []
     physical: list[str] = []
     for v in range(lo + 1, hi + 1):
@@ -137,6 +144,13 @@ def _change_feed(
                 f"unsynced window ({lo}, {hi}] — retention must cover every "
                 "version since the last refresh; rebuild with create_mv()"
             ) from None
+        if m.get("kind") == "replace":
+            raise RuntimeError(
+                f"base {base_path}: version {v} is a full REPLACE "
+                "(write_snapshot over existing content) — its manifest lists "
+                "the entire replacement under 'appended', which is not an "
+                "incremental delta; rebuild the view with create_mv()"
+            )
         inserts += [os.path.join(base_path, rel) for rel in m.get("appended", [])]
         physical += [os.path.join(base_path, rel) for rel in m.get("changes", [])]
     parts = []
@@ -190,7 +204,13 @@ def refresh_mv(spark: SparkSession, mv_path: str) -> int:
         *[F.sum(_sign() * F.col(c)).alias(f"d_sum_{c}") for c in sums],
     )
 
-    cur = read_snapshot(spark, mv_path)
+    # Pin the MV version this refresh folds ON TOP OF. The commit below
+    # targets exactly cur_mv_version + 1, so of two refreshers racing over
+    # the same window exactly one wins the O_EXCL manifest create; the loser
+    # must NOT retry its commit against the new parent (that would fold the
+    # same change window twice — double-counted sums).
+    cur_mv_version = current_version(mv_path)
+    cur = read_snapshot(spark, mv_path, cur_mv_version)
     merged = (
         cur.alias("m")
         .join(delta.alias("d"), keys, "full_outer")
@@ -211,7 +231,29 @@ def refresh_mv(spark: SparkSession, mv_path: str) -> int:
         .filter(F.col("mv_count") > 0)  # groups with no supporting rows drop out
     )
 
-    v = write_snapshot(merged, mv_path)
+    files = _stage_data_files(merged, mv_path)
+    n = _count_staged(spark, mv_path, files)
+    try:
+        v = _commit(
+            mv_path, files, n, merged.schema.json(), cur_mv_version, kind="replace"
+        )
+    except RuntimeError:
+        # The O_EXCL manifest create has exactly one winner per version: a
+        # concurrent refresher already committed cur_mv_version + 1 with this
+        # same change window folded in. Committing our copy on top would
+        # apply the window twice, so discard the staged result. If the
+        # winner's meta write has landed, the window is synced and we can
+        # return quietly; if not (it is still in its commit→meta gap), the
+        # caller must rerun — the rerun either no-ops (meta landed) or trips
+        # the crash-coherence refusal (winner died in the gap), both safe.
+        fresh = _load_meta(mv_path)
+        if fresh["base_version_synced"] >= hi:
+            return current_version(mv_path)
+        raise RuntimeError(
+            f"mv at {mv_path}: concurrent refresh detected (version "
+            f"{cur_mv_version + 1} already committed by another refresher) — "
+            "rerun refresh_mv()"
+        ) from None
     meta["base_version_synced"] = hi
     meta["mv_version"] = v
     _save_meta(mv_path, meta)

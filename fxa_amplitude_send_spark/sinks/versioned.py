@@ -125,8 +125,16 @@ def _commit(
     txn_id: str | None = None,
     appended: list[dict] | None = None,
     changes: list[dict] | None = None,
+    kind: str = "append",
 ) -> int:
-    """``appended`` = the file entries that carry rows NEW in this version
+    """``kind`` records HOW this version relates to its parent
+    (create | append | replace | merge | delete | compact) so downstream
+    incremental consumers (the MV change feed, CDC readers) can refuse
+    commits whose delta is not expressible in their algebra — a REPLACE
+    lists every file under ``appended``, which would read as a giant
+    insert-only delta and silently corrupt a counting-maintained view.
+
+    ``appended`` = the file entries that carry rows NEW in this version
     (everything staged by a write/append; empty for a compaction, whose
     files only rearrange existing rows). Change-feed readers consume
     exactly the appended lists, so rewrites are never re-emitted.
@@ -138,6 +146,7 @@ def _commit(
     manifest = {
         "version": version,
         "parent": parent,
+        "kind": kind,
         "files": files,
         "n_rows": n_rows,
         "schema": schema_ddl,
@@ -184,9 +193,17 @@ def _commit(
 def write_snapshot(df: DataFrame, path: str) -> int:
     """Create version 1 (or fully replace the logical content with a new
     snapshot): stage data files, commit a manifest listing exactly them."""
+    parent = current_version(path)
     files = _stage_data_files(df, path)
     n = _count_staged(df.sparkSession, path, files)
-    return _commit(path, files, n, df.schema.json(), current_version(path))
+    return _commit(
+        path,
+        files,
+        n,
+        df.schema.json(),
+        parent,
+        kind="create" if parent == 0 else "replace",
+    )
 
 
 def append_snapshot(df: DataFrame, path: str) -> int:
@@ -252,7 +269,9 @@ def compact_snapshot(
     else:
         df = df.coalesce(target_files)
     files = _stage_data_files(df, path)
-    return _commit(path, files, prev["n_rows"], prev["schema"], version, appended=[])
+    return _commit(
+        path, files, prev["n_rows"], prev["schema"], version, appended=[], kind="compact"
+    )
 
 
 def read_snapshot(
@@ -427,7 +446,7 @@ def append_snapshot_idempotent(df: DataFrame, path: str, txn_id: str) -> int:
     if version == 0:
         files = _stage_data_files(df, path)
         n = _count_staged(df.sparkSession, path, files)
-        return _commit(path, files, n, df.schema.json(), 0, txn_id=txn_id)
+        return _commit(path, files, n, df.schema.json(), 0, txn_id=txn_id, kind="create")
     prev = _read_manifest(path, version)
     new_files = _stage_data_files(df, path)
     n_new = _count_staged(df.sparkSession, path, new_files)
@@ -449,9 +468,11 @@ def streaming_txn_tag(batch_df: DataFrame, checkpoint: str) -> str:
     fallback, so naively-tagged txns from two different queries (or a reset
     checkpoint) writing to one table would collide on batchId and silently
     drop batches. Prefer the local property when the foreachBatch callback
-    thread sees it; otherwise fall back to a hash of the checkpoint location,
-    which Spark requires to be unique per query and which is stable across
-    restarts of the same query — the two properties the txn guard needs."""
+    thread sees it; otherwise fall back to a hash of (checkpoint location,
+    per-checkpoint nonce) — unique per query (Spark requires distinct
+    checkpoint locations), stable across restarts of the same query, and
+    FRESH after a checkpoint reset, the three properties the txn guard
+    needs."""
     import hashlib
 
     qid = batch_df.sparkSession.sparkContext.getLocalProperty(
@@ -464,9 +485,29 @@ def streaming_txn_tag(batch_df: DataFrame, checkpoint: str) -> str:
             "streaming_txn_tag: no queryId local property and no checkpoint "
             "location — cannot derive a stable query-scoped txn id"
         )
-    return "ckpt-" + hashlib.sha256(
-        os.path.abspath(checkpoint).encode("utf-8")
-    ).hexdigest()[:16]
+    # Mix a per-checkpoint-instantiation nonce into the tag: the path alone
+    # is NOT collision-free — deleting and recreating the checkpoint at the
+    # same path restarts batchIds at 0 while a path-only tag stays identical,
+    # so replayed (tag, batchId) pairs would match old manifests and new
+    # batches would be silently dropped as "already committed". The nonce
+    # file is created inside the checkpoint dir on first use (exclusive
+    # create, so concurrent batches agree on one value) and dies with the
+    # checkpoint: a reset checkpoint gets a fresh txn namespace, a restart
+    # of the same query keeps the old one.
+    import uuid as _uuid
+
+    ckpt = os.path.abspath(checkpoint)
+    nonce_path = os.path.join(ckpt, ".versioned_txn_nonce")
+    if not os.path.exists(nonce_path):
+        os.makedirs(ckpt, exist_ok=True)
+        try:
+            with open(nonce_path, "x", encoding="utf-8") as fh:
+                fh.write(_uuid.uuid4().hex)
+        except FileExistsError:
+            pass  # a concurrent batch won the create; read its value below
+    with open(nonce_path, encoding="utf-8") as fh:
+        nonce = fh.read().strip()
+    return "ckpt-" + hashlib.sha256(f"{ckpt}:{nonce}".encode("utf-8")).hexdigest()[:16]
 
 
 def versioned_stream_writer(stream_df: DataFrame, path: str, checkpoint: str):
@@ -569,7 +610,14 @@ def merge_snapshot(
     change_files = _stage_data_files(changes, path)
     n = _count_staged(spark, path, data_files)
     return _commit(
-        path, data_files, n, prev["schema"], version, appended=[], changes=change_files
+        path,
+        data_files,
+        n,
+        prev["schema"],
+        version,
+        appended=[],
+        changes=change_files,
+        kind="merge",
     )
 
 
@@ -597,7 +645,14 @@ def delete_snapshot(spark: SparkSession, path: str, predicate: str) -> int:
     change_files = _stage_data_files(deleted, path)
     n = _count_staged(spark, path, data_files)
     return _commit(
-        path, data_files, n, prev["schema"], version, appended=[], changes=change_files
+        path,
+        data_files,
+        n,
+        prev["schema"],
+        version,
+        appended=[],
+        changes=change_files,
+        kind="delete",
     )
 
 

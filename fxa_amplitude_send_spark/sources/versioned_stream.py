@@ -61,6 +61,10 @@ class _VersionedStreamReader(DataSourceStreamReader):
         # (initialOffset); restarts resume from the checkpointed offset.
         self.start_version = int(options.get("startingVersion", "0"))
         self._cursor = self.start_version
+        # False until Spark has revealed the checkpointed position via an
+        # initialOffset (fresh query) or partitions/commit (restart) call —
+        # only then is capping against _cursor safe (see latestOffset).
+        self._synced = False
 
     def _current(self) -> int:
         cur = os.path.join(self.path, "_manifests", "CURRENT")
@@ -78,15 +82,28 @@ class _VersionedStreamReader(DataSourceStreamReader):
 
     def initialOffset(self):
         # start of the change feed: before version startingVersion+1
-        # (default 0 = the table's entire history)
+        # (default 0 = the table's entire history). Spark calls this ONLY on
+        # a fresh checkpoint, so it doubles as the "no hidden restored
+        # offset exists" signal — capping in latestOffset is safe from here.
+        self._synced = True
         return {"version": self.start_version}
 
     def latestOffset(self):
         # monotonic: CURRENT only moves forward (commits are append-only
         # renames), capped to bound batch size after long idle periods.
-        # _cursor re-syncs from every Spark-provided offset (partitions /
-        # commit), so after a checkpoint restart it catches up on the first
-        # planned batch instead of replaying from 0.
+        # _cursor re-syncs from every Spark-provided offset (initialOffset /
+        # partitions / commit). On a RESTART Spark restores the checkpointed
+        # offset silently (no initialOffset call) and may ask latestOffset
+        # FIRST — offsets are compared by equality only, so a capped answer
+        # below the restored offset would plan a (high→low) "batch" and the
+        # next batch would re-deliver every version in between as duplicates.
+        # Until a Spark-provided offset has synced the cursor, answer with
+        # uncapped CURRENT, which is always >= any offset Spark ever
+        # checkpointed against this table: the first post-restart batch may
+        # be large, but is never duplicated.
+        if not self._synced:
+            self._cursor = max(self._cursor, self._current())
+            return {"version": self._cursor}
         cur = self._cursor
         latest = min(self._current(), cur + self.max_versions)
         self._cursor = max(cur, latest)
@@ -95,6 +112,7 @@ class _VersionedStreamReader(DataSourceStreamReader):
     def partitions(self, start, end):
         lo, hi = start["version"], end["version"]
         self._cursor = max(self._cursor, lo, hi)
+        self._synced = True
         parts = []
         for v in range(lo + 1, hi + 1):
             m = self._manifest(v)
@@ -132,6 +150,7 @@ class _VersionedStreamReader(DataSourceStreamReader):
 
     def commit(self, end):
         self._cursor = max(self._cursor, end["version"])
+        self._synced = True
 
     def stop(self):
         pass

@@ -297,3 +297,64 @@ def test_mv_streaming_triggered_refresh(spark, ev, tmp_path):
     # idempotence: a direct re-refresh after the stream folds nothing new
     v = current_version(mv)
     assert refresh_mv(spark, mv) == v
+
+
+def test_mv_refresh_refuses_replace_commit(spark, ev, tmp_path):
+    """Round-6 ADVICE (medium): write_snapshot over an existing base is a
+    full REPLACE whose manifest lists the entire replacement under
+    'appended'. Folding it as inserts would add the replacement without
+    retracting prior content — refresh must refuse and direct to a rebuild,
+    mirroring the vacuumed-window guard."""
+    base, mv = str(tmp_path / "b"), str(tmp_path / "mv")
+    write_snapshot(ev.filter("event_id < 50"), base)
+    create_mv(spark, base, mv, keys=["event_type"], sums=["value"])
+    before = _as_map(read_mv(spark, mv))
+    write_snapshot(ev.filter("event_id < 30"), base)  # REPLACE, not append
+    with pytest.raises(RuntimeError, match="REPLACE.*create_mv"):
+        refresh_mv(spark, mv)
+    assert _as_map(read_mv(spark, mv)) == before, "refused refresh must not mutate"
+    # rebuild is the documented recovery and must match a recompute
+    mv2 = str(tmp_path / "mv2")
+    create_mv(spark, base, mv2, keys=["event_type"], sums=["value"])
+    assert _as_map(read_mv(spark, mv2)) == _recompute(spark, base)
+
+
+def test_mv_concurrent_refreshers_cannot_double_fold(spark, ev, tmp_path, monkeypatch):
+    """Round-6 verdict item 3: two refreshers racing over the same change
+    window must fold it exactly once. The refresh commit is pinned to the MV
+    version it read, so the O_EXCL manifest create picks one winner; the
+    loser discards its staged copy instead of retrying on top (which would
+    double-count). Simulated deterministically: a competing full refresh_mv
+    runs while the first refresher has already staged its files but not yet
+    committed."""
+    import fxa_amplitude_send_spark.sinks.materialized_view as mvmod
+
+    base, mv = str(tmp_path / "b"), str(tmp_path / "mv")
+    write_snapshot(ev.filter("event_id < 50"), base)
+    create_mv(spark, base, mv, keys=["event_type"], sums=["value"])
+    append_snapshot(ev.filter("event_id >= 50 AND event_id < 80"), base)
+
+    real_count = mvmod._count_staged
+    state = {"fired": False}
+
+    def hooked(spark_, path, files):
+        # fire the competitor exactly once, from inside refresher A's
+        # stage->commit gap on the MV table
+        if not state["fired"] and path == mv:
+            state["fired"] = True
+            winner_v = refresh_mv(spark_, mv)  # refresher B: full fold + meta
+            assert winner_v == 2
+        return real_count(spark_, path, files)
+
+    monkeypatch.setattr(mvmod, "_count_staged", hooked)
+    v = refresh_mv(spark, mv)  # refresher A: loses the commit race
+    monkeypatch.undo()
+
+    assert state["fired"], "competitor must have raced inside the gap"
+    assert v == 2, "loser must return the winner's version, not commit again"
+    assert current_version(mv) == 2, "exactly ONE refresh version committed"
+    assert _as_map(read_mv(spark, mv)) == _recompute(spark, base), (
+        "window folded exactly once"
+    )
+    # and the meta is coherent: a further refresh with no base movement no-ops
+    assert refresh_mv(spark, mv) == 2

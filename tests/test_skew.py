@@ -144,3 +144,29 @@ def test_brute_force_topk_many_refuses_oversized_query_set(spark):
     # at the bound it still runs
     out = brute_force_topk_many(emb, queries, k=2, max_queries=50)
     assert out.groupBy("query_id").count().filter("count > 2").count() == 0
+
+
+def test_cap_basket_deterministic_under_order_ties(spark):
+    """Round-6 ADVICE (low): order_cols need not be a total order within a
+    basket. When the cap binds on tied rows, the survivor must be chosen by
+    a total ordering (remaining columns as tie-breakers), not by partition
+    layout — so two differently-partitioned runs agree row-for-row."""
+    from fxa_amplitude_send_spark.operators.skew import cap_basket
+
+    rows = [
+        # basket A: three rows TIED on the order col, distinct payloads
+        ("A", 1, "z"), ("A", 1, "m"), ("A", 1, "a"),
+        # basket B: cap does not bind
+        ("B", 1, "q"),
+    ]
+    df = spark.createDataFrame(rows, "basket string, ord int, payload string")
+
+    def run(partitions):
+        shuffled = df.repartition(partitions, "payload")
+        got = cap_basket(shuffled, "basket", ["ord"], cap=2)
+        return sorted(map(tuple, got.collect()))
+
+    first = run(1)
+    assert first == run(7) == run(32), "survivors must not depend on layout"
+    # the total order is (ord, remaining cols): basket A keeps payloads a, m
+    assert [r[2] for r in first if r[0] == "A"] == ["a", "m"]

@@ -624,3 +624,94 @@ def test_versioned_stream_starting_version(spark, base, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 5
     assert _ids(got) == _ids(base.filter("n_nationkey >= 20"))
+
+
+def test_restart_latest_offset_never_regresses(spark, base, tmp_path):
+    """Round-6 ADVICE (medium): on restart Spark restores the checkpointed
+    offset silently (no initialOffset call) and may call latestOffset FIRST.
+    A cap computed from the un-synced cursor could return an offset BELOW
+    the restored one — offsets compare by equality only, so the next batch
+    would re-deliver versions. Until a Spark-provided offset syncs the
+    cursor, latestOffset must answer uncapped CURRENT."""
+    from pyspark.sql.types import StructType
+
+    from fxa_amplitude_send_spark.sources.versioned_stream import (
+        _VersionedStreamReader,
+    )
+
+    path = str(tmp_path / "t")
+    write_snapshot(base.filter("n_nationkey < 5"), path)  # v1
+    for lo in range(5, 25, 5):
+        append_snapshot(
+            base.filter(f"n_nationkey >= {lo} AND n_nationkey < {lo + 5}"), path
+        )  # v2..v5
+
+    schema = StructType.fromJson(
+        __import__("json").loads(snapshot_info(path)["schema"])
+    )
+
+    # restart lifecycle: NO initialOffset; checkpointed offset is 5 (all
+    # committed). latestOffset must not return min(current, 0+2)=2 < 5.
+    r = _VersionedStreamReader({"path": path, "maxVersionsPerBatch": "2"}, schema)
+    off = r.latestOffset()
+    assert off["version"] == 5, f"restart latestOffset regressed to {off}"
+    # Spark plans (5, 5] -> empty batch; cursor syncs; capping resumes
+    r.partitions({"version": 5}, {"version": 5})
+    append_snapshot(base.filter("n_nationkey = 0"), path)  # v6
+    append_snapshot(base.filter("n_nationkey = 1"), path)  # v7
+    append_snapshot(base.filter("n_nationkey = 2"), path)  # v8
+    assert r.latestOffset()["version"] == 7, "cap must apply once synced"
+
+    # fresh-start lifecycle: initialOffset IS called, capping applies at once
+    r2 = _VersionedStreamReader({"path": path, "maxVersionsPerBatch": "2"}, schema)
+    assert r2.initialOffset()["version"] == 0
+    assert r2.latestOffset()["version"] == 2, "fresh start must stay capped"
+
+
+def test_txn_tag_fresh_after_checkpoint_reset(spark, base, tmp_path):
+    """Round-6 ADVICE (low): a deleted-and-recreated checkpoint restarts
+    batchIds at 0 — the fallback txn tag must change too, or replayed
+    (tag, batchId) pairs match old manifests and new batches are dropped."""
+    import shutil
+
+    from fxa_amplitude_send_spark.sinks.versioned import (
+        append_snapshot_idempotent,
+        streaming_txn_tag,
+    )
+
+    ck = str(tmp_path / "ck")
+    tag_a = streaming_txn_tag(base, ck)
+    assert streaming_txn_tag(base, ck) == tag_a, "stable across restarts"
+
+    path = str(tmp_path / "t")
+    append_snapshot_idempotent(base.limit(5), path, f"{tag_a}-0")
+    assert read_snapshot(spark, path).count() == 5
+
+    shutil.rmtree(ck)  # checkpoint reset: batchIds will restart at 0
+    tag_b = streaming_txn_tag(base, ck)
+    assert tag_b != tag_a, "reset checkpoint must get a fresh txn namespace"
+    v = append_snapshot_idempotent(base.limit(3), path, f"{tag_b}-0")
+    assert v == 2 and read_snapshot(spark, path).count() == 8, (
+        "post-reset batch 0 must land, not be skipped as a replay"
+    )
+
+
+def test_manifest_records_commit_kind(spark, base, tmp_path):
+    """Every commit records HOW it relates to its parent so incremental
+    consumers can refuse non-incremental deltas (the MV replace guard)."""
+    from fxa_amplitude_send_spark.sinks.versioned import (
+        delete_snapshot,
+        merge_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    write_snapshot(base.filter("n_nationkey < 10"), path)           # v1 create
+    append_snapshot(base.filter("n_nationkey >= 10"), path)         # v2 append
+    compact_snapshot(spark, path, target_files=1)                   # v3 compact
+    merge_snapshot(
+        spark, path, base.filter("n_nationkey < 3"), ["n_nationkey"]
+    )                                                               # v4 merge
+    delete_snapshot(spark, path, "n_nationkey = 0")                 # v5 delete
+    write_snapshot(base.limit(2), path)                             # v6 replace
+    kinds = [snapshot_info(path, v)["kind"] for v in range(1, 7)]
+    assert kinds == ["create", "append", "compact", "merge", "delete", "replace"]
