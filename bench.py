@@ -119,16 +119,23 @@ def main() -> None:
             except (OSError, ValueError, AttributeError):
                 continue
         cols.append(("current", timings))
-        # scale-slope column: the latest sf1 slowest-subset run (VERDICT r4
-        # item 8) — regressions get caught at a scale where data time
-        # dominates the fixed ~0.4 s/query stage overhead.
-        sf1_path = os.path.join(REPO, "evidence", "bench_sf1_slowest.json")
-        if os.path.exists(sf1_path):
-            try:
-                with open(sf1_path) as fh:
-                    cols.append(("sf1_slowest", json.load(fh).get("queries", {})))
-            except (OSError, ValueError):
-                pass
+        # scale-slope columns: the latest larger-SF runs — regressions get
+        # caught at scales where data time dominates the fixed ~0.4 s/query
+        # stage overhead. sf1_full covers the whole registry (round-6 verdict
+        # item 6); the slowest-subset columns pin the expensive tail at sf1
+        # and sf10.
+        for col_name, fname in (
+            ("sf1_full", "bench_sf1_full.json"),
+            ("sf1_slowest", "bench_sf1_slowest.json"),
+            ("sf10_slowest", "bench_sf10_slowest.json"),
+        ):
+            p = os.path.join(REPO, "evidence", fname)
+            if os.path.exists(p):
+                try:
+                    with open(p) as fh:
+                        cols.append((col_name, json.load(fh).get("queries", {})))
+                except (OSError, ValueError):
+                    pass
         os.makedirs(os.path.join(REPO, "evidence"), exist_ok=True)
         names = sorted({n for _, q in cols for n in q})
         with open(os.path.join(REPO, "evidence", "bench_trend.csv"), "w") as fh:

@@ -1646,3 +1646,61 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 5)
     )
+
+
+@query("llm_hard_negatives_ivf")  # rows-only: IVF candidates are approximate
+def llm_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llm_hard_negatives at billion-vector scale: the exact one-scan
+    broadcast NLJ is replaced by the IVF candidate generator
+    (operators/similarity.py) — corpus vectors live in their single nearest
+    learned cell, each anchor probes its 4 nearest cells, candidates pair
+    via an EQUI-join on cell id (cost O(probed cells' occupancy), never a
+    corpus scan per anchor), and exact cosine re-ranks the candidates.
+    Same output contract as the exact query (anchor_id, vec_id, label,
+    cos_sim, rnk); agreement vs the exact top-5 floor-tested in
+    tests/test_similarity_recall.py. 6-dp-rounded similarity + vec_id
+    tiebreak keeps the surviving set total-ordered and engine-independent."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import assign_ivf_cells, train_ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(emb, n_centroids=16)
+    corpus = assign_ivf_cells(emb, centroids, n_probe=1).select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.col("cell")[0].cast("long").alias("_cell"),
+    )
+    anchors = (
+        assign_ivf_cells(
+            emb.filter(F.col("vec_id") < 8).select(
+                F.col("vec_id").alias("anchor_id"),
+                F.col("label").alias("anchor_label"),
+                F.col("embedding").alias("avec"),
+            ),
+            centroids,
+            vec_col="avec",
+            n_probe=4,
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "avec",
+            F.explode("cell").alias("_cell"),
+        )
+        .withColumn("_cell", F.col("_cell").cast("long"))
+    )
+    # corpus rows carry exactly ONE cell, so each (anchor, candidate) pair
+    # materializes at most once — no dedup step needed before the window.
+    sim = F.round(cosine_similarity_col(F.col("embedding"), F.col("avec")), 6)
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        corpus.join(F.broadcast(anchors), "_cell")
+        .filter(F.col("label") != F.col("anchor_label"))
+        .select("anchor_id", "vec_id", "label", sim.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+    )

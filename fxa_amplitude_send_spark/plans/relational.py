@@ -2375,9 +2375,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_tpch_q4",
-    oracle="""
+_TPCH_Q4_SQL = """
     SELECT o_orderpriority, COUNT(*) AS order_count
     FROM orders o
     WHERE o.o_orderdate >= TIMESTAMP '1995-07-01'
@@ -2386,12 +2384,25 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHERE l.l_orderkey = o.o_orderkey
                     AND l.l_shipdate > o.o_orderdate)
     GROUP BY o_orderpriority
-    """,
-)
+"""
+
+
+@query("q_tpch_q4", oracle=_TPCH_Q4_SQL)
 def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 (order priority checking): quarter filter + correlated
-    EXISTS with an inequality — as a left-semi join whose residual condition
-    carries the correlation."""
+    """TPC-H Q4 (order priority checking) through the SQL-text door: ONE
+    dialect-portable string is both the registered Spark query and the DuckDB
+    oracle, so the comparison certifies the parser+planner path end-to-end.
+    Catalyst rewrites the correlated EXISTS into the same left-semi join with
+    a residual inequality that the previous DataFrame formulation spelled by
+    hand (RewritePredicateSubquery)."""
+    from ..sql_api import run_sql
+
+    return run_sql(spark, sf_dir, _TPCH_Q4_SQL)
+
+
+def _q_tpch_q4_dataframe_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hand-planned left-semi formulation Q4 originally shipped with —
+    kept as the DataFrame twin of the SQL-text door (same plan shape)."""
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1995-07-01") & (F.col("o_orderdate") < "1995-10-01")
     )
@@ -2605,34 +2616,37 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
 
 
-@query(
-    "q_tpch_q14",
-    oracle="""
-    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
-                                  THEN l.l_extendedprice * (1 - l.l_discount)
-                                  ELSE 0 END)
-                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_revenue
+_TPCH_Q14_SQL = """
+    SELECT ROUND(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                               THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                                    * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                               ELSE 0 END) AS DOUBLE) * 100
+                 / CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                        AS DOUBLE), 6)
+           AS promo_revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
       AND l.l_shipdate < TIMESTAMP '1996-10-01'
-    """,
-)
+"""
+
+
+@query("q_tpch_q14", oracle=_TPCH_Q14_SQL)
 def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 (promotion effect): month-sliced join + conditional ratio
-    aggregate in one pass (no second scan for the denominator)."""
-    l = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
-    )
-    p = _t(spark, sf_dir, "part")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return l.join(p, F.col("l_partkey") == F.col("p_partkey")).agg(
-        F.round(
-            F.lit(100.0)
-            * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
-            / F.sum(disc),
-            6,
-        ).alias("promo_revenue")
-    )
+    """TPC-H Q14 (promotion effect) through the SQL-text door: one portable
+    string is both the Spark query and the DuckDB oracle. Month-sliced join
+    + conditional ratio aggregate in one pass (no second scan for the
+    denominator). Both ratio legs accumulate on the exact integer grid
+    (cents × discount-pct, BIGINT) so the sums are order-independent at any
+    SF; each leg is EXPLICITLY cast to DOUBLE before the division, because a
+    bare `100.0 *` literal is DECIMAL(3,1) in DuckDB but DOUBLE in Spark —
+    the decimal path keeps more precision than double and the 6-dp round
+    diverges once the sums are large enough (caught by the sf10 study;
+    invisible at sf0.01). With both operands the same exact integer cast the
+    same way, the division is bit-identical on both engines."""
+    from ..sql_api import run_sql
+
+    return run_sql(spark, sf_dir, _TPCH_Q14_SQL)
 
 
 @query(
@@ -2640,41 +2654,53 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev_grid
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate < TIMESTAMP '1996-04-01'
       GROUP BY l_suppkey)
-    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.rev_grid AS DOUBLE) / 10000 AS total_revenue
     FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
-    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    WHERE r.rev_grid = (SELECT MAX(rev_grid) FROM revenue)
     """,
 )
 def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 (top supplier): quarter revenue per supplier reused twice —
     once for the global MAX (broadcast scalar), once for the equality filter.
-    Rounded before the compare so equality is well-defined on both engines."""
+    Revenue accumulates on the exact integer grid (cents × discount-pct =
+    1e-4 dollars, a BIGINT), so the MAX-equality is exact at ANY scale — a
+    float sum here is order-dependent and the round-then-compare trick that
+    held to ~sf10 breaks when per-supplier sums cross 2^53-ULP territory.
+    The dollar value is derived from the grid once, after the compare."""
     l = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
-    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-        ).alias("total_revenue")
+    grid = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
     )
-    top = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(grid).alias("rev_grid")
+    )
+    top = revenue.agg(F.max("rev_grid").alias("_max_rev"))
     s = _t(spark, sf_dir, "supplier")
     return (
         s.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
-        .join(F.broadcast(top), F.col("total_revenue") == F.col("_max_rev"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        .join(F.broadcast(top), F.col("rev_grid") == F.col("_max_rev"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_grid").cast("double") / 10000).alias("total_revenue"),
+        )
     )
 
 
 @query(
     "q_tpch_q17",
     oracle="""
-    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 700 AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN (SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_threshold
@@ -2687,7 +2713,10 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 (small-quantity-order revenue): correlated scalar subquery
     (per-part 20% of avg quantity) decorrelated into an aggregate + join —
     the standard rewrite every optimizer applies; p_size stands in for
-    p_container."""
+    p_container. The price sum rides the exact integer cents grid (BIGINT),
+    divided down once at the end, so the global sum is order-independent at
+    any SF; the per-part AVG threshold stays float — its group is O(lines
+    per part), bounded by the TPC-H ratio, not by SF."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 5)
@@ -2695,11 +2724,12 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds = l.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
     )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     return (
         l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .join(thresholds, F.col("t_partkey") == F.col("p_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+        .agg((F.sum(cents).cast("double") / 700).alias("avg_yearly"))
     )
 
 
@@ -2745,7 +2775,9 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q19",
     oracle="""
-    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000 AS revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
            AND l.l_quantity BETWEEN 1 AND 11)
@@ -2758,7 +2790,9 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 (discounted revenue): three-way disjunctive predicate mixing
     columns from BOTH sides of the join — Catalyst can still push the
-    per-side implied disjuncts (brand/size to part, quantity to lineitem)."""
+    per-side implied disjuncts (brand/size to part, quantity to lineitem).
+    Revenue accumulates on the exact integer grid (cents × discount-pct),
+    order-independent at any SF."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     cond = (
@@ -2778,14 +2812,13 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_quantity").between(20, 30)
         )
     )
+    grid = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
     return (
         l.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
-        )
+        .agg((F.sum(grid).cast("double") / 10000).alias("revenue"))
     )
 
 
@@ -3646,7 +3679,8 @@ def q_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT date_trunc('month', o.o_orderdate) AS order_month,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o.o_totalprice), 2) AS revenue
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS revenue
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 1000
@@ -3659,7 +3693,9 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     only possibly-matching rows enter the join shuffle — the explicit form
     of the runtime row-level filtering a 100 TB fact⋈selective-dim join
     lives on. Bloom false positives are removed by the real join, so the
-    result (and the oracle) is exactly the plain join's."""
+    result (and the oracle) is exactly the plain join's. Monthly revenue
+    rolls up in exact integer cents (money-sum discipline) — per-month sums
+    grow with SF, so the float ROUND would eventually flake."""
     from ..operators.bloom import bloom_build, bloom_probe
 
     orders = _t(spark, sf_dir, "orders")
@@ -3668,12 +3704,13 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bloom = bloom_build(dim.select("c_custkey"), "c_custkey")
     probed = bloom_probe(orders, "o_custkey", bloom)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return (
         probed.join(dim, probed.o_custkey == dim.c_custkey)
         .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("order_month"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            (F.sum(cents).cast("double") / 100).alias("revenue"),
         )
     )
 

@@ -1,19 +1,22 @@
-"""Build evidence/scale_slope.csv: per-query sf0.1 -> sf1 runtime slopes.
+"""Build evidence/scale_slope.csv: per-query sf0.1 -> sf1 (-> sf10) slopes.
 
-Inputs (produced by the round-5 scale study):
-  evidence/driver_sim_sf0.1_r5.json   DRIVER_SIM_OUT at sf0.1
-  evidence/driver_sim_sf1_r5.json     DRIVER_SIM_OUT at sf1 (10x rows)
-  evidence/bench_sf0.1_slowest.json   SPARK_GRAFT_ONLY bench at sf0.1
-  evidence/bench_sf1_slowest.json     SPARK_GRAFT_ONLY bench at sf1
+Inputs (produced by the round-5/6 scale studies):
+  evidence/driver_sim_sf0.1_r5.json        DRIVER_SIM_OUT at sf0.1
+  evidence/driver_sim_sf1_r5.json          DRIVER_SIM_OUT at sf1 (10x rows)
+  evidence/driver_sim_sf10_money_r6.json   DRIVER_SIM_OUT at sf10 (100x rows,
+                                           money-query subset — round 6)
+  evidence/bench_sf0.1_slowest.json        SPARK_GRAFT_ONLY bench at sf0.1
+  evidence/bench_sf1_slowest.json          SPARK_GRAFT_ONLY bench at sf1
+  evidence/bench_sf10_slowest.json         SPARK_GRAFT_ONLY bench at sf10
 
-Output columns: query, spark_sf0.1_sec, spark_sf1_sec, spark_ratio,
-bench_sf0.1_sec, bench_sf1_sec, bench_ratio, status(sf1).
+Output columns: query, spark seconds at each SF with decade ratios,
+bench seconds at each SF with decade ratios, flag, statuses.
 
-Interpretation: data grows 10x. A ratio <= ~10 is at-most-linear; fixed
-per-query stage overhead (~0.3-0.5 s at sf0.1) makes small queries show
-ratios well under 10. Ratios beyond a query's documented complexity
-(e.g. n log n sorts slightly above 10) are flagged SUPRALINEAR for plan
-review. Ratio columns are blank when either side is missing/errored.
+Interpretation: each decade grows the data 10x. A per-decade ratio <= ~10
+is at-most-linear; fixed per-query stage overhead (~0.3-0.5 s at sf0.1)
+makes small queries show ratios well under 10. Ratios beyond a query's
+documented complexity are flagged SUPRALINEAR for plan review. Ratio
+columns are blank when either side is missing/errored.
 
 Usage: python tools/scale_slope.py
 """
@@ -41,43 +44,61 @@ def _load(path):
 def main() -> None:
     sim01 = _load("driver_sim_sf0.1_r5.json")
     sim1 = _load("driver_sim_sf1_r5.json")
+    sim10 = _load("driver_sim_sf10_money_r6.json")
     b01 = _load("bench_sf0.1_slowest.json").get("queries", {})
     b1 = _load("bench_sf1_slowest.json").get("queries", {})
+    b10 = _load("bench_sf10_slowest.json").get("queries", {})
 
     t01 = sim01.get("timings", {})
     t1 = sim1.get("timings", {})
+    t10 = sim10.get("timings", {})
     res1 = sim1.get("results", {})
+    res10 = sim10.get("results", {})
 
-    names = sorted(set(t01) | set(t1) | set(b01) | set(b1))
+    def ratio(num, den):
+        return round(num / den, 2) if num and den and den > 0 else ""
+
+    names = sorted(set(t01) | set(t1) | set(t10) | set(b01) | set(b1) | set(b10))
     rows = []
     n_flagged = 0
     for n in names:
         s01 = t01.get(n, {}).get("spark_sec")
         s1 = t1.get(n, {}).get("spark_sec")
-        sr = round(s1 / s01, 2) if s01 and s1 and s01 > 0 else ""
+        s10 = t10.get(n, {}).get("spark_sec")
+        sr = ratio(s1, s01)
+        sr10 = ratio(s10, s1)
         bb01 = b01.get(n) if (b01.get(n) or 0) > 0 else None
         bb1 = b1.get(n) if (b1.get(n) or 0) > 0 else None
-        br = round(bb1 / bb01, 2) if bb01 and bb1 else ""
+        bb10 = b10.get(n) if (b10.get(n) or 0) > 0 else None
+        br = ratio(bb1, bb01)
+        br10 = ratio(bb10, bb1)
         flag = ""
-        ratios = [r for r in (sr, br) if r != ""]
-        if ratios and min(ratios) > FLAG_RATIO:
-            flag = "SUPRALINEAR"
-            n_flagged += 1
-        status = res1.get(n, "")
-        rows.append([n, s01 or "", s1 or "", sr, bb01 or "", bb1 or "", br,
-                     flag, status])
+        # flag on the WORST per-decade ratio any evidence source shows,
+        # provided at least one source is clean — min() keeps noise from a
+        # single contended run from flagging, per decade independently
+        for decade in ((sr, br), (sr10, br10)):
+            ratios = [r for r in decade if r != ""]
+            if ratios and min(ratios) > FLAG_RATIO:
+                flag = "SUPRALINEAR"
+                n_flagged += 1
+                break
+        rows.append([n, s01 or "", s1 or "", sr, s10 or "", sr10,
+                     bb01 or "", bb1 or "", br, bb10 or "", br10,
+                     flag, res1.get(n, ""), res10.get(n, "")])
 
     out = os.path.join(EV, "scale_slope.csv")
     with open(out, "w", newline="") as fh:
         w = csv.writer(fh)
-        w.writerow(["query", "spark_sf0.1_sec", "spark_sf1_sec", "spark_ratio",
-                    "bench_sf0.1_sec", "bench_sf1_sec", "bench_ratio",
-                    "flag", "sf1_status"])
+        w.writerow(["query", "spark_sf0.1_sec", "spark_sf1_sec", "spark_ratio_1",
+                    "spark_sf10_sec", "spark_ratio_10",
+                    "bench_sf0.1_sec", "bench_sf1_sec", "bench_ratio_1",
+                    "bench_sf10_sec", "bench_ratio_10",
+                    "flag", "sf1_status", "sf10_status"])
         w.writerows(rows)
     print(f"wrote {out}: {len(rows)} queries, {n_flagged} flagged > {FLAG_RATIO}x")
     for r in rows:
-        if r[7]:
-            print("  FLAG", r[0], "spark_ratio", r[3], "bench_ratio", r[6])
+        if r[11]:
+            print("  FLAG", r[0], "ratios", r[3], r[5], r[8], r[10])
 
 
 if __name__ == "__main__":
