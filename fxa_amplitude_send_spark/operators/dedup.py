@@ -107,6 +107,29 @@ def _minhash_fold_udf(params: list[tuple[int, int]]):
     return fold
 
 
+def band_hashes(sig_col, k: int, bands: int) -> Column:
+    """LSH banding: hash each of ``bands`` consecutive k/bands-sized slices
+    of a MinHash signature into one 64-bit band key, as an array<long>.
+    Shared by the all-pairs path (minhash_lsh_pairs) and the incremental
+    ingest index (streaming/corpus_ingest.py) so both sides of a
+    stream-vs-history join derive IDENTICAL band keys."""
+    rows_per_band = k // bands
+    return F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at(sig_col, i * rows_per_band + j + 1)
+                        for j in range(rows_per_band)
+                    ],
+                )
+            )
+            for i in range(bands)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -129,22 +152,12 @@ def minhash_lsh_pairs(
 
     Output: (doc_a, doc_b, est_jaccard), doc_a < doc_b.
     """
-    rows_per_band = k // bands
     sig = docs.select(
         F.col(id_col).alias("_id"),
         minhash_signature(shingles_col(F.col(text_col), shingle_n), k, seed).alias("_sig"),
     )
 
-    band_arr = F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(
-                    ",", *[F.element_at("_sig", i * rows_per_band + j + 1) for j in range(rows_per_band)]
-                )
-            )
-            for i in range(bands)
-        ]
-    )
+    band_arr = band_hashes(F.col("_sig"), k, bands)
     banded = sig.select(
         "_id",
         "_sig",

@@ -251,6 +251,54 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_token_counts(docs, _trained_merges(spark, sf_dir))
 
 
+# Unigram-LM tokenizer artifact cache — same one-training-run-per-corpus
+# contract as _BPE_CACHE above.
+_UNIGRAM_CACHE: dict[tuple[str, int], list[tuple[str, float]]] = {}
+UNIGRAM_VOCAB = 160
+
+
+def _trained_pieces(spark: SparkSession, sf_dir: str) -> list[tuple[str, float]]:
+    from ..operators.unigram import train_unigram
+
+    key = (sf_dir, UNIGRAM_VOCAB)
+    if key not in _UNIGRAM_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        _UNIGRAM_CACHE[key] = train_unigram(docs, vocab_size=UNIGRAM_VOCAB)
+    return _UNIGRAM_CACHE[key]
+
+
+@query("llm_unigram_train")
+def llm_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a unigram-LM (SentencePiece-style, Kudo 2018) piece vocabulary
+    on the corpus: one corpus-scale word-count aggregate, then
+    vocabulary-sized Viterbi-EM rounds with driver-side renormalization and
+    deterministic pruning (operators/unigram.py). Rows-only (the piece table
+    is engine-derived); tests/test_unigram.py pins the learned pieces
+    piece-for-piece against an independent pure-Python implementation of
+    the same published algorithm on the identical corpus."""
+    pieces = _trained_pieces(spark, sf_dir)
+    rows = [
+        (rank, piece, round(logp, 8), len(piece))
+        for rank, (piece, logp) in enumerate(pieces, start=1)
+    ]
+    return spark.createDataFrame(
+        rows, "piece_rank INT, piece STRING, logp DOUBLE, piece_len INT"
+    )
+
+
+@query("llm_unigram_encode")
+def llm_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment the corpus with the learned unigram pieces and count tokens
+    per document: (doc_id, n_tokens_ws, n_tokens_unigram). Viterbi runs
+    once per DISTINCT word, broadcast back to the token stream — two corpus
+    scans total (train word-count + final join), same shape as
+    llm_bpe_encode."""
+    from ..operators.unigram import encode_token_counts_unigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return encode_token_counts_unigram(docs, _trained_pieces(spark, sf_dir))
+
+
 @query(
     "llm_dedup_span_removal",
     oracle=f"""

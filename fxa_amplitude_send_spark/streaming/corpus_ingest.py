@@ -87,3 +87,169 @@ def dedup_ingest_stream(stream_docs: DataFrame, table_path: str, index_path: str
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def ingest_batch_neardup(
+    batch_docs: DataFrame,
+    table_path: str,
+    index_path: str,
+    txn_id: str,
+    k: int = 64,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> int:
+    """Near-dup-aware ingestion: one batch is admitted only where each doc is
+    neither an exact NOR an approximate (MinHash-estimated Jaccard >=
+    ``threshold``) duplicate of anything previously ingested, or of an
+    earlier-keyed doc in the same batch.
+
+    The persisted index is the LSH decomposition of every admitted doc:
+
+        <index>/bands/  (fingerprint, band, bhash)   band keys ONLY — the
+                                                     join side; 8 small rows
+                                                     per doc, hash-partitioned
+                                                     by (band, bhash)
+        <index>/sigs/   (fingerprint, sig)           one 64-long signature
+                                                     per doc — fetched only
+                                                     for band-colliding
+                                                     candidates
+
+    Per batch the history check is: batch bands ⋈ index bands on
+    (band, bhash) → candidate pairs (expected O(near-dup pairs), never
+    O(corpus)) → join candidates' signatures → component-agreement Jaccard
+    estimate → reject at ``threshold``. Exact duplicates collide on EVERY
+    band with estimate 1.0, so the exact guarantee is subsumed — but the
+    in-batch exact groupBy still runs first because it is cheaper than
+    signing duplicate text twice.
+
+    In-batch near-dups use the same banding via minhash_lsh_pairs; of each
+    candidate pair the larger doc key is dropped (greedy keep-lowest — the
+    cheap standard policy; full transitive clustering is operators/
+    dedup.connected_components if a consumer wants it).
+
+    Crash safety mirrors ingest_batch: the doc append is idempotent via the
+    txn guard; index appends run AFTER the doc commit; a replay re-derives
+    and re-appends signatures, and the candidate join tolerates duplicate
+    index rows (dropDuplicates on the pair key).
+
+    Returns the number of admitted documents."""
+    from ..operators.dedup import (
+        band_hashes,
+        minhash_lsh_pairs,
+        minhash_signature,
+        shingles_col,
+    )
+
+    spark = batch_docs.sparkSession
+    id_col = batch_docs.columns[0]
+
+    # 1. in-batch exact dedup (min key per fingerprint)
+    deduped = (
+        batch_docs.withColumn("fingerprint", F.sha2(F.col("text"), 256))
+        .groupBy("fingerprint")
+        .agg(F.min(F.struct(*batch_docs.columns)).alias("_doc"))
+        .select("fingerprint", "_doc.*")
+    )
+
+    # 2. in-batch near-dup: greedy keep-lowest per candidate pair
+    pairs = minhash_lsh_pairs(
+        deduped, id_col=id_col, k=k, bands=bands, threshold=threshold
+    )
+    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    kept = deduped.join(losers, id_col, "left_anti")
+
+    # 3. vs history: band-bucket candidates, then signature re-estimate
+    signed = kept.withColumn(
+        "_sig", minhash_signature(shingles_col(F.col("text")), k)
+    )
+    bands_dir = os.path.join(index_path, "bands")
+    sigs_dir = os.path.join(index_path, "sigs")
+    if os.path.exists(bands_dir):
+        batch_bands = signed.select(
+            "fingerprint",
+            "_sig",
+            F.posexplode(band_hashes(F.col("_sig"), k, bands)).alias(
+                "band", "bhash"
+            ),
+        )
+        hist_bands = spark.read.parquet(bands_dir)
+        cand = (
+            batch_bands.alias("b")
+            .join(hist_bands.alias("h"), ["band", "bhash"])
+            .select(
+                F.col("b.fingerprint").alias("fingerprint"),
+                F.col("b._sig").alias("_sig"),
+                F.col("h.fingerprint").alias("_hfp"),
+            )
+            .dropDuplicates(["fingerprint", "_hfp"])
+        )
+        hist_sigs = spark.read.parquet(sigs_dir).select(
+            F.col("fingerprint").alias("_hfp"), F.col("sig").alias("_hsig")
+        )
+        est = (
+            F.size(
+                F.filter(
+                    F.zip_with("_sig", "_hsig", lambda a, b: a == b), lambda x: x
+                )
+            ).cast("double")
+            / F.lit(float(k))
+        )
+        near_hist = (
+            cand.join(hist_sigs, "_hfp")
+            .withColumn("_est", est)
+            .filter(F.col("_est") >= threshold)
+            .select("fingerprint")
+            .distinct()
+        )
+        fresh = signed.join(near_hist, "fingerprint", "left_anti")
+    else:
+        fresh = signed
+
+    fresh = fresh.localCheckpoint(eager=True)  # stable across the writes
+    n_new = fresh.count()
+    if n_new:
+        append_snapshot_idempotent(
+            fresh.drop("fingerprint", "_sig"), table_path, txn_id
+        )
+        # index updates AFTER the doc commit (crash -> replay repairs; the
+        # candidate join tolerates re-appended rows)
+        fresh.select(
+            "fingerprint",
+            F.posexplode(band_hashes(F.col("_sig"), k, bands)).alias(
+                "band", "bhash"
+            ),
+        ).write.mode("append").parquet(bands_dir)
+        fresh.select("fingerprint", F.col("_sig").alias("sig")).write.mode(
+            "append"
+        ).parquet(sigs_dir)
+    return n_new
+
+
+def neardup_ingest_stream(
+    stream_docs: DataFrame,
+    table_path: str,
+    index_path: str,
+    k: int = 64,
+    bands: int = 8,
+    threshold: float = 0.8,
+):
+    """Streaming wrapper for ingest_batch_neardup — each micro-batch runs
+    under a (queryId, batchId) transaction id, same contract as
+    dedup_ingest_stream."""
+
+    checkpoint = table_path + "_ingest_ckpt"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        from ..sinks.versioned import streaming_txn_tag
+
+        qid = streaming_txn_tag(batch_df, checkpoint)
+        ingest_batch_neardup(
+            batch_df, table_path, index_path, f"{qid}-{batch_id}",
+            k=k, bands=bands, threshold=threshold,
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
