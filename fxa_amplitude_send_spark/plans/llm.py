@@ -1704,3 +1704,52 @@ def llm_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 5)
     )
+
+
+@query("llm_ingest_neardup")  # rows-only: MinHash estimates are engine-specific
+def llm_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware incremental ingestion under the driver's gate
+    (streaming/corpus_ingest.ingest_batch_neardup): two document batches
+    flow through the LSH-indexed admission pipeline — batch 2 overlaps
+    batch 1 and appends two crafted rows (an exact copy and a one-token
+    perturbation of an admitted doc) that MUST be rejected against history.
+    Returns one row per batch with admission accounting plus the final
+    table size, all deterministic (every tie-break in the pipeline is
+    total), so the rows-only hash is stable run-to-run.
+
+    This is the certification pattern of q_versioned_roundtrip applied to
+    the ingestion machinery: the driver compare pins the lakehouse append,
+    the LSH index round-trip, and the admission decisions together."""
+    from ..plans.sources_io import _work_root
+    from ..sinks.versioned import read_snapshot
+    from ..streaming.corpus_ingest import ingest_batch_neardup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    table = _work_root("neardup_tbl", sf_dir)
+    index = _work_root("neardup_idx", sf_dir)
+
+    b1 = docs.filter(F.col("doc_id") < 200)
+    n1 = ingest_batch_neardup(b1, table, index, "gate-1")
+
+    survivor = (
+        read_snapshot(spark, table).orderBy("doc_id").limit(1).collect()[0]["text"]
+    )
+    crafted = spark.createDataFrame(
+        [(900001, survivor), (900002, survivor + " extraword")],
+        "doc_id long, text string",
+    )
+    b2 = docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300)).unionByName(
+        crafted
+    )
+    n2 = ingest_batch_neardup(b2, table, index, "gate-2")
+
+    final = read_snapshot(spark, table)
+    n_final = final.count()
+    n_crafted_admitted = final.filter(F.col("doc_id") >= 900000).count()
+    return spark.createDataFrame(
+        [
+            (1, n1, n_final, n_crafted_admitted),
+            (2, n2, n_final, n_crafted_admitted),
+        ],
+        "batch INT, n_admitted BIGINT, n_table_final BIGINT, n_crafted_admitted BIGINT",
+    )

@@ -41,9 +41,18 @@ def _load(path):
         return json.load(fh)
 
 
+def _load_latest(*names):
+    """First existing file wins — newest round first."""
+    for n in names:
+        d = _load(n)
+        if d:
+            return d
+    return {}
+
+
 def main() -> None:
-    sim01 = _load("driver_sim_sf0.1_r5.json")
-    sim1 = _load("driver_sim_sf1_r5.json")
+    sim01 = _load_latest("driver_sim_sf0.1_r6.json", "driver_sim_sf0.1_r5.json")
+    sim1 = _load_latest("driver_sim_sf1_r6.json", "driver_sim_sf1_r5.json")
     sim10 = _load("driver_sim_sf10_money_r6.json")
     b01 = _load("bench_sf0.1_slowest.json").get("queries", {})
     b1 = _load("bench_sf1_slowest.json").get("queries", {})
