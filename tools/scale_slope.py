@@ -54,6 +54,7 @@ def main() -> None:
     sim01 = _load_latest("driver_sim_sf0.1_r6.json", "driver_sim_sf0.1_r5.json")
     sim1 = _load_latest("driver_sim_sf1_r6.json", "driver_sim_sf1_r5.json")
     sim10 = _load("driver_sim_sf10_money_r6.json")
+    sim100 = _load("driver_sim_sf100_money_r6.json")
     b01 = _load("bench_sf0.1_slowest.json").get("queries", {})
     b1 = _load("bench_sf1_slowest.json").get("queries", {})
     b10 = _load("bench_sf10_slowest.json").get("queries", {})
@@ -61,21 +62,27 @@ def main() -> None:
     t01 = sim01.get("timings", {})
     t1 = sim1.get("timings", {})
     t10 = sim10.get("timings", {})
+    t100 = sim100.get("timings", {})
     res1 = sim1.get("results", {})
     res10 = sim10.get("results", {})
+    res100 = sim100.get("results", {})
 
     def ratio(num, den):
         return round(num / den, 2) if num and den and den > 0 else ""
 
-    names = sorted(set(t01) | set(t1) | set(t10) | set(b01) | set(b1) | set(b10))
+    names = sorted(
+        set(t01) | set(t1) | set(t10) | set(t100) | set(b01) | set(b1) | set(b10)
+    )
     rows = []
     n_flagged = 0
     for n in names:
         s01 = t01.get(n, {}).get("spark_sec")
         s1 = t1.get(n, {}).get("spark_sec")
         s10 = t10.get(n, {}).get("spark_sec")
+        s100 = t100.get(n, {}).get("spark_sec")
         sr = ratio(s1, s01)
         sr10 = ratio(s10, s1)
+        sr100 = ratio(s100, s10)
         bb01 = b01.get(n) if (b01.get(n) or 0) > 0 else None
         bb1 = b1.get(n) if (b1.get(n) or 0) > 0 else None
         bb10 = b10.get(n) if (b10.get(n) or 0) > 0 else None
@@ -85,29 +92,31 @@ def main() -> None:
         # flag on the WORST per-decade ratio any evidence source shows,
         # provided at least one source is clean — min() keeps noise from a
         # single contended run from flagging, per decade independently
-        for decade in ((sr, br), (sr10, br10)):
+        for decade in ((sr, br), (sr10, br10), ((sr100,) if sr100 else ())):
             ratios = [r for r in decade if r != ""]
             if ratios and min(ratios) > FLAG_RATIO:
                 flag = "SUPRALINEAR"
                 n_flagged += 1
                 break
         rows.append([n, s01 or "", s1 or "", sr, s10 or "", sr10,
+                     s100 or "", sr100,
                      bb01 or "", bb1 or "", br, bb10 or "", br10,
-                     flag, res1.get(n, ""), res10.get(n, "")])
+                     flag, res1.get(n, ""), res10.get(n, ""), res100.get(n, "")])
 
     out = os.path.join(EV, "scale_slope.csv")
     with open(out, "w", newline="") as fh:
         w = csv.writer(fh)
         w.writerow(["query", "spark_sf0.1_sec", "spark_sf1_sec", "spark_ratio_1",
                     "spark_sf10_sec", "spark_ratio_10",
+                    "spark_sf100_sec", "spark_ratio_100",
                     "bench_sf0.1_sec", "bench_sf1_sec", "bench_ratio_1",
                     "bench_sf10_sec", "bench_ratio_10",
-                    "flag", "sf1_status", "sf10_status"])
+                    "flag", "sf1_status", "sf10_status", "sf100_status"])
         w.writerows(rows)
     print(f"wrote {out}: {len(rows)} queries, {n_flagged} flagged > {FLAG_RATIO}x")
     for r in rows:
-        if r[11]:
-            print("  FLAG", r[0], "ratios", r[3], r[5], r[8], r[10])
+        if r[13]:
+            print("  FLAG", r[0], "ratios", r[3], r[5], r[7], r[10], r[12])
 
 
 if __name__ == "__main__":
