@@ -402,3 +402,52 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mv_count",
         F.round("sum_value", 2).alias("sum_value"),
     )
+
+
+@query(
+    "q_mv_minmax",
+    oracle="""
+    WITH final AS (
+      SELECT event_type, value FROM events WHERE value < 75
+    )
+    SELECT event_type, COUNT(*) AS mv_count,
+           ROUND(MIN(value), 2) AS min_value,
+           ROUND(MAX(value), 2) AS max_value
+    FROM final GROUP BY event_type
+    """,
+)
+def q_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX materialized-view maintenance under the correctness gate
+    (sinks/materialized_view.py, recompute-on-retraction): a COUNT/MIN/MAX
+    view is created over half the events, the base absorbs the other half
+    (insert-only fold via least/greatest) and then a DELETE of every row
+    with value >= 75 — which retracts the current max of ~every group, so
+    the refresh must take the danger path and re-aggregate exactly the
+    affected groups from the base. The maintained view must hash-match the
+    oracle's from-scratch aggregate of the final state."""
+    from ..sinks.materialized_view import create_mv, read_mv, refresh_mv
+    from ..sinks.versioned import (
+        append_snapshot,
+        delete_snapshot,
+        write_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    base = _work_root("mmbase", sf_dir)
+    mv = _work_root("mmmv", sf_dir)
+    write_snapshot(ev.filter(F.col("event_id") % 2 == 0), base)   # v1
+    create_mv(
+        spark, base, mv, keys=["event_type"], sums=[],
+        mins=["value"], maxs=["value"],
+    )
+    append_snapshot(ev.filter(F.col("event_id") % 2 == 1), base)  # v2
+    delete_snapshot(spark, base, "value >= 75")                   # v3
+    refresh_mv(spark, mv)  # insert fold + danger recompute in one window
+    return read_mv(spark, mv).select(
+        "event_type",
+        "mv_count",
+        F.round("min_value", 2).alias("min_value"),
+        F.round("max_value", 2).alias("max_value"),
+    )

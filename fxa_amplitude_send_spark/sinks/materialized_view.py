@@ -17,9 +17,18 @@ so the per-group delta is ``SUM(sign)`` for the count and ``SUM(sign·x)``
 for each sum measure. Applying the delta to the stored view is a key-equi
 outer merge; groups whose maintained count reaches 0 are dropped (they have
 no supporting base rows left). AVG is derived (sum/count) by readers.
-MIN/MAX are deliberately unsupported: they are not self-maintainable under
-deletes (retracting the current minimum needs the base table), so asking for
-them raises instead of silently recomputing.
+
+MIN/MAX (``mins=`` / ``maxs=``) use the standard recompute-on-retraction
+upgrade: inserts maintain them for free (new_min = least(stored, batch
+min)), but a retraction that TOUCHES the current extreme (retracted min <=
+stored min, or retracted max >= stored max) cannot be folded — the new
+extreme lives only in the base table. Exactly those DANGER groups are
+re-aggregated from the base's CURRENT snapshot via a semi join (columns
+pruned to keys + measure), so the refresh costs O(change rows) + O(base
+rows of groups whose extreme was retracted) — never an unconditional
+O(base). Asking for min/max through the legacy ``aggs=`` switch still
+raises, pointing at the explicit parameters, because the caller must opt
+into the retraction cost consciously.
 
 The view itself is stored as a versioned table, so MV readers get the same
 snapshot isolation / time travel as base-table readers, and every refresh is
@@ -77,10 +86,18 @@ def _save_meta(mv_path: str, meta: dict) -> None:
     os.replace(tmp, _meta_path(mv_path))
 
 
-def _aggregate(df: DataFrame, keys: list[str], sums: list[str]) -> DataFrame:
+def _aggregate(
+    df: DataFrame,
+    keys: list[str],
+    sums: list[str],
+    mins: list[str] = (),
+    maxs: list[str] = (),
+) -> DataFrame:
     return df.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("long").alias("mv_count"),
         *[F.sum(c).alias(f"sum_{c}") for c in sums],
+        *[F.min(c).alias(f"min_{c}") for c in mins],
+        *[F.max(c).alias(f"max_{c}") for c in maxs],
     )
 
 
@@ -91,20 +108,28 @@ def create_mv(
     keys: list[str],
     sums: list[str],
     aggs: list[str] | None = None,
+    mins: list[str] | None = None,
+    maxs: list[str] | None = None,
 ) -> int:
-    """Materialize ``SELECT keys, COUNT(*), SUM(sums...) GROUP BY keys`` over
-    the base table's CURRENT version. Returns the MV's committed version."""
+    """Materialize ``SELECT keys, COUNT(*), SUM(sums...), MIN(mins...),
+    MAX(maxs...) GROUP BY keys`` over the base table's CURRENT version.
+    Returns the MV's committed version. ``mins``/``maxs`` opt into
+    recompute-on-retraction maintenance (see module docstring)."""
     if aggs:
         bad = [a for a in aggs if a.lower() not in ("count", "sum")]
         if bad:
             raise ValueError(
                 f"aggregates {bad} are not self-maintainable under deletes "
-                "(min/max retraction needs the base table); supported: count, sum"
+                "(min/max retraction needs the base table); use the explicit "
+                "mins=/maxs= parameters to opt into recompute-on-retraction"
             )
     base_version = current_version(base_path)
     if base_version == 0:
         raise FileNotFoundError(f"no committed snapshot at {base_path}")
-    view = _aggregate(read_snapshot(spark, base_path, base_version), keys, sums)
+    mins, maxs = list(mins or []), list(maxs or [])
+    view = _aggregate(
+        read_snapshot(spark, base_path, base_version), keys, sums, mins, maxs
+    )
     v = write_snapshot(view, mv_path)
     _save_meta(
         mv_path,
@@ -112,6 +137,8 @@ def create_mv(
             "base_path": os.path.abspath(base_path),
             "keys": keys,
             "sums": sums,
+            "mins": mins,
+            "maxs": maxs,
             "base_version_synced": base_version,
             "mv_version": v,
         },
@@ -189,19 +216,29 @@ def refresh_mv(spark: SparkSession, mv_path: str) -> int:
             "between commit and meta write; rebuild with create_mv()"
         )
     base_path, keys, sums = meta["base_path"], meta["keys"], meta["sums"]
+    mins, maxs = meta.get("mins", []), meta.get("maxs", [])
     lo, hi = meta["base_version_synced"], current_version(base_path)
     if hi <= lo:
         return current_version(mv_path)
 
-    changes = _change_feed(spark, base_path, lo, hi, keys + sums)
+    extreme_cols = sorted({*mins, *maxs})
+    measure_cols = sums + [c for c in extreme_cols if c not in sums]
+    changes = _change_feed(spark, base_path, lo, hi, keys + measure_cols)
     if changes is None:  # only compactions happened
         meta["base_version_synced"] = hi
         _save_meta(mv_path, meta)
         return current_version(mv_path)
 
+    ins, ret = _sign() == 1, _sign() == -1
     delta = changes.groupBy(*keys).agg(
         F.sum(_sign()).cast("long").alias("d_count"),
         *[F.sum(_sign() * F.col(c)).alias(f"d_sum_{c}") for c in sums],
+        # inserted-rows extremes fold in for free; retracted-rows extremes
+        # only DETECT whether the stored extreme might be gone
+        *[F.min(F.when(ins, F.col(c))).alias(f"d_insmin_{c}") for c in mins],
+        *[F.min(F.when(ret, F.col(c))).alias(f"d_retmin_{c}") for c in mins],
+        *[F.max(F.when(ins, F.col(c))).alias(f"d_insmax_{c}") for c in maxs],
+        *[F.max(F.when(ret, F.col(c))).alias(f"d_retmax_{c}") for c in maxs],
     )
 
     # Pin the MV version this refresh folds ON TOP OF. The commit below
@@ -211,6 +248,17 @@ def refresh_mv(spark: SparkSession, mv_path: str) -> int:
     # same change window twice — double-counted sums).
     cur_mv_version = current_version(mv_path)
     cur = read_snapshot(spark, mv_path, cur_mv_version)
+    # danger = a retraction touched the stored extreme: the true new extreme
+    # is not derivable from view + delta, only from the base (per group)
+    danger_pred = F.lit(False)
+    for c in mins:
+        danger_pred = danger_pred | (
+            F.col(f"d.d_retmin_{c}") <= F.col(f"m.min_{c}")
+        )
+    for c in maxs:
+        danger_pred = danger_pred | (
+            F.col(f"d.d_retmax_{c}") >= F.col(f"m.max_{c}")
+        )
     merged = (
         cur.alias("m")
         .join(delta.alias("d"), keys, "full_outer")
@@ -227,9 +275,66 @@ def refresh_mv(spark: SparkSession, mv_path: str) -> int:
                 ).alias(f"sum_{c}")
                 for c in sums
             ],
+            # least/greatest skip nulls, so insert-only groups, stored-only
+            # groups, and mixed groups all resolve without branching
+            *[
+                F.least(F.col(f"m.min_{c}"), F.col(f"d.d_insmin_{c}")).alias(
+                    f"min_{c}"
+                )
+                for c in mins
+            ],
+            *[
+                F.greatest(F.col(f"m.max_{c}"), F.col(f"d.d_insmax_{c}")).alias(
+                    f"max_{c}"
+                )
+                for c in maxs
+            ],
+            F.coalesce(danger_pred, F.lit(False)).alias("_danger"),
         )
         .filter(F.col("mv_count") > 0)  # groups with no supporting rows drop out
     )
+
+    if extreme_cols:
+        # Materialize once: reused by the danger count AND the final commit.
+        merged = merged.localCheckpoint(eager=True)
+        danger_keys = merged.filter(F.col("_danger")).select(*keys)
+        if danger_keys.limit(1).count():
+            # ONLY the danger groups re-aggregate from the base — a single
+            # column-pruned scan semi-joined down to the affected keys.
+            recomputed = (
+                read_snapshot(spark, base_path, hi)
+                .select(*keys, *extreme_cols)
+                .join(F.broadcast(danger_keys), keys, "left_semi")
+                .groupBy(*keys)
+                .agg(
+                    *[F.min(c).alias(f"rc_min_{c}") for c in mins],
+                    *[F.max(c).alias(f"rc_max_{c}") for c in maxs],
+                )
+            )
+            merged = (
+                merged.join(recomputed, keys, "left")
+                .select(
+                    *keys,
+                    "mv_count",
+                    *[f"sum_{c}" for c in sums],
+                    *[
+                        F.when(
+                            F.col("_danger"), F.col(f"rc_min_{c}")
+                        ).otherwise(F.col(f"min_{c}")).alias(f"min_{c}")
+                        for c in mins
+                    ],
+                    *[
+                        F.when(
+                            F.col("_danger"), F.col(f"rc_max_{c}")
+                        ).otherwise(F.col(f"max_{c}")).alias(f"max_{c}")
+                        for c in maxs
+                    ],
+                )
+            )
+        else:
+            merged = merged.drop("_danger")
+    else:
+        merged = merged.drop("_danger")
 
     files = _stage_data_files(merged, mv_path)
     n = _count_staged(spark, mv_path, files)

@@ -358,3 +358,85 @@ def test_mv_concurrent_refreshers_cannot_double_fold(spark, ev, tmp_path, monkey
     )
     # and the meta is coherent: a further refresh with no base movement no-ops
     assert refresh_mv(spark, mv) == 2
+
+
+def _mm_map(df):
+    return {
+        r["event_type"]: (r["mv_count"], r["min_value"], r["max_value"])
+        for r in df.collect()
+    }
+
+
+def _mm_recompute(spark, base_path):
+    return _mm_map(
+        read_snapshot(spark, base_path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("mv_count"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+def test_mv_minmax_insert_only_maintains_for_free(spark, ev, tmp_path):
+    """Round-6: inserts fold into MIN/MAX with least/greatest — no base
+    rescan — and the maintained view equals a from-scratch recompute."""
+    base, mv = str(tmp_path / "b"), str(tmp_path / "mv")
+    write_snapshot(ev.filter("event_id < 40"), base)
+    create_mv(
+        spark, base, mv, keys=["event_type"], sums=[],
+        mins=["value"], maxs=["value"],
+    )
+    append_snapshot(ev.filter("event_id >= 40 AND event_id < 90"), base)
+    refresh_mv(spark, mv)
+    assert _mm_map(read_mv(spark, mv)) == _mm_recompute(spark, base)
+
+
+def test_mv_minmax_retracted_extreme_recomputes_group(spark, ev, tmp_path):
+    """Deleting rows that CARRY a group's min forces the
+    recompute-on-retraction path; the result must equal a full recompute,
+    including groups whose extreme was untouched."""
+    base, mv = str(tmp_path / "b"), str(tmp_path / "mv")
+    write_snapshot(ev.filter("event_id < 100"), base)
+    create_mv(
+        spark, base, mv, keys=["event_type"], sums=["value"],
+        mins=["value"], maxs=["value"],
+    )
+    # retract every row at or below the global 25th percentile value —
+    # guaranteed to include at least one group's current minimum
+    cut = read_snapshot(spark, base).approxQuantile("value", [0.25], 0.0)[0]
+    delete_snapshot(spark, base, f"value <= {cut}")
+    refresh_mv(spark, mv)
+    got = _mm_map(read_mv(spark, mv).select(
+        "event_type", "mv_count", "min_value", "max_value"))
+    assert got == _mm_recompute(spark, base)
+
+
+def test_mv_minmax_update_moving_extreme_between_groups(spark, ev, tmp_path):
+    """A merge that MOVES the max row into another group exercises both the
+    retraction (old group loses its max -> recompute) and the insert fold
+    (new group may gain a max) in one refresh."""
+    base, mv = str(tmp_path / "b"), str(tmp_path / "mv")
+    write_snapshot(ev.filter("event_id < 100"), base)
+    create_mv(
+        spark, base, mv, keys=["event_type"], sums=[],
+        mins=["value"], maxs=["value"],
+    )
+    top = (
+        read_snapshot(spark, base).orderBy(F.col("value").desc()).limit(1).collect()[0]
+    )
+    moved = spark.createDataFrame(
+        [(top["event_id"], "migrated", top["value"])],
+        "event_id long, event_type string, value double",
+    ).select(*read_snapshot(spark, base).columns)
+    merge_snapshot(spark, base, moved, ["event_id"])
+    refresh_mv(spark, mv)
+    assert _mm_map(read_mv(spark, mv)) == _mm_recompute(spark, base)
+
+
+def test_mv_legacy_aggs_minmax_still_refused_with_pointer(spark, ev, tmp_path):
+    base, mv = str(tmp_path / "b"), str(tmp_path / "mv")
+    write_snapshot(ev.filter("event_id < 10"), base)
+    with pytest.raises(ValueError, match="mins=/maxs="):
+        create_mv(spark, base, mv, keys=["event_type"], sums=[], aggs=["max"])
