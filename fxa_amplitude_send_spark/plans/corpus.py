@@ -286,6 +286,43 @@ def llm_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNIGRAM_FULL_CACHE: dict[tuple[str, int], list[tuple[str, float]]] = {}
+
+
+def _trained_pieces_full(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[str, float]]:
+    from ..operators.unigram import train_unigram
+
+    key = (sf_dir, UNIGRAM_VOCAB)
+    if key not in _UNIGRAM_FULL_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        _UNIGRAM_FULL_CACHE[key] = train_unigram(
+            docs, vocab_size=UNIGRAM_VOCAB, em_mode="full", prune_mode="loss"
+        )
+    return _UNIGRAM_FULL_CACHE[key]
+
+
+@query("llm_unigram_train_full")
+def llm_unigram_train_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM training with Kudo's EXACT E-step (forward-backward
+    posterior marginals over each word's segmentation lattice, grid-
+    quantized to BIGINT so distributed sums stay order-independent) and
+    SentencePiece likelihood-loss pruning — the full published algorithm,
+    vs llm_unigram_train's Viterbi-EM approximation. Rows-only (the piece
+    table is engine-derived); tests/test_unigram.py pins pieces AND
+    log-probs against an independent pure-Python forward-backward
+    implementation on the identical corpus."""
+    pieces = _trained_pieces_full(spark, sf_dir)
+    rows = [
+        (rank, piece, round(logp, 8), len(piece))
+        for rank, (piece, logp) in enumerate(pieces, start=1)
+    ]
+    return spark.createDataFrame(
+        rows, "piece_rank INT, piece STRING, logp DOUBLE, piece_len INT"
+    )
+
+
 @query("llm_unigram_encode")
 def llm_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment the corpus with the learned unigram pieces and count tokens
