@@ -451,3 +451,72 @@ def q_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_value", 2).alias("min_value"),
         F.round("max_value", 2).alias("max_value"),
     )
+
+
+@query(
+    "q_mv_join_incremental",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey AS custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders WHERE o_totalprice <= 200000
+    ), d AS (
+      SELECT c_custkey AS custkey,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 'REZONED'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer
+    )
+    SELECT c_mktsegment, COUNT(*) AS mv_count,
+           CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+    FROM f JOIN d USING (custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_mv_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance under the correctness gate
+    (sinks/join_mv.py): a COUNT/SUM view over orders ⋈ customer grouped by
+    a DIM-side attribute is created over half the fact; then the fact
+    absorbs an append + a delete AND the dim absorbs a segment-rewriting
+    merge in the same refresh window. One refresh folds the two-term
+    signed delta (ΔF ⋈ D_new + F_old ⋈ ΔD) — fact-only movement never
+    rescans the fact — and the maintained view must hash-match the
+    oracle's from-scratch join aggregate of the final state. Money on the
+    exact integer-cents grid (BIGINT sums), engine- and SF-independent."""
+    from ..sinks.join_mv import create_join_mv, read_join_mv, refresh_join_mv
+    from ..sinks.versioned import (
+        append_snapshot,
+        delete_snapshot,
+        merge_snapshot,
+        write_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+        "o_totalprice",
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    fp = _work_root("jmvf", sf_dir)
+    dp = _work_root("jmvd", sf_dir)
+    mv = _work_root("jmv", sf_dir)
+    write_snapshot(orders.filter(F.col("o_orderkey") % 2 == 0), fp)  # f v1
+    write_snapshot(cust, dp)                                         # d v1
+    create_join_mv(
+        spark, fp, dp, mv,
+        on=["custkey"], keys=["c_mktsegment"], sums=["price_c"],
+    )
+    append_snapshot(orders.filter(F.col("o_orderkey") % 2 == 1), fp)  # f v2
+    delete_snapshot(spark, fp, "o_totalprice > 200000")               # f v3
+    rezoned = cust.filter(F.col("c_mktsegment") == "BUILDING").withColumn(
+        "c_mktsegment", F.lit("REZONED")
+    )
+    merge_snapshot(spark, dp, rezoned, ["custkey"])                   # d v2
+    refresh_join_mv(spark, mv)  # both sides fold in ONE window
+    return read_join_mv(spark, mv).select(
+        "c_mktsegment",
+        "mv_count",
+        F.col("sum_price_c").cast("long").alias("sum_price_c"),
+    )
