@@ -187,6 +187,53 @@ def test_join_mv_wrong_refresher_refused(spark, fact, dim, tmp_path):
         refresh_mv(spark, mv)
 
 
+def test_join_mv_streaming_triggered_refresh(spark, fact, dim, tmp_path):
+    """Dim CDF stream -> join-view loop: a streaming reader tails the DIM
+    table's change feed and each micro-batch triggers an incremental
+    join-MV refresh — the streaming flavor of slowly-changing-dimension
+    propagation. refresh_join_mv's two version cursors keep the trigger
+    idempotent."""
+    from fxa_amplitude_send_spark.sinks.versioned import current_version
+    from fxa_amplitude_send_spark.sources.versioned_stream import (
+        VersionedTableDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableDataSource)
+    fp, dp, mv = _setup(spark, fact, dim, tmp_path)
+    # dim moves while the stream is down: a segment rewrite and a delete
+    moved = (
+        read_snapshot(spark, dp)
+        .filter("c_mktsegment = 'BUILDING'")
+        .withColumn("c_mktsegment", F.lit("REZONED"))
+    )
+    merge_snapshot(spark, dp, moved, ["custkey"])
+    delete_snapshot(spark, dp, "c_mktsegment = 'MACHINERY'")
+    # and the fact moves too — the same trigger folds BOTH cursors
+    append_snapshot(fact.filter("o_orderkey % 2 = 1"), fp)
+
+    refreshes: list[int] = []
+
+    def on_batch(batch_df, batch_id):
+        refreshes.append(refresh_join_mv(batch_df.sparkSession, mv))
+
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", dp)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert refreshes, "stream delivered no batches"
+    assert _as_map(read_join_mv(spark, mv)) == _recompute(spark, fp, dp)
+    v = current_version(mv)
+    assert refresh_join_mv(spark, mv) == v
+
+
 def test_join_mv_side_validation(spark, fact, dim, tmp_path):
     fp, dp = str(tmp_path / "f"), str(tmp_path / "d")
     write_snapshot(fact, fp)
