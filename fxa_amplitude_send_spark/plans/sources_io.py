@@ -520,3 +520,62 @@ def q_mv_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mv_count",
         F.col("sum_price_c").cast("long").alias("sum_price_c"),
     )
+
+
+@query(
+    "q_mv_chain",
+    oracle="""
+    WITH final AS (
+      SELECT event_id % 4 AS bucket, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS value_c
+      FROM events WHERE event_type <> 'error'
+    ), mv1 AS (
+      SELECT event_type, bucket, COUNT(*) AS n,
+             CAST(SUM(value_c) AS BIGINT) AS s
+      FROM final GROUP BY event_type, bucket
+    )
+    SELECT event_type, COUNT(*) AS mv_count,
+           CAST(SUM(n) AS BIGINT) AS sum_mv_count,
+           CAST(SUM(s) AS BIGINT) AS sum_sum_value_c
+    FROM mv1 GROUP BY event_type
+    """,
+)
+def q_mv_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED incremental view maintenance under the correctness gate:
+    MV1 aggregates the base by (event_type, bucket); MV2 aggregates MV1 by
+    event_type, refreshing off MV1's OWN change feed (refreshes commit
+    kind='merge' with real CDF pre/postimage files —
+    sinks/materialized_view.py _mv_change_rows). The base absorbs an
+    append and a group delete; each level folds only its upstream's
+    changes, and the top of the chain must hash-match the oracle's
+    from-scratch two-level aggregate of the final state. Money on the
+    integer-cents grid."""
+    from ..sinks.materialized_view import create_mv, read_mv, refresh_mv
+    from ..sinks.versioned import (
+        append_snapshot,
+        delete_snapshot,
+        write_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") % 4).alias("bucket"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    base = _work_root("chbase", sf_dir)
+    mv1 = _work_root("chmv1", sf_dir)
+    mv2 = _work_root("chmv2", sf_dir)
+    write_snapshot(ev.filter(F.col("event_id") % 2 == 0), base)      # v1
+    create_mv(spark, base, mv1, keys=["event_type", "bucket"], sums=["value_c"])
+    create_mv(spark, mv1, mv2, keys=["event_type"], sums=["mv_count", "sum_value_c"])
+    append_snapshot(ev.filter(F.col("event_id") % 2 == 1), base)     # v2
+    delete_snapshot(spark, base, "event_type = 'error'")             # v3
+    refresh_mv(spark, mv1)  # folds the base change feed
+    refresh_mv(spark, mv2)  # folds MV1's OWN change feed
+    return read_mv(spark, mv2).select(
+        "event_type",
+        "mv_count",
+        F.col("sum_mv_count").cast("long").alias("sum_mv_count"),
+        F.col("sum_sum_value_c").cast("long").alias("sum_sum_value_c"),
+    )

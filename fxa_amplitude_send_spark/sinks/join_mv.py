@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from .materialized_view import (
     _change_feed,
     _load_meta,
+    _mv_change_rows,
     _save_meta,
     _sign,
 )
@@ -216,7 +217,8 @@ def refresh_join_mv(spark: SparkSession, mv_path: str) -> int:
     # discards its staged fold.
     cur_mv_version = current_version(mv_path)
     cur = read_snapshot(spark, mv_path, cur_mv_version)
-    merged = (
+    measures = ["mv_count"] + [f"sum_{c}" for c in sums]
+    full = (
         cur.alias("m")
         .join(delta.alias("d"), keys, "full_outer")
         .select(
@@ -232,16 +234,24 @@ def refresh_join_mv(spark: SparkSession, mv_path: str) -> int:
                 ).alias(f"sum_{c}")
                 for c in sums
             ],
+            F.col("m.mv_count").isNotNull().alias("_in_cur"),
+            F.col("d.d_count").isNotNull().alias("_in_delta"),
+            *[F.col(f"m.{mc}").alias(f"_pre_{mc}") for mc in measures],
         )
-        .filter(F.col("mv_count") > 0)
+        .localCheckpoint(eager=True)  # reused by both staging writes
     )
+    merged = full.filter(F.col("mv_count") > 0).select(*keys, *measures)
+    changes = _mv_change_rows(full, keys, measures)
 
     files = _stage_data_files(merged, mv_path)
+    change_files = _stage_data_files(changes, mv_path)
     n = _count_staged(spark, mv_path, files)
     try:
+        # kind='merge' + change files: the join view is itself a chainable
+        # CDF source (see materialized_view._mv_change_rows)
         v = _commit(
             mv_path, files, n, merged.schema.json(), cur_mv_version,
-            kind="replace",
+            appended=[], changes=change_files, kind="merge",
         )
     except RuntimeError:
         fresh = _load_meta(mv_path)

@@ -32,7 +32,13 @@ into the retraction cost consciously.
 
 The view itself is stored as a versioned table, so MV readers get the same
 snapshot isolation / time travel as base-table readers, and every refresh is
-an atomic commit. ``_mv_meta.json`` (inside the MV directory, next to the
+an atomic commit. Refreshes commit ``kind='merge'`` with REAL change files
+(insert / update pre+postimage / delete per changed group, derived from the
+same merge join by ``_mv_change_rows`` — O(changed groups)), which makes a
+maintained view itself a change-feed SOURCE: another MV (or a join MV using
+it as the dim side) can chain off it, and base movement propagates down the
+chain with every hop O(changes). See test_mv_chain_mv_over_mv and
+test_join_mv_dim_is_itself_a_maintained_mv. ``_mv_meta.json`` (inside the MV directory, next to the
 manifests) records the definition and the last base version folded in —
 refresh is idempotent: re-running with no new base versions is a no-op.
 
@@ -197,6 +203,38 @@ def _change_feed(
     return out
 
 
+def _mv_change_rows(
+    full: DataFrame, keys: list[str], measures: list[str]
+) -> DataFrame:
+    """Derive the refresh's OWN change feed from the annotated merge frame
+    (``_in_cur``/``_in_delta`` presence markers + ``_pre_*`` prior values):
+    inserts (group is new), update pre/postimage pairs (group existed and a
+    measure actually moved), deletes (maintained count reached 0). Same CDF
+    shape as merge_snapshot, O(changed groups) rows — this is what makes a
+    maintained view itself consumable by ANOTHER maintained view."""
+    alive = F.col("mv_count") > 0
+    in_cur, in_delta = F.col("_in_cur"), F.col("_in_delta")
+    changed = F.lit(False)
+    for m in measures:
+        changed = changed | ~F.col(m).eqNullSafe(F.col(f"_pre_{m}"))
+    pre = [F.col(f"_pre_{m}").alias(m) for m in measures]
+    post = [F.col(m) for m in measures]
+
+    def rows(pred, cols, tag):
+        return full.filter(pred).select(
+            *keys, *cols, F.lit(tag).alias("_change_type")
+        )
+
+    return (
+        rows(in_delta & ~in_cur & alive, post, "insert")
+        .unionByName(rows(in_delta & in_cur & alive & changed, pre,
+                          "update_preimage"))
+        .unionByName(rows(in_delta & in_cur & alive & changed, post,
+                          "update_postimage"))
+        .unionByName(rows(in_cur & ~alive, pre, "delete"))
+    )
+
+
 def refresh_mv(spark: SparkSession, mv_path: str) -> int:
     """Fold every base version committed since the last refresh into the
     view. Cost is O(change rows), independent of base-table size. Returns
@@ -261,7 +299,13 @@ def refresh_mv(spark: SparkSession, mv_path: str) -> int:
         danger_pred = danger_pred | (
             F.col(f"d.d_retmax_{c}") >= F.col(f"m.max_{c}")
         )
-    merged = (
+    measures = (
+        ["mv_count"]
+        + [f"sum_{c}" for c in sums]
+        + [f"min_{c}" for c in mins]
+        + [f"max_{c}" for c in maxs]
+    )
+    full = (
         cur.alias("m")
         .join(delta.alias("d"), keys, "full_outer")
         .select(
@@ -292,14 +336,18 @@ def refresh_mv(spark: SparkSession, mv_path: str) -> int:
                 for c in maxs
             ],
             F.coalesce(danger_pred, F.lit(False)).alias("_danger"),
+            # pre-change view state + presence markers: the MV's OWN change
+            # feed (pre/postimages) is derived from the same join, so the
+            # view is a chainable CDF source like any versioned table
+            F.col("m.mv_count").isNotNull().alias("_in_cur"),
+            F.col("d.d_count").isNotNull().alias("_in_delta"),
+            *[F.col(f"m.{mc}").alias(f"_pre_{mc}") for mc in measures],
         )
-        .filter(F.col("mv_count") > 0)  # groups with no supporting rows drop out
     )
 
     if extreme_cols:
-        # Materialize once: reused by the danger count AND the final commit.
-        merged = merged.localCheckpoint(eager=True)
-        danger_keys = merged.filter(F.col("_danger")).select(*keys)
+        full = full.localCheckpoint(eager=True)
+        danger_keys = full.filter(F.col("_danger")).select(*keys)
         if danger_keys.limit(1).count():
             # ONLY the danger groups re-aggregate from the base — a single
             # column-pruned scan semi-joined down to the affected keys.
@@ -313,36 +361,47 @@ def refresh_mv(spark: SparkSession, mv_path: str) -> int:
                     *[F.max(c).alias(f"rc_max_{c}") for c in maxs],
                 )
             )
-            merged = (
-                merged.join(recomputed, keys, "left")
-                .select(
-                    *keys,
-                    "mv_count",
-                    *[f"sum_{c}" for c in sums],
-                    *[
-                        F.when(
-                            F.col("_danger"), F.col(f"rc_min_{c}")
-                        ).otherwise(F.col(f"min_{c}")).alias(f"min_{c}")
-                        for c in mins
-                    ],
-                    *[
-                        F.when(
-                            F.col("_danger"), F.col(f"rc_max_{c}")
-                        ).otherwise(F.col(f"max_{c}")).alias(f"max_{c}")
-                        for c in maxs
-                    ],
-                )
+            full = full.join(recomputed, keys, "left").select(
+                *keys,
+                "mv_count",
+                *[f"sum_{c}" for c in sums],
+                *[
+                    F.when(F.col("_danger"), F.col(f"rc_min_{c}"))
+                    .otherwise(F.col(f"min_{c}"))
+                    .alias(f"min_{c}")
+                    for c in mins
+                ],
+                *[
+                    F.when(F.col("_danger"), F.col(f"rc_max_{c}"))
+                    .otherwise(F.col(f"max_{c}"))
+                    .alias(f"max_{c}")
+                    for c in maxs
+                ],
+                "_in_cur",
+                "_in_delta",
+                *[f"_pre_{mc}" for mc in measures],
             )
-        else:
-            merged = merged.drop("_danger")
-    else:
-        merged = merged.drop("_danger")
+    # one materialization reused by BOTH staging writes (data + changes)
+    full = full.localCheckpoint(eager=True)
+    merged = full.filter(F.col("mv_count") > 0).select(*keys, *measures)
+    changes = _mv_change_rows(full, keys, measures)
 
     files = _stage_data_files(merged, mv_path)
+    change_files = _stage_data_files(changes, mv_path)
     n = _count_staged(spark, mv_path, files)
     try:
+        # kind='merge' + explicit change files: downstream incremental
+        # consumers (chained MVs, CDC readers) get a real delta instead of
+        # the refused-by-design REPLACE
         v = _commit(
-            mv_path, files, n, merged.schema.json(), cur_mv_version, kind="replace"
+            mv_path,
+            files,
+            n,
+            merged.schema.json(),
+            cur_mv_version,
+            appended=[],
+            changes=change_files,
+            kind="merge",
         )
     except RuntimeError:
         # The O_EXCL manifest create has exactly one winner per version: a

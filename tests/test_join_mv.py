@@ -234,6 +234,63 @@ def test_join_mv_streaming_triggered_refresh(spark, fact, dim, tmp_path):
     assert refresh_join_mv(spark, mv) == v
 
 
+def test_join_mv_dim_is_itself_a_maintained_mv(spark, tmp_path, sf_smoke):
+    """Chained IVM across modules: the join view's DIM is a maintained MV.
+    Base movement propagates base → MV (its refresh emits real CDF
+    update pre/postimage pairs) → join view, every hop O(changes). This is
+    only possible because MV refreshes commit kind='merge' with change
+    files instead of the change-feed-refused REPLACE."""
+    from fxa_amplitude_send_spark.sinks.materialized_view import create_mv
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "event_id", "event_type", "value"
+    )
+    base, dmv, jmv = (
+        str(tmp_path / "b"), str(tmp_path / "dmv"), str(tmp_path / "jmv")
+    )
+    fp = str(tmp_path / "f")
+    # dim MV: per-type stats over a moving base
+    write_snapshot(ev.filter("event_id < 60"), base)
+    create_mv(spark, base, dmv, keys=["event_type"], sums=["value"])
+    # fact: the full event stream keyed by type
+    write_snapshot(
+        ev.withColumn("fbucket", F.col("event_id") % 3).drop("value"), fp
+    )
+    create_join_mv(
+        spark, fp, dmv, jmv,
+        on=["event_type"], keys=["fbucket"], sums=["sum_value"],
+    )
+
+    def jmv_map():
+        return {
+            r["fbucket"]: (r["mv_count"], round(r["sum_sum_value"], 4))
+            for r in read_join_mv(spark, jmv).collect()
+        }
+
+    def jmv_recompute():
+        return {
+            r["fbucket"]: (r["mv_count"], round(r["sum_sum_value"], 4))
+            for r in read_snapshot(spark, fp)
+            .join(read_snapshot(spark, dmv), "event_type")
+            .groupBy("fbucket")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("mv_count"),
+                F.sum("sum_value").alias("sum_sum_value"),
+            )
+            .collect()
+        }
+
+    assert jmv_map() == jmv_recompute()
+    # base moves: every existing event_type row in the dim MV UPDATES —
+    # the join view must consume the pre/post pairs, and a type deleted
+    # from the base must drop out of the dim and thus the join
+    append_snapshot(ev.filter("event_id >= 60 AND event_id < 140"), base)
+    delete_snapshot(spark, base, "event_type = 'error'")
+    refresh_mv(spark, dmv)
+    refresh_join_mv(spark, jmv)
+    assert jmv_map() == jmv_recompute()
+
+
 def test_join_mv_side_validation(spark, fact, dim, tmp_path):
     fp, dp = str(tmp_path / "f"), str(tmp_path / "d")
     write_snapshot(fact, fp)

@@ -360,6 +360,103 @@ def test_mv_concurrent_refreshers_cannot_double_fold(spark, ev, tmp_path, monkey
     assert refresh_mv(spark, mv) == 2
 
 
+def test_mv_refresh_emits_consumable_change_feed(spark, ev, tmp_path):
+    """Round-6: refresh commits kind='merge' with real CDF change files
+    (insert / update pre+post / delete per group), so the view is itself a
+    change-feed SOURCE. Verify the emitted rows against the view's own
+    before/after states."""
+    from fxa_amplitude_send_spark.sinks.materialized_view import _change_feed
+
+    base, mv = str(tmp_path / "b"), str(tmp_path / "mv")
+    write_snapshot(ev.filter("event_id < 60"), base)
+    create_mv(spark, base, mv, keys=["event_type"], sums=["value"])
+    before = _as_map(read_mv(spark, mv))
+    append_snapshot(ev.filter("event_id >= 60 AND event_id < 120"), base)
+    delete_snapshot(spark, base, "event_type = 'error'")
+    refresh_mv(spark, mv)
+    after = _as_map(read_mv(spark, mv))
+
+    feed = _change_feed(
+        spark, mv, 1, current_version(mv), ["event_type", "mv_count", "sum_value"]
+    )
+    rows = feed.collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["_change_type"], {})[r["event_type"]] = (
+            r["mv_count"], round(r["sum_value"], 4)
+        )
+    # postimages must equal the new view state for every surviving group
+    # that moved; preimages must equal the old state; deletes retract old
+    for g, v in by_type.get("update_postimage", {}).items():
+        assert after[g] == v
+    for g, v in by_type.get("update_preimage", {}).items():
+        assert before[g] == v
+    for g, v in by_type.get("delete", {}).items():
+        assert before[g] == v and g not in after
+    for g, v in by_type.get("insert", {}).items():
+        assert after[g] == v and g not in before
+    # every group that changed state appears in the feed exactly once per role
+    moved = {g for g in set(before) | set(after) if before.get(g) != after.get(g)}
+    covered = set()
+    for d in by_type.values():
+        covered |= set(d)
+    assert moved == covered
+
+
+def test_mv_chain_mv_over_mv(spark, ev, tmp_path):
+    """A maintained view over a maintained view: MV2 aggregates MV1's
+    groups and refreshes off MV1's OWN change feed — base movement
+    propagates base → MV1 → MV2 with every hop O(changes)."""
+    base = str(tmp_path / "b")
+    mv1, mv2 = str(tmp_path / "mv1"), str(tmp_path / "mv2")
+    ev2 = ev.withColumn("bucket", F.col("event_id") % 4)
+    write_snapshot(ev2.filter("event_id < 60"), base)
+    create_mv(spark, base, mv1, keys=["event_type", "bucket"], sums=["value"])
+    # MV2: re-aggregate MV1 by event_type alone, summing its measures
+    create_mv(spark, mv1, mv2, keys=["event_type"], sums=["mv_count", "sum_value"])
+
+    # three base movements, refreshed level by level
+    append_snapshot(ev2.filter("event_id >= 60 AND event_id < 110"), base)
+    refresh_mv(spark, mv1)
+    refresh_mv(spark, mv2)
+    merge_snapshot(
+        spark, base,
+        ev2.filter("event_id < 20").withColumn("value", F.col("value") * 2),
+        ["event_id"],
+    )
+    delete_snapshot(spark, base, "event_type = 'purchase'")
+    refresh_mv(spark, mv1)
+    refresh_mv(spark, mv2)
+
+    # MV1 equals a recompute from the base
+    assert {
+        (r["event_type"], r["bucket"]): (r["mv_count"], round(r["sum_value"], 4))
+        for r in read_mv(spark, mv1).collect()
+    } == {
+        (r["event_type"], r["bucket"]): (r["mv_count"], round(r["sum_value"], 4))
+        for r in read_snapshot(spark, base)
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("mv_count"),
+             F.sum("value").alias("sum_value"))
+        .collect()
+    }
+    # MV2 equals a recompute from MV1 (and hence from the base)
+    assert {
+        r["event_type"]: (r["mv_count"], r["sum_mv_count"],
+                          round(r["sum_sum_value"], 4))
+        for r in read_mv(spark, mv2).collect()
+    } == {
+        r["event_type"]: (r["mv_count"], r["sum_mv_count"],
+                          round(r["sum_sum_value"], 4))
+        for r in read_mv(spark, mv1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("mv_count"),
+             F.sum("mv_count").alias("sum_mv_count"),
+             F.sum("sum_value").alias("sum_sum_value"))
+        .collect()
+    }
+
+
 def _mm_map(df):
     return {
         r["event_type"]: (r["mv_count"], r["min_value"], r["max_value"])
