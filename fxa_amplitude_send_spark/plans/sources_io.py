@@ -579,3 +579,93 @@ def q_mv_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_mv_count").cast("long").alias("sum_mv_count"),
         F.col("sum_sum_value_c").cast("long").alias("sum_sum_value_c"),
     )
+
+
+@query(
+    "q_mv_star",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey AS custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders WHERE o_totalprice <= 200000
+    ), c AS (
+      SELECT c_custkey AS custkey,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 0
+                  ELSE c_nationkey END AS nationkey
+      FROM customer
+    ), n AS (
+      SELECT n_nationkey AS nationkey,
+             CASE WHEN n_regionkey = 2 THEN 'ASIA-ZONE' ELSE n_name END
+               AS n_name
+      FROM nation
+    )
+    SELECT n_name, COUNT(*) AS mv_count,
+           CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+    FROM f JOIN c USING (custkey) JOIN n USING (nationkey)
+    GROUP BY n_name
+    """,
+)
+def q_mv_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake-view maintenance under the correctness gate
+    (sinks/star_mv.py): a COUNT/SUM view over orders ⋈ customer ⋈ nation
+    grouped by the OUTERMOST dim's attribute (n_name) is created over half
+    the fact; then in ONE refresh window the fact absorbs an append + a
+    delete, the middle dim absorbs a nation-migrating merge (the join key
+    itself changes — rows move between outer groups), and the outer dim
+    absorbs a group-MERGING rename (every ASIA nation becomes one group).
+    One refresh folds the telescoping three-term signed delta — fact-only
+    movement never rescans the fact — and the maintained view must
+    hash-match the oracle's from-scratch two-hop join aggregate of the
+    final state. Money on the exact integer-cents grid (BIGINT sums),
+    engine- and SF-independent."""
+    from ..sinks.star_mv import create_star_mv, read_star_mv, refresh_star_mv
+    from ..sinks.versioned import (
+        append_snapshot,
+        delete_snapshot,
+        merge_snapshot,
+        write_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+        "o_totalprice",
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+        "c_mktsegment",
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"), "n_name", "n_regionkey"
+    )
+    fp = _work_root("smvf", sf_dir)
+    cp = _work_root("smvc", sf_dir)
+    np_ = _work_root("smvn", sf_dir)
+    mv = _work_root("smv", sf_dir)
+    write_snapshot(orders.filter(F.col("o_orderkey") % 2 == 0), fp)  # f v1
+    write_snapshot(cust, cp)                                         # c v1
+    write_snapshot(nation, np_)                                      # n v1
+    create_star_mv(
+        spark, fp,
+        [{"path": cp, "on": ["custkey"]}, {"path": np_, "on": ["nationkey"]}],
+        mv, keys=["n_name"], sums=["price_c"],
+    )
+    append_snapshot(orders.filter(F.col("o_orderkey") % 2 == 1), fp)  # f v2
+    delete_snapshot(spark, fp, "o_totalprice > 200000")               # f v3
+    migrated = cust.filter(F.col("c_mktsegment") == "BUILDING").withColumn(
+        "nationkey", F.lit(0).cast(dict(cust.dtypes)["nationkey"])
+    )
+    merge_snapshot(spark, cp, migrated, ["custkey"])                  # c v2
+    renamed = (
+        nation.filter(F.col("n_regionkey") == 2)
+        .withColumn("n_name", F.lit("ASIA-ZONE"))
+    )
+    merge_snapshot(spark, np_, renamed, ["nationkey"])                # n v2
+    refresh_star_mv(spark, mv)  # all three tables fold in ONE window
+    return read_star_mv(spark, mv).select(
+        "n_name",
+        "mv_count",
+        F.col("sum_price_c").cast("long").alias("sum_price_c"),
+    )

@@ -242,6 +242,8 @@ def refresh_mv(spark: SparkSession, mv_path: str) -> int:
     meta = _load_meta(mv_path)
     if meta.get("kind") == "join_mv":
         raise ValueError(f"{mv_path} is a join MV; use refresh_join_mv()")
+    if meta.get("kind") == "star_mv":
+        raise ValueError(f"{mv_path} is a star MV; use refresh_star_mv()")
     # crash coherence: the meta records which MV version its
     # base_version_synced belongs to. A crash between a refresh's snapshot
     # commit and its meta write leaves them out of step; folding the same
