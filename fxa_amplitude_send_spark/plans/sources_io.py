@@ -669,3 +669,68 @@ def q_mv_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mv_count",
         F.col("sum_price_c").cast("long").alias("sum_price_c"),
     )
+
+
+@query(
+    "q_mv_rewrite",
+    oracle="""
+    WITH final AS (
+      SELECT event_type, event_id % 3 AS bucket,
+             CAST(ROUND(value * 100) AS BIGINT) AS value_c
+      FROM events WHERE event_type <> 'error'
+    )
+    SELECT event_type, COUNT(*) AS mv_count,
+           CAST(SUM(value_c) AS BIGINT) AS sum_value_c,
+           MIN(value_c) AS min_value_c,
+           MAX(value_c) AS max_value_c
+    FROM final GROUP BY event_type
+    """,
+)
+def q_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MV-rewrite answering under the correctness gate
+    (sinks/mv_rewrite.py): a COUNT/SUM/MIN/MAX view on the FINER grouping
+    (event_type, bucket) is maintained through an append + a group delete
+    (refresh folds the change feed, the delete exercising MIN/MAX
+    recompute-on-retraction); a COARSER aggregate (event_type) is then
+    answered BY ROLL-UP FROM THE VIEW — answer_aggregate must route to the
+    MV (enforced: a base-scan fallback raises), read O(view groups)
+    instead of O(base), and hash-match the oracle's from-scratch aggregate
+    of the final state. Money on the exact integer-cents grid."""
+    from ..sinks.materialized_view import create_mv, refresh_mv
+    from ..sinks.mv_rewrite import answer_aggregate
+    from ..sinks.versioned import (
+        append_snapshot,
+        delete_snapshot,
+        write_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("event_id") % 3).alias("bucket"),
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    base = _work_root("rwbase", sf_dir)
+    mv = _work_root("rwmv", sf_dir)
+    write_snapshot(ev.filter(F.col("event_id") % 2 == 0), base)   # v1
+    create_mv(
+        spark, base, mv,
+        keys=["event_type", "bucket"], sums=["value_c"],
+        mins=["value_c"], maxs=["value_c"],
+    )
+    append_snapshot(ev.filter(F.col("event_id") % 2 == 1), base)  # v2
+    delete_snapshot(spark, base, "event_type = 'error'")          # v3
+    refresh_mv(spark, mv)
+    out, src = answer_aggregate(
+        spark, base, keys=["event_type"], sums=["value_c"],
+        mins=["value_c"], maxs=["value_c"], mv_paths=[mv],
+    )
+    if src != mv:  # the routing IS the point — a silent base scan is a bug
+        raise RuntimeError("q_mv_rewrite: expected the MV to answer")
+    return out.select(
+        "event_type",
+        "mv_count",
+        F.col("sum_value_c").cast("long").alias("sum_value_c"),
+        "min_value_c",
+        "max_value_c",
+    )

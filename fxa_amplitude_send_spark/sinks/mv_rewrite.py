@@ -1,0 +1,130 @@
+"""Aggregate-query answering from maintained materialized views
+("MV rewrite"): given a grouped aggregate over a versioned base table and
+a set of candidate MVs, route the query to a compatible, FRESH view and
+roll it up instead of scanning the base.
+
+Compatibility is the textbook subsumption test (Gupta/Mumick; also how
+warehouse optimizers match views):
+
+  - same base table,
+  - requested group keys   ⊆ the MV's group keys (coarser grouping rolls
+    up from finer: re-aggregate the view's groups),
+  - requested SUM columns  ⊆ the MV's SUM columns (SUM of partial SUMs),
+  - requested MIN/MAX cols ⊆ the MV's MIN/MAX columns (MIN of partial
+    MINs / MAX of partial MAXs),
+  - COUNT(*) always answerable (SUM of the view's mv_count),
+  - freshness: the MV's synced base version equals the base's CURRENT
+    version — a stale view would silently answer from the past, so it is
+    skipped unless the caller opts in with ``allow_stale=True``.
+
+When several views qualify, the one with the FEWEST group keys wins: its
+grouping is the coarsest, so it has (weakly) the fewest rows to
+re-aggregate. Falls back to a plain base scan when nothing matches.
+
+100 TB posture: this is the payoff move of the whole MV family — a
+compatible answer reads O(groups of the view) (typically KBs–MBs) instead
+of O(base) (the 100 TB scan), and the refresh machinery
+(materialized_view.py) has already amortized the heavy lifting to
+O(changes) per refresh. The roll-up itself is a groupBy over the view's
+rows — broadcast-sized in practice.
+
+AVG is deliberately derived by the caller as sum/count rather than being
+a measure: partial AVGs do not re-aggregate, partial SUM/COUNT pairs do.
+
+No reference-repo counterpart (the reference is a stateless event ETL,
+/root/reference/synchronous-pull.js); this is north-star lakehouse
+surface alongside sinks/materialized_view.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .materialized_view import _load_meta, read_mv
+from .versioned import current_version, read_snapshot
+
+
+def _compatible(
+    meta: dict,
+    base_path: str,
+    keys: list[str],
+    sums: list[str],
+    mins: list[str],
+    maxs: list[str],
+    base_current: int,
+    allow_stale: bool,
+) -> bool:
+    if meta.get("kind") in ("join_mv", "star_mv"):
+        return False  # join/star views answer joins, not single-base aggs
+    if meta.get("base_path") != os.path.abspath(base_path):
+        return False
+    if not set(keys) <= set(meta.get("keys", [])):
+        return False
+    if not set(sums) <= set(meta.get("sums", [])):
+        return False
+    if not set(mins) <= set(meta.get("mins", [])):
+        return False
+    if not set(maxs) <= set(meta.get("maxs", [])):
+        return False
+    if not allow_stale and meta.get("base_version_synced") != base_current:
+        return False
+    return True
+
+
+def answer_aggregate(
+    spark: SparkSession,
+    base_path: str,
+    keys: list[str],
+    sums: list[str],
+    mv_paths: list[str],
+    mins: list[str] | None = None,
+    maxs: list[str] | None = None,
+    allow_stale: bool = False,
+) -> tuple[DataFrame, str | None]:
+    """Answer ``SELECT keys, COUNT(*) AS mv_count, SUM(sums…), MIN(mins…),
+    MAX(maxs…) FROM base GROUP BY keys`` — from the best compatible fresh
+    MV in ``mv_paths`` if one exists, else from the base's current
+    snapshot. Returns ``(result, chosen_mv_path_or_None)``; None means the
+    base was scanned. Output columns are identical either way
+    (mv_count / sum_* / min_* / max_*), so callers can't tell the routes
+    apart except by cost."""
+    mins, maxs = list(mins or []), list(maxs or [])
+    base_current = current_version(base_path)
+    chosen: tuple[int, str, dict] | None = None
+    for p in mv_paths:
+        try:
+            meta = _load_meta(p)
+        except FileNotFoundError:
+            continue
+        if not _compatible(
+            meta, base_path, keys, sums, mins, maxs, base_current, allow_stale
+        ):
+            continue
+        width = len(meta.get("keys", []))
+        if chosen is None or width < chosen[0]:
+            chosen = (width, p, meta)
+
+    if chosen is not None:
+        _, p, meta = chosen
+        view = read_mv(spark, p)
+        # roll the finer grouping up: COUNT is the SUM of partial counts,
+        # SUM of partial SUMs, MIN of partial MINs, MAX of partial MAXs
+        out = view.groupBy(*keys).agg(
+            F.sum("mv_count").cast("long").alias("mv_count"),
+            *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sums],
+            *[F.min(f"min_{c}").alias(f"min_{c}") for c in mins],
+            *[F.max(f"max_{c}").alias(f"max_{c}") for c in maxs],
+        )
+        return out, p
+
+    base = read_snapshot(spark, base_path, base_current)
+    out = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("mv_count"),
+        *[F.sum(c).alias(f"sum_{c}") for c in sums],
+        *[F.min(c).alias(f"min_{c}") for c in mins],
+        *[F.max(c).alias(f"max_{c}") for c in maxs],
+    )
+    return out, None

@@ -1,0 +1,229 @@
+"""MV rewrite (sinks/mv_rewrite.py): grouped aggregates must be answered
+FROM a compatible, fresh maintained view by roll-up — never touching the
+base table — and must fall back to a base scan (same output schema) when
+no view subsumes the request or the candidates are stale."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import fxa_amplitude_send_spark.sinks.mv_rewrite as mvr
+from fxa_amplitude_send_spark.sinks.materialized_view import (
+    create_mv,
+    refresh_mv,
+)
+from fxa_amplitude_send_spark.sinks.mv_rewrite import answer_aggregate
+from fxa_amplitude_send_spark.sinks.versioned import (
+    append_snapshot,
+    delete_snapshot,
+    write_snapshot,
+)
+from fxa_amplitude_send_spark.sources import load_table
+
+
+@pytest.fixture()
+def base(spark, sf_smoke, tmp_path):
+    ev = load_table(spark, sf_smoke, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("event_id") % 3).alias("bucket"),
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    p = str(tmp_path / "base")
+    write_snapshot(ev, p)
+    return p
+
+
+@pytest.fixture()
+def fine_mv(spark, base, tmp_path):
+    p = str(tmp_path / "fine")
+    create_mv(
+        spark, base, p,
+        keys=["event_type", "bucket"], sums=["value_c"],
+        mins=["value_c"], maxs=["value_c"],
+    )
+    return p
+
+
+def _expect(spark, base, keys):
+    from fxa_amplitude_send_spark.sinks.versioned import read_snapshot
+
+    return {
+        tuple(r[k] for k in keys): (
+            r["mv_count"], r["sum_value_c"], r["min_value_c"], r["max_value_c"]
+        )
+        for r in read_snapshot(spark, base)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("mv_count"),
+            F.sum("value_c").alias("sum_value_c"),
+            F.min("value_c").alias("min_value_c"),
+            F.max("value_c").alias("max_value_c"),
+        )
+        .collect()
+    }
+
+
+def _got(df, keys):
+    return {
+        tuple(r[k] for k in keys): (
+            r["mv_count"], r["sum_value_c"], r["min_value_c"], r["max_value_c"]
+        )
+        for r in df.collect()
+    }
+
+
+def test_rewrite_rolls_up_from_fine_mv(spark, base, fine_mv):
+    """Coarser grouping (event_type ⊂ {event_type, bucket}) answers from
+    the view by re-aggregation and matches a from-scratch recompute."""
+    out, src = answer_aggregate(
+        spark, base, keys=["event_type"], sums=["value_c"],
+        mins=["value_c"], maxs=["value_c"], mv_paths=[fine_mv],
+    )
+    assert src == fine_mv
+    assert _got(out, ["event_type"]) == _expect(spark, base, ["event_type"])
+
+
+def test_rewrite_never_reads_base(spark, base, fine_mv, monkeypatch):
+    """The cost claim, pinned: an MV-answered query must not scan the
+    base — only the view."""
+    reads = []
+    real = mvr.read_snapshot
+    monkeypatch.setattr(
+        mvr, "read_snapshot",
+        lambda spark, path, version=None: (
+            reads.append(path), real(spark, path, version)
+        )[1],
+    )
+    out, src = answer_aggregate(
+        spark, base, keys=["event_type"], sums=["value_c"],
+        mv_paths=[fine_mv],
+    )
+    out.collect()
+    assert src == fine_mv
+    assert base not in reads
+
+
+def test_rewrite_falls_back_on_unsubsumed_key(spark, base, fine_mv):
+    """Grouping by a column the view doesn't carry → base scan, same
+    output shape."""
+    out, src = answer_aggregate(
+        spark, base, keys=["event_id"], sums=["value_c"], mv_paths=[fine_mv],
+    )
+    assert src is None
+    assert out.columns == ["event_id", "mv_count", "sum_value_c"]
+    assert out.count() > 0
+
+
+def test_rewrite_falls_back_on_unsubsumed_measure(spark, base, fine_mv):
+    out, src = answer_aggregate(
+        spark, base, keys=["event_type"], sums=["event_id"],
+        mv_paths=[fine_mv],
+    )
+    assert src is None
+
+
+def test_rewrite_skips_stale_mv_unless_opted_in(spark, base, fine_mv, sf_smoke):
+    """Base moves after the view's last refresh → the view is stale and
+    must be skipped (silent staleness is the classic rewrite bug); with
+    allow_stale=True the caller gets the fast-but-old answer; after a
+    refresh the view qualifies again and reflects the new state."""
+    ev = load_table(spark, sf_smoke, "events").select(
+        (F.col("event_id") + 1_000_000).alias("event_id"),
+        "event_type",
+        (F.col("event_id") % 3).alias("bucket"),
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    append_snapshot(ev, base)
+    out, src = answer_aggregate(
+        spark, base, keys=["event_type"], sums=["value_c"], mv_paths=[fine_mv],
+    )
+    assert src is None  # stale view skipped, base answered
+    fresh = _got(
+        out.select("event_type", "mv_count", "sum_value_c",
+                   F.lit(0).alias("min_value_c"), F.lit(0).alias("max_value_c")),
+        ["event_type"],
+    )
+    stale_out, stale_src = answer_aggregate(
+        spark, base, keys=["event_type"], sums=["value_c"],
+        mv_paths=[fine_mv], allow_stale=True,
+    )
+    assert stale_src == fine_mv
+    assert stale_out.agg(F.sum("mv_count")).collect()[0][0] < sum(
+        n for n, *_ in fresh.values()
+    )
+    refresh_mv(spark, fine_mv)
+    out2, src2 = answer_aggregate(
+        spark, base, keys=["event_type"], sums=["value_c"], mv_paths=[fine_mv],
+    )
+    assert src2 == fine_mv
+    assert {
+        k: v[0] for k, v in _got(
+            out2.select("event_type", "mv_count", "sum_value_c",
+                        F.lit(0).alias("min_value_c"),
+                        F.lit(0).alias("max_value_c")),
+            ["event_type"],
+        ).items()
+    } == {k: v[0] for k, v in fresh.items()}
+
+
+def test_rewrite_prefers_coarsest_compatible_mv(spark, base, fine_mv, tmp_path):
+    """Two qualifying views: the one with fewer group keys has fewer rows
+    to roll up and must win."""
+    coarse = str(tmp_path / "coarse")
+    create_mv(spark, base, coarse, keys=["event_type"], sums=["value_c"])
+    out, src = answer_aggregate(
+        spark, base, keys=["event_type"], sums=["value_c"],
+        mv_paths=[fine_mv, coarse],
+    )
+    assert src == coarse
+    assert _got(
+        out.select("event_type", "mv_count", "sum_value_c",
+                   F.lit(0).alias("min_value_c"), F.lit(0).alias("max_value_c")),
+        ["event_type"],
+    ).keys() == _expect(spark, base, ["event_type"]).keys()
+
+
+def test_rewrite_count_only_and_minmax_rollup(spark, base, fine_mv):
+    """COUNT(*) answers as SUM(mv_count); MIN/MAX roll up as MIN of
+    partial MINs / MAX of partial MAXs — checked after a delete so the
+    recompute-on-retraction path feeds the rewrite too."""
+    delete_snapshot(spark, base, "value_c >= 7500")
+    refresh_mv(spark, fine_mv)
+    out, src = answer_aggregate(
+        spark, base, keys=["bucket"], sums=[],
+        mins=["value_c"], maxs=["value_c"], mv_paths=[fine_mv],
+    )
+    assert src == fine_mv
+    got = {
+        r["bucket"]: (r["mv_count"], r["min_value_c"], r["max_value_c"])
+        for r in out.collect()
+    }
+    expect = {
+        k[0]: (v[0], v[2], v[3])
+        for k, v in _expect(spark, base, ["bucket"]).items()
+    }
+    assert got == expect
+
+
+def test_rewrite_join_and_star_views_are_not_candidates(
+    spark, base, fine_mv, tmp_path, sf_smoke
+):
+    """A join/star view over the same base must never answer a single-base
+    aggregate (its rows are join results, not base rows)."""
+    from fxa_amplitude_send_spark.sinks.join_mv import create_join_mv
+
+    dim = load_table(spark, sf_smoke, "events").select(
+        "event_type", F.lit(1).alias("one")
+    ).distinct()
+    dp, jp = str(tmp_path / "dim"), str(tmp_path / "join")
+    write_snapshot(dim, dp)
+    create_join_mv(
+        spark, base, dp, jp,
+        on=["event_type"], keys=["bucket"], sums=["value_c"],
+    )
+    out, src = answer_aggregate(
+        spark, base, keys=["bucket"], sums=["value_c"], mv_paths=[jp],
+    )
+    assert src is None
