@@ -436,6 +436,106 @@ def llm_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_dedup_semantic",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < 8
+    ), e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id >= 8
+    ), assigned AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(e.v, c.cvec), 6) DESC,
+                          c.centroid_id) AS rn
+        FROM e, c) WHERE rn = 1
+    ), dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+    )
+    SELECT s.vec_id, s.centroid_id, d.vec_id IS NULL AS is_kept
+    FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+    """,
+)
+def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): assign every embedding to its nearest of K fixed
+    centroids, then compare pairs ONLY within a cluster and drop any
+    vector that has an earlier (smaller vec_id) cluster-mate at cosine >=
+    tau — the deterministic keep-first variant of keep-one-per-dup-set.
+    Cluster blocking is the whole trick: pair cost falls from O(n^2) to
+    O(sum of cluster sizes squared), and at corpus scale K is chosen
+    ~sqrt(n) (with hot-cluster sub-bucketing) so each cluster's all-pairs
+    stays executor-sized. Physical shape: broadcast centroids + map-side
+    scoring + per-vector argmax window (one n*K shuffle), one equi
+    self-join on the cluster id (never a cartesian), assignment
+    materialized once (localCheckpoint) because three plan legs reuse it.
+    Fixed first-K centroids (not learned k-means) keep the result exactly
+    SQL-expressible; similarities compared on the 6dp-rounded grid so
+    Spark and DuckDB agree bit-for-bit (same discipline as
+    llm_cluster_assign)."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("centroid_id")
+    )
+    assigned = (
+        emb.filter(F.col("vec_id") >= 8)
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "embedding",
+            "centroid_id",
+            F.round(
+                cosine_similarity_col(F.col("embedding"), F.col("cvec")), 6
+            ).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+        .localCheckpoint(eager=True)  # reused by both pair legs + output
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_vec"),
+        "centroid_id",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_vec"),
+        "centroid_id",
+    )
+    dropped = (
+        a.join(b, "centroid_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            F.round(
+                cosine_similarity_col(F.col("a_vec"), F.col("b_vec")), 6
+            )
+            >= F.lit(0.3)
+        )
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(
+        dropped.withColumn("_dup", F.lit(True)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "centroid_id",
+        F.col("_dup").isNull().alias("is_kept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search / ANN (operators/similarity.py)
 # ---------------------------------------------------------------------------

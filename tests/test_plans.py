@@ -365,6 +365,7 @@ def test_no_cartesian_product_in_any_registered_query(spark, sf_smoke):
         "q_rolling_distinct_hll",  # same spine join over O(days) HLL sketches
         "llm_sim_topk",        # broadcast single query vector
         "llm_cluster_assign",  # broadcast fixed centroid list
+        "llm_dedup_semantic",  # broadcast fixed centroid list (SemDeDup assign)
         "llm_dedup_quality",   # broadcast scalar truth/estimate totals
         "llm_source_drift",    # cross join of per-source and global scalars
         "llm_tfidf",           # 1-row corpus-N broadcast
