@@ -489,6 +489,15 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos_sim").desc(), F.col("centroid_id")
     )
+    from ..functions.vectors import as_double_array, l2_norm_col
+
+    # Materialize the pre-cast double vector AND its norm once per vector:
+    # the within-cluster pair pass would otherwise re-fold BOTH norms for
+    # every pair (3 interpreted 64-element folds/pair instead of 1). The
+    # pair similarity below is the bit-identical expression
+    # dot / (norm_a * norm_b) — same arithmetic order as
+    # cosine_similarity_col, so the 6dp grid (and the oracle MATCH) is
+    # unchanged.
     assigned = (
         emb.filter(F.col("vec_id") >= 8)
         .crossJoin(F.broadcast(centroids))
@@ -502,26 +511,36 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "centroid_id")
+        .select(
+            "vec_id",
+            "centroid_id",
+            as_double_array(F.col("embedding")).alias("_v"),
+            l2_norm_col(F.col("embedding")).alias("_n"),
+        )
         .localCheckpoint(eager=True)  # reused by both pair legs + output
     )
     a = assigned.select(
         F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("a_vec"),
+        F.col("_v").alias("a_vec"),
+        F.col("_n").alias("a_norm"),
         "centroid_id",
     )
     b = assigned.select(
         F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("b_vec"),
+        F.col("_v").alias("b_vec"),
+        F.col("_n").alias("b_norm"),
         "centroid_id",
+    )
+    pair_dot = F.aggregate(
+        F.zip_with("a_vec", "b_vec", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     dropped = (
         a.join(b, "centroid_id")
         .filter(F.col("a_id") < F.col("b_id"))
         .filter(
-            F.round(
-                cosine_similarity_col(F.col("a_vec"), F.col("b_vec")), 6
-            )
+            F.round(pair_dot / (F.col("a_norm") * F.col("b_norm")), 6)
             >= F.lit(0.3)
         )
         .select(F.col("b_id").alias("vec_id"))

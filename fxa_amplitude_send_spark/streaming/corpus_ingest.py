@@ -122,10 +122,14 @@ def ingest_batch_neardup(
     in-batch exact groupBy still runs first because it is cheaper than
     signing duplicate text twice.
 
-    In-batch near-dups use the same banding via minhash_lsh_pairs; of each
-    candidate pair the larger doc key is dropped (greedy keep-lowest — the
-    cheap standard policy; full transitive clustering is operators/
-    dedup.connected_components if a consumer wants it).
+    In-batch near-dups use the same banding and component-agreement
+    estimate as minhash_lsh_pairs, but computed from ONE materialized
+    signature pass shared with the history check and the index write (the
+    MinHash fold is the batch's dominant cost — signing once instead of
+    three times); of each candidate pair the larger doc key is dropped
+    (greedy keep-lowest — the cheap standard policy; full transitive
+    clustering is operators/dedup.connected_components if a consumer
+    wants it).
 
     Crash safety mirrors ingest_batch: the doc append is idempotent via the
     txn guard; index appends run AFTER the doc commit; a replay re-derives
@@ -135,7 +139,6 @@ def ingest_batch_neardup(
     Returns the number of admitted documents."""
     from ..operators.dedup import (
         band_hashes,
-        minhash_lsh_pairs,
         minhash_signature,
         shingles_col,
     )
@@ -151,26 +154,60 @@ def ingest_batch_neardup(
         .select("fingerprint", "_doc.*")
     )
 
-    # 2. in-batch near-dup: greedy keep-lowest per candidate pair
-    pairs = minhash_lsh_pairs(
-        deduped, id_col=id_col, k=k, bands=bands, threshold=threshold
-    )
-    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
-    kept = deduped.join(losers, id_col, "left_anti")
-
-    # 3. vs history: band-bucket candidates, then signature re-estimate
-    signed = kept.withColumn(
+    # 2. sign ONCE and materialize: the MinHash fold is the batch's
+    # expensive step, and three consumers need it (in-batch banding, the
+    # history banding, the admitted-rows index write) — without the
+    # checkpoint each anti-join leg re-evaluates the signature expression
+    signed_all = deduped.withColumn(
         "_sig", minhash_signature(shingles_col(F.col("text")), k)
+    ).localCheckpoint(eager=True)
+    all_bands = signed_all.select(
+        id_col,
+        "fingerprint",
+        "_sig",
+        F.posexplode(band_hashes(F.col("_sig"), k, bands)).alias(
+            "band", "bhash"
+        ),
     )
+
+    # 3. in-batch near-dup from the SHARED signatures (same banding +
+    # component-agreement estimate as minhash_lsh_pairs, which would
+    # otherwise re-sign every doc): greedy keep-lowest per candidate pair
+    agree = (
+        F.size(
+            F.filter(
+                F.zip_with("_siga", "_sigb", lambda a, b: a == b), lambda x: x
+            )
+        ).cast("double")
+        / F.lit(float(k))
+    )
+    losers = (
+        all_bands.alias("l")
+        .join(
+            all_bands.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("_a"),
+            F.col(f"r.{id_col}").alias("_b"),
+            F.col("l._sig").alias("_siga"),
+            F.col("r._sig").alias("_sigb"),
+        )
+        .dropDuplicates(["_a", "_b"])
+        .filter(agree >= threshold)
+        .select(F.col("_b").alias(id_col))
+        .distinct()
+    )
+    signed = signed_all.join(losers, id_col, "left_anti")
+
+    # 4. vs history: band-bucket candidates, then signature re-estimate
     bands_dir = os.path.join(index_path, "bands")
     sigs_dir = os.path.join(index_path, "sigs")
     if os.path.exists(bands_dir):
-        batch_bands = signed.select(
-            "fingerprint",
-            "_sig",
-            F.posexplode(band_hashes(F.col("_sig"), k, bands)).alias(
-                "band", "bhash"
-            ),
+        batch_bands = all_bands.join(losers, id_col, "left_anti").select(
+            "fingerprint", "_sig", "band", "bhash"
         )
         hist_bands = spark.read.parquet(bands_dir)
         cand = (
