@@ -734,3 +734,80 @@ def q_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value_c",
         "max_value_c",
     )
+
+
+@query(
+    "q_mv_rewrite_join",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey AS custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders WHERE o_totalprice <= 250000
+    ), d AS (
+      SELECT c_custkey AS custkey,
+             CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 'HOME'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer
+    )
+    SELECT c_mktsegment, COUNT(*) AS mv_count,
+           CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+    FROM f JOIN d USING (custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_mv_rewrite_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-aggregate answering from a maintained join view
+    (sinks/mv_rewrite.answer_join_aggregate): a finer
+    (c_mktsegment, obucket) COUNT/SUM view over orders ⋈ customer is
+    maintained through a fact append + delete AND a segment-renaming dim
+    merge; the coarser (c_mktsegment) join aggregate is then answered BY
+    ROLL-UP FROM THE VIEW — the join-shape + subsumption + per-table
+    freshness test must route to the MV (a fallback join raises), so the
+    gate pins join-view maintenance and rewrite answering together.
+    Money on the exact integer-cents grid."""
+    from ..sinks.join_mv import create_join_mv, refresh_join_mv
+    from ..sinks.mv_rewrite import answer_join_aggregate
+    from ..sinks.versioned import (
+        append_snapshot,
+        delete_snapshot,
+        merge_snapshot,
+        write_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 4).alias("obucket"),
+        F.col("o_custkey").alias("custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+        "o_totalprice",
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    fp = _work_root("rwjf", sf_dir)
+    dp = _work_root("rwjd", sf_dir)
+    mv = _work_root("rwjmv", sf_dir)
+    write_snapshot(orders.filter(F.col("o_orderkey") % 2 == 0), fp)   # f v1
+    write_snapshot(cust, dp)                                          # d v1
+    create_join_mv(
+        spark, fp, dp, mv,
+        on=["custkey"], keys=["c_mktsegment", "obucket"], sums=["price_c"],
+    )
+    append_snapshot(orders.filter(F.col("o_orderkey") % 2 == 1), fp)  # f v2
+    delete_snapshot(spark, fp, "o_totalprice > 250000")               # f v3
+    renamed = cust.filter(F.col("c_mktsegment") == "HOUSEHOLD").withColumn(
+        "c_mktsegment", F.lit("HOME")
+    )
+    merge_snapshot(spark, dp, renamed, ["custkey"])                   # d v2
+    refresh_join_mv(spark, mv)
+    out, src = answer_join_aggregate(
+        spark, fp, [{"path": dp, "on": ["custkey"]}],
+        keys=["c_mktsegment"], sums=["price_c"], mv_paths=[mv],
+    )
+    if src != mv:  # the routing IS the point
+        raise RuntimeError("q_mv_rewrite_join: expected the join MV to answer")
+    return out.select(
+        "c_mktsegment",
+        "mv_count",
+        F.col("sum_price_c").cast("long").alias("sum_price_c"),
+    )

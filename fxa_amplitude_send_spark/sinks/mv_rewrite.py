@@ -128,3 +128,92 @@ def answer_aggregate(
         *[F.max(c).alias(f"max_{c}") for c in maxs],
     )
     return out, None
+
+
+def _join_shape(meta: dict) -> set[tuple[str, tuple[str, ...]]] | None:
+    """A join/star view's join spec as an order-free multiset-of-tables
+    key: {(abspath, sorted on-cols), ...} with the fact keyed by on=().
+    Inner equi-join content is order-independent, so two specs with equal
+    shapes materialize the same relation."""
+    if meta.get("kind") == "join_mv":
+        return {
+            (meta["fact_path"], ()),
+            (meta["dim_path"], tuple(sorted(meta["on"]))),
+        }
+    if meta.get("kind") == "star_mv":
+        shape = {(meta["paths"][0], ())}
+        for p, on in zip(meta["paths"][1:], meta["ons"][1:]):
+            shape.add((p, tuple(sorted(on))))
+        return shape
+    return None
+
+
+def _join_fresh(meta: dict) -> bool:
+    if meta.get("kind") == "join_mv":
+        return meta["fact_version_synced"] == current_version(
+            meta["fact_path"]
+        ) and meta["dim_version_synced"] == current_version(meta["dim_path"])
+    return all(
+        sv == current_version(p)
+        for sv, p in zip(meta["versions_synced"], meta["paths"])
+    )
+
+
+def answer_join_aggregate(
+    spark: SparkSession,
+    fact_path: str,
+    dims: list[dict],
+    keys: list[str],
+    sums: list[str],
+    mv_paths: list[str],
+    allow_stale: bool = False,
+) -> tuple[DataFrame, str | None]:
+    """Answer ``SELECT keys, COUNT(*) AS mv_count, SUM(sums…) FROM fact
+    JOIN dim₁ USING (…) … GROUP BY keys`` — from the best compatible fresh
+    join/star view if one exists, else by executing the join over every
+    table's current snapshot. Compatibility: the view joins EXACTLY this
+    multiset of (table, on-columns) — join containment beyond equality is
+    out of scope — plus the usual keys/sums subsumption and per-table
+    freshness. Returns ``(result, chosen_mv_path_or_None)``.
+
+    100 TB posture: a hit replaces the fact-sized join + shuffle with a
+    roll-up over the view's groups; the freshness test is N cheap
+    manifest reads, no data I/O."""
+    want = {(os.path.abspath(fact_path), ())} | {
+        (os.path.abspath(d["path"]), tuple(sorted(d["on"]))) for d in dims
+    }
+    chosen: tuple[int, str, dict] | None = None
+    for p in mv_paths:
+        try:
+            meta = _load_meta(p)
+        except FileNotFoundError:
+            continue
+        if _join_shape(meta) != want:
+            continue
+        if not set(keys) <= set(meta["keys"]):
+            continue
+        if not set(sums) <= set(meta["sums"]):
+            continue
+        if not allow_stale and not _join_fresh(meta):
+            continue
+        width = len(meta["keys"])
+        if chosen is None or width < chosen[0]:
+            chosen = (width, p, meta)
+
+    if chosen is not None:
+        _, p, _meta = chosen
+        view = read_mv(spark, p)
+        out = view.groupBy(*keys).agg(
+            F.sum("mv_count").cast("long").alias("mv_count"),
+            *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sums],
+        )
+        return out, p
+
+    acc = read_snapshot(spark, fact_path)
+    for d in dims:
+        acc = acc.join(read_snapshot(spark, d["path"]), list(d["on"]))
+    out = acc.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("mv_count"),
+        *[F.sum(c).alias(f"sum_{c}") for c in sums],
+    )
+    return out, None

@@ -227,3 +227,142 @@ def test_rewrite_join_and_star_views_are_not_candidates(
         spark, base, keys=["bucket"], sums=["value_c"], mv_paths=[jp],
     )
     assert src is None
+
+
+# --- join/star view answering -------------------------------------------
+
+
+@pytest.fixture()
+def star_tables(spark, sf_smoke, tmp_path):
+    from fxa_amplitude_send_spark.sinks.star_mv import create_star_mv
+
+    orders = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    cust = load_table(spark, sf_smoke, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+        "c_mktsegment",
+    )
+    nation = load_table(spark, sf_smoke, "nation").select(
+        F.col("n_nationkey").alias("nationkey"), "n_name"
+    )
+    fp, cp, np_ = (
+        str(tmp_path / "sf"), str(tmp_path / "sc"), str(tmp_path / "sn")
+    )
+    write_snapshot(orders, fp)
+    write_snapshot(cust, cp)
+    write_snapshot(nation, np_)
+    smv = str(tmp_path / "smv")
+    create_star_mv(
+        spark, fp,
+        [{"path": cp, "on": ["custkey"]}, {"path": np_, "on": ["nationkey"]}],
+        smv, keys=["n_name", "c_mktsegment"], sums=["price_c"],
+    )
+    return fp, cp, np_, smv
+
+
+def _join_expect(spark, fp, cp, np_, keys):
+    from fxa_amplitude_send_spark.sinks.versioned import read_snapshot
+
+    return {
+        tuple(r[k] for k in keys): (r["mv_count"], r["sum_price_c"])
+        for r in read_snapshot(spark, fp)
+        .join(read_snapshot(spark, cp), "custkey")
+        .join(read_snapshot(spark, np_), "nationkey")
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("mv_count"),
+            F.sum("price_c").alias("sum_price_c"),
+        )
+        .collect()
+    }
+
+
+def test_join_rewrite_answers_from_star_view(spark, star_tables):
+    from fxa_amplitude_send_spark.sinks.mv_rewrite import answer_join_aggregate
+
+    fp, cp, np_, smv = star_tables
+    dims = [{"path": cp, "on": ["custkey"]}, {"path": np_, "on": ["nationkey"]}]
+    out, src = answer_join_aggregate(
+        spark, fp, dims, keys=["n_name"], sums=["price_c"], mv_paths=[smv],
+    )
+    assert src == smv
+    got = {r["n_name"]: (r["mv_count"], r["sum_price_c"]) for r in out.collect()}
+    assert got == {
+        k[0]: v for k, v in _join_expect(spark, fp, cp, np_, ["n_name"]).items()
+    }
+
+
+def test_join_rewrite_never_reads_base_tables(spark, star_tables, monkeypatch):
+    from fxa_amplitude_send_spark.sinks.mv_rewrite import answer_join_aggregate
+
+    fp, cp, np_, smv = star_tables
+    reads = []
+    real = mvr.read_snapshot
+    monkeypatch.setattr(
+        mvr, "read_snapshot",
+        lambda spark, path, version=None: (
+            reads.append(path), real(spark, path, version)
+        )[1],
+    )
+    dims = [{"path": cp, "on": ["custkey"]}, {"path": np_, "on": ["nationkey"]}]
+    out, src = answer_join_aggregate(
+        spark, fp, dims, keys=["c_mktsegment"], sums=["price_c"],
+        mv_paths=[smv],
+    )
+    out.collect()
+    assert src == smv
+    assert fp not in reads and cp not in reads and np_ not in reads
+
+
+def test_join_rewrite_order_free_but_shape_exact(spark, star_tables):
+    """Dim order doesn't matter (inner equi-join content is the same
+    relation) — but a DIFFERENT join spec (missing dim / different keys)
+    must fall back."""
+    from fxa_amplitude_send_spark.sinks.mv_rewrite import answer_join_aggregate
+
+    fp, cp, np_, smv = star_tables
+    reordered = [
+        {"path": np_, "on": ["nationkey"]}, {"path": cp, "on": ["custkey"]}
+    ]
+    out, src = answer_join_aggregate(
+        spark, fp, reordered, keys=["n_name"], sums=["price_c"],
+        mv_paths=[smv],
+    )
+    assert src == smv
+    missing_dim = [{"path": cp, "on": ["custkey"]}]
+    out2, src2 = answer_join_aggregate(
+        spark, fp, missing_dim, keys=["c_mktsegment"], sums=["price_c"],
+        mv_paths=[smv],
+    )
+    assert src2 is None
+    assert out2.count() > 0  # fallback executed the requested join
+
+
+def test_join_rewrite_skips_stale_until_refreshed(spark, star_tables):
+    from fxa_amplitude_send_spark.sinks.mv_rewrite import answer_join_aggregate
+    from fxa_amplitude_send_spark.sinks.star_mv import refresh_star_mv
+    from fxa_amplitude_send_spark.sinks.versioned import read_snapshot
+
+    fp, cp, np_, smv = star_tables
+    delete_snapshot(spark, np_, "nationkey >= 20")  # dim moves → stale
+    dims = [{"path": cp, "on": ["custkey"]}, {"path": np_, "on": ["nationkey"]}]
+    out, src = answer_join_aggregate(
+        spark, fp, dims, keys=["n_name"], sums=["price_c"], mv_paths=[smv],
+    )
+    assert src is None
+    expect = _join_expect(spark, fp, cp, np_, ["n_name"])
+    got = {r["n_name"]: (r["mv_count"], r["sum_price_c"]) for r in out.collect()}
+    assert got == {k[0]: v for k, v in expect.items()}
+    refresh_star_mv(spark, smv)
+    out2, src2 = answer_join_aggregate(
+        spark, fp, dims, keys=["n_name"], sums=["price_c"], mv_paths=[smv],
+    )
+    assert src2 == smv
+    got2 = {
+        r["n_name"]: (r["mv_count"], r["sum_price_c"]) for r in out2.collect()
+    }
+    assert got2 == {k[0]: v for k, v in expect.items()}
