@@ -811,3 +811,68 @@ def q_mv_rewrite_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mv_count",
         F.col("sum_price_c").cast("long").alias("sum_price_c"),
     )
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_c
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming execution under the correctness gate: the
+    events table is staged as four parquet files and replayed as a file
+    stream with maxFilesPerTrigger=1 under an availableNow trigger, so the
+    tumbling-window COUNT/SUM aggregate folds its state across FOUR
+    micro-batches (not one batch pretending to stream) into a
+    complete-mode memory sink. The final sink contents must hash-match
+    the oracle's plain batch aggregate — the prefix-equivalence guarantee
+    (stream over a finite prefix == batch over it) that every pytest
+    streaming suite asserts, now pinned by the driver too. Money on the
+    integer-cents grid."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    stage = _work_root("strm_src", sf_dir)
+    ev.repartition(4).write.parquet(stage)
+    schema = spark.read.parquet(stage).schema
+    sink = "strm_sink_" + os.path.basename(stage).rsplit("_", 2)[0][10:]
+    try:  # bench reruns in one session: replace the previous sink view
+        spark.catalog.dropTempView(sink)
+    except Exception:
+        pass
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_c").alias("sum_value_c"),
+        )
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len(q.recentProgress)
+    if n_batches < 4:  # the multi-batch fold IS the point
+        raise RuntimeError(
+            f"q_stream_tumbling: expected >=4 micro-batches, got {n_batches}"
+        )
+    return spark.table(sink).select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.col("sum_value_c").cast("long").alias("sum_value_c"),
+    )

@@ -519,3 +519,166 @@ def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(st["b"], 6).alias("trend"),
         F.round(st["a"] + st["b"], 6).alias("forecast"),
     )
+
+
+@query(
+    "q_theta_sketch",
+    oracle="""
+    WITH a_items AS (
+      SELECT DISTINCT o_custkey AS id FROM orders WHERE o_totalprice > 250000
+    ), b_items AS (
+      SELECT DISTINCT c_custkey AS id FROM customer WHERE c_acctbal > 5000
+    ), ha AS (
+      SELECT DISTINCT list_reduce(
+        list_transform(range(1, 14), j -> CAST(strpos('0123456789abcdef',
+            substr(md5(CAST(id AS VARCHAR)), CAST(j AS INTEGER), 1)) - 1
+          AS BIGINT)),
+        (acc, d) -> acc * 16 + d) AS h
+      FROM a_items
+    ), hb AS (
+      SELECT DISTINCT list_reduce(
+        list_transform(range(1, 14), j -> CAST(strpos('0123456789abcdef',
+            substr(md5(CAST(id AS VARCHAR)), CAST(j AS INTEGER), 1)) - 1
+          AS BIGINT)),
+        (acc, d) -> acc * 16 + d) AS h
+      FROM b_items
+    ), ska AS (SELECT h FROM ha ORDER BY h LIMIT 128),
+    skb AS (SELECT h FROM hb ORDER BY h LIMIT 128),
+    sku AS (
+      SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+      ORDER BY h LIMIT 128
+    ), sa AS (SELECT COUNT(*) AS n, MAX(h) AS mx FROM ska),
+    sb AS (SELECT COUNT(*) AS n, MAX(h) AS mx FROM skb),
+    su AS (SELECT COUNT(*) AS n, MAX(h) AS mx FROM sku),
+    thetas AS (
+      SELECT LEAST(
+        CASE WHEN sa.n < 128 THEN 4503599627370496 ELSE sa.mx END,
+        CASE WHEN sb.n < 128 THEN 4503599627370496 ELSE sb.mx END
+      ) AS t FROM sa, sb
+    ), icnt AS (
+      SELECT COUNT(*) AS c FROM (
+        SELECT h FROM ska INTERSECT SELECT h FROM skb
+      ) i, thetas WHERE i.h < thetas.t
+    )
+    SELECT 'distinct_a' AS metric,
+           ROUND(CASE WHEN n < 128 THEN CAST(n AS DOUBLE)
+                      ELSE CAST(127 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+                           / CAST(mx AS DOUBLE) END, 4) AS est,
+           (SELECT COUNT(*) FROM a_items) AS exact
+    FROM sa
+    UNION ALL
+    SELECT 'distinct_b',
+           ROUND(CASE WHEN n < 128 THEN CAST(n AS DOUBLE)
+                      ELSE CAST(127 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+                           / CAST(mx AS DOUBLE) END, 4),
+           (SELECT COUNT(*) FROM b_items)
+    FROM sb
+    UNION ALL
+    SELECT 'union',
+           ROUND(CASE WHEN n < 128 THEN CAST(n AS DOUBLE)
+                      ELSE CAST(127 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+                           / CAST(mx AS DOUBLE) END, 4),
+           (SELECT COUNT(*) FROM (SELECT id FROM a_items UNION
+                                  SELECT id FROM b_items))
+    FROM su
+    UNION ALL
+    SELECT 'intersection',
+           ROUND(CAST(icnt.c AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+                 / CAST(thetas.t AS DOUBLE), 4),
+           (SELECT COUNT(*) FROM (SELECT id FROM a_items INTERSECT
+                                  SELECT id FROM b_items))
+    FROM icnt, thetas
+    """,
+)
+def q_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta distinct-count sketches with SET OPERATIONS — the
+    capability HLL union lacks: an INTERSECTION estimate
+    (|SA ∩ SB ∩ [0,θ)| / θ with θ = min(θ_A, θ_B); Beyer et al. 2007 /
+    the DataSketches theta algebra). Each segment keeps its k=128 smallest
+    distinct hash values (TakeOrderedAndProject — per-partition k-mins
+    merge on one tiny exchange, the mergeable-sketch property); a segment
+    with fewer than k distinct items degrades to the EXACT set with θ=1
+    (segment B at sf0.001 exercises that branch, A the estimating one).
+    Hashes are the first 13 hex chars of md5 — 52 exact bits that Spark
+    (conv base16) and DuckDB (digit fold) reproduce bit-identically, so
+    the whole estimator is deterministic and the oracle checks it
+    hash-exact, unlike the engine-specific HLL/CMS sketch paths. Scalar
+    thetas broadcast (1-row BNLJ, allowlisted); every estimate divides
+    exact integers on the 2^52 grid, rounded at 4dp on both engines."""
+    K = 128
+    P52 = 4503599627370496  # 2^52
+
+    def hashed(df, idcol):
+        return df.select(
+            F.conv(
+                F.substring(F.md5(F.col(idcol).cast("string")), 1, 13), 16, 10
+            )
+            .cast("long")
+            .alias("h")
+        ).distinct()
+
+    a_items = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 250000)
+        .select(F.col("o_custkey").alias("id"))
+        .distinct()
+    )
+    b_items = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("id"))
+        .distinct()
+    )
+    ska = hashed(a_items, "id").orderBy("h").limit(K).localCheckpoint(eager=True)
+    skb = hashed(b_items, "id").orderBy("h").limit(K).localCheckpoint(eager=True)
+    sku = ska.unionByName(skb).distinct().orderBy("h").limit(K)
+
+    theta = lambda n, mx: F.when(n < K, F.lit(P52)).otherwise(mx)  # noqa: E731
+    est = lambda n, mx: F.round(  # noqa: E731
+        F.when(n < K, n.cast("double")).otherwise(
+            F.lit(float(K - 1)) * F.lit(float(P52)) / mx
+        ),
+        4,
+    )
+
+    def seg_row(sk, name, exact_df):
+        stats = sk.agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("mx"))
+        exact = exact_df.agg(F.count(F.lit(1)).alias("exact"))
+        return stats.crossJoin(exact).select(
+            F.lit(name).alias("metric"),
+            est(F.col("n"), F.col("mx")).alias("est"),
+            F.col("exact").cast("long").alias("exact"),
+        )
+
+    union_items = a_items.unionByName(b_items).distinct()
+    thetas = (
+        ska.agg(F.count(F.lit(1)).alias("na"), F.max("h").alias("mxa"))
+        .crossJoin(skb.agg(F.count(F.lit(1)).alias("nb"), F.max("h").alias("mxb")))
+        .select(
+            F.least(
+                theta(F.col("na"), F.col("mxa")), theta(F.col("nb"), F.col("mxb"))
+            ).alias("t")
+        )
+    )
+    icnt = (
+        ska.join(skb, "h", "left_semi")
+        .crossJoin(F.broadcast(thetas))
+        .filter(F.col("h") < F.col("t"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    inter_exact = a_items.join(b_items, "id", "left_semi").agg(
+        F.count(F.lit(1)).alias("exact")
+    )
+    inter_row = icnt.crossJoin(thetas).crossJoin(inter_exact).select(
+        F.lit("intersection").alias("metric"),
+        F.round(
+            F.col("c").cast("double") * F.lit(float(P52)) / F.col("t"), 4
+        ).alias("est"),
+        F.col("exact").cast("long").alias("exact"),
+    )
+    return (
+        seg_row(ska, "distinct_a", a_items)
+        .unionByName(seg_row(skb, "distinct_b", b_items))
+        .unionByName(seg_row(sku, "union", union_items))
+        .unionByName(inter_row)
+    )

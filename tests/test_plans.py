@@ -366,6 +366,7 @@ def test_no_cartesian_product_in_any_registered_query(spark, sf_smoke):
         "llm_sim_topk",        # broadcast single query vector
         "llm_cluster_assign",  # broadcast fixed centroid list
         "llm_dedup_semantic",  # broadcast fixed centroid list (SemDeDup assign)
+        "q_theta_sketch",      # 1-row theta/exact-count scalar broadcasts
         "llm_dedup_quality",   # broadcast scalar truth/estimate totals
         "llm_source_drift",    # cross join of per-source and global scalars
         "llm_tfidf",           # 1-row corpus-N broadcast
