@@ -188,6 +188,11 @@ def refresh_join_mv(spark: SparkSession, mv_path: str) -> int:
         meta["fact_version_synced"], meta["dim_version_synced"] = hi_f, hi_d
         _save_meta(mv_path, meta)
         return current_version(mv_path)
+    if d_fact is None:
+        # fact window held only compactions: content at lo_f == hi_f, so
+        # point the F_old ⋈ ΔD read at the CURRENT files (the
+        # pre-compaction version may have been vacuumed)
+        lo_f = hi_f
 
     parts: list[DataFrame] = []
     if d_fact is not None:

@@ -13,9 +13,10 @@ warehouse optimizers match views):
   - requested MIN/MAX cols ⊆ the MV's MIN/MAX columns (MIN of partial
     MINs / MAX of partial MAXs),
   - COUNT(*) always answerable (SUM of the view's mv_count),
-  - freshness: the MV's synced base version equals the base's CURRENT
-    version — a stale view would silently answer from the past, so it is
-    skipped unless the caller opts in with ``allow_stale=True``.
+  - freshness: every base commit past the MV's synced version is a
+    COMPACTION (file rewrite, content unchanged) — any data commit makes
+    the view stale, and a stale view would silently answer from the past,
+    so it is skipped unless the caller opts in with ``allow_stale=True``.
 
 When several views qualify, the one with the FEWEST group keys wins: its
 grouping is the coarsest, so it has (weakly) the fewest rows to
@@ -44,7 +45,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .materialized_view import _load_meta, read_mv
-from .versioned import current_version, read_snapshot
+from .versioned import _read_manifest, current_version, read_snapshot
+
+
+def _fresh(base_path: str, synced: int, current: int) -> bool:
+    """A view is fresh when every base commit since its last fold is a
+    COMPACTION — compaction rewrites files, not content, so it bumps the
+    version without invalidating the view (refresh_mv treats the same
+    window as a cursor-only sync). Any data commit (append/merge/delete/
+    replace) in the window makes the view stale. Cost: manifest reads
+    only, no data I/O."""
+    if synced >= current:
+        return True
+    for v in range(synced + 1, current + 1):
+        try:
+            if _read_manifest(base_path, v).get("kind") != "compact":
+                return False
+        except FileNotFoundError:
+            return False  # vacuumed window — cannot prove content equality
+    return True
 
 
 def _compatible(
@@ -69,7 +88,9 @@ def _compatible(
         return False
     if not set(maxs) <= set(meta.get("maxs", [])):
         return False
-    if not allow_stale and meta.get("base_version_synced") != base_current:
+    if not allow_stale and not _fresh(
+        meta["base_path"], meta.get("base_version_synced", -1), base_current
+    ):
         return False
     return True
 
@@ -150,11 +171,17 @@ def _join_shape(meta: dict) -> set[tuple[str, tuple[str, ...]]] | None:
 
 def _join_fresh(meta: dict) -> bool:
     if meta.get("kind") == "join_mv":
-        return meta["fact_version_synced"] == current_version(
-            meta["fact_path"]
-        ) and meta["dim_version_synced"] == current_version(meta["dim_path"])
+        return _fresh(
+            meta["fact_path"],
+            meta["fact_version_synced"],
+            current_version(meta["fact_path"]),
+        ) and _fresh(
+            meta["dim_path"],
+            meta["dim_version_synced"],
+            current_version(meta["dim_path"]),
+        )
     return all(
-        sv == current_version(p)
+        _fresh(p, sv, current_version(p))
         for sv, p in zip(meta["versions_synced"], meta["paths"])
     )
 

@@ -223,6 +223,14 @@ def refresh_star_mv(spark: SparkSession, mv_path: str) -> int:
         _save_meta(mv_path, meta)
         return current_version(mv_path)
 
+    # A table whose window held only compactions has identical content at
+    # los[j] and his[j] — advance its cursor so the old-prefix snapshot
+    # reads below target the CURRENT files (the pre-compaction version may
+    # have been vacuumed; its content is provably equal either way).
+    los = [
+        hi if f is None else lo for f, lo, hi in zip(feeds, los, his)
+    ]
+
     parts: list[DataFrame] = []
     for i, feed in enumerate(feeds):
         if feed is None:

@@ -305,3 +305,28 @@ def test_join_mv_side_validation(spark, fact, dim, tmp_path):
     with pytest.raises(ValueError, match="is a join column"):
         create_join_mv(spark, fp, dp, mv, on=["custkey"],
                        keys=["custkey"], sums=["o_totalprice"])
+
+
+def test_join_mv_fact_compaction_then_vacuum_does_not_break_dim_term(
+    spark, fact, dim, tmp_path
+):
+    """Durability edge shared with the star view: a compaction-only fact
+    window whose pre-compaction version was vacuumed must not break the
+    F_old ⋈ ΔD term — the read retargets the post-compaction files
+    (identical content)."""
+    from fxa_amplitude_send_spark.sinks.versioned import (
+        compact_snapshot,
+        vacuum,
+    )
+
+    fp, dp, mv = _setup(spark, fact, dim, tmp_path)
+    compact_snapshot(spark, fp, target_files=2)
+    vacuum(fp, retain_versions=1)
+    moved = (
+        read_snapshot(spark, dp)
+        .filter("c_mktsegment = 'BUILDING'")
+        .withColumn("c_mktsegment", F.lit("REZONED"))
+    )
+    merge_snapshot(spark, dp, moved, ["custkey"])
+    refresh_join_mv(spark, mv)
+    assert _as_map(read_join_mv(spark, mv)) == _recompute(spark, fp, dp)

@@ -366,3 +366,37 @@ def test_join_rewrite_skips_stale_until_refreshed(spark, star_tables):
         r["n_name"]: (r["mv_count"], r["sum_price_c"]) for r in out2.collect()
     }
     assert got2 == {k[0]: v for k, v in expect.items()}
+
+
+def test_rewrite_survives_base_compaction(spark, base, fine_mv):
+    """Compaction bumps the base version without changing content; the
+    view must still be considered FRESH (manifest-kind check), not fall
+    back to a base scan."""
+    from fxa_amplitude_send_spark.sinks.versioned import compact_snapshot
+
+    compact_snapshot(spark, base, target_files=2)
+    out, src = answer_aggregate(
+        spark, base, keys=["event_type"], sums=["value_c"], mv_paths=[fine_mv],
+    )
+    assert src == fine_mv
+    assert {
+        k: v[:2] for k, v in _got(
+            out.select("event_type", "mv_count", "sum_value_c",
+                       F.lit(0).alias("min_value_c"),
+                       F.lit(0).alias("max_value_c")),
+            ["event_type"],
+        ).items()
+    } == {k: v[:2] for k, v in _expect(spark, base, ["event_type"]).items()}
+
+
+def test_join_rewrite_survives_dim_compaction(spark, star_tables):
+    from fxa_amplitude_send_spark.sinks.mv_rewrite import answer_join_aggregate
+    from fxa_amplitude_send_spark.sinks.versioned import compact_snapshot
+
+    fp, cp, np_, smv = star_tables
+    compact_snapshot(spark, cp, target_files=2)
+    dims = [{"path": cp, "on": ["custkey"]}, {"path": np_, "on": ["nationkey"]}]
+    out, src = answer_join_aggregate(
+        spark, fp, dims, keys=["n_name"], sums=["price_c"], mv_paths=[smv],
+    )
+    assert src == smv

@@ -267,3 +267,40 @@ def test_star_mv_column_plan_validation(spark, fact, cust, nation, tmp_path):
              {"path": cp, "on": ["custkey"]}],
             mv, keys=["n_name"], sums=["o_totalprice"],
         )
+
+
+def test_star_mv_fact_compaction_then_vacuum_does_not_break_dim_term(
+    spark, fact, cust, nation, tmp_path
+):
+    """Durability edge: the fact's only movement is a COMPACTION, vacuum
+    then removes the pre-compaction (synced) version, and the dim moves.
+    The dim term's old-fact read must target the post-compaction files
+    (identical content) instead of failing on the vacuumed version — and
+    the refreshed view must still equal a recompute."""
+    from fxa_amplitude_send_spark.sinks.versioned import (
+        compact_snapshot,
+        vacuum,
+    )
+
+    fp, cp, np_, mv = _setup(spark, fact, cust, nation, tmp_path)
+    compact_snapshot(spark, fp, target_files=2)   # fact v2, content == v1
+    vacuum(fp, retain_versions=1)                 # v1 files+manifest gone
+    delete_snapshot(spark, np_, "nationkey >= 20")
+    refresh_star_mv(spark, mv)
+    assert _as_map(read_star_mv(spark, mv)) == _recompute(spark, fp, cp, np_)
+
+
+def test_star_mv_vacuumed_change_window_refused(
+    spark, fact, cust, nation, tmp_path
+):
+    """If REAL change versions are vacuumed past the unsynced window, the
+    refresh must refuse loudly (rebuild required), never fold a partial
+    feed."""
+    from fxa_amplitude_send_spark.sinks.versioned import vacuum
+
+    fp, cp, np_, mv = _setup(spark, fact, cust, nation, tmp_path)
+    append_snapshot(fact.filter("o_orderkey % 2 = 1"), fp)  # v2 (data)
+    delete_snapshot(spark, fp, "o_totalprice > 150000")     # v3 (data)
+    vacuum(fp, retain_versions=1)
+    with pytest.raises(RuntimeError, match="vacuumed"):
+        refresh_star_mv(spark, mv)
