@@ -798,3 +798,50 @@ def llm_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("copy_n"),
         )
     )
+
+
+@query(
+    "llm_sample_weighted",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, n_chars,
+             -ln(CAST(list_reduce(list_transform(range(1, 14), j ->
+                  CAST(strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)),
+                              CAST(j AS INTEGER), 1)) - 1 AS BIGINT)),
+                  (acc, d) -> acc * 16 + d) AS DOUBLE)
+                 / CAST(4503599627370496 AS DOUBLE))
+             / CAST(n_chars AS DOUBLE) AS t
+      FROM documents
+    )
+    SELECT doc_id, n_chars FROM w ORDER BY t, doc_id LIMIT 200
+    """,
+)
+def llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006 via
+    exponential clocks): each doc draws t = −ln(u)/w ~ Exp(w) with
+    w = n_chars, and the k=200 smallest clocks are the sample — inclusion
+    probability ∝ weight, the standard quality/length-weighted curation
+    draw. u comes from the portable 52-bit md5 hash (see q_theta_sketch),
+    so the draw is deterministic and reproducible run-to-run AND
+    engine-to-engine. The physical shape is TakeOrderedAndProject:
+    per-partition k-smallest heaps merge on one narrow exchange — the
+    mergeable-sample property that lets 100 TB sample in one pass.
+
+    Cross-engine note: ln() differs by ≤2 ULP between libm and the JVM
+    (measured 4e-16 relative), far below the ~1e-9 adjacent-order-
+    statistic gaps at these cardinalities, so the SELECTED SET (the
+    output: doc_id + weight, not the clock) is stable — verified
+    hash-exact at sf0.001/0.01/0.1; ties additionally broken by doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    u = h.cast("double") / F.lit(4503599627370496.0)
+    t = -F.log(u) / F.col("n_chars").cast("double")
+    return (
+        docs.select("doc_id", "n_chars", t.alias("t"))
+        .orderBy("t", "doc_id")
+        .limit(200)
+        .select("doc_id", "n_chars")
+    )

@@ -234,3 +234,22 @@ def test_newton_matches_gd_optimum_with_fewer_rounds(spark):
     n_nt = math.sqrt(sum(v * v for v in w_nt[1:]))
     cos = sum(a * b for a, b in zip(w_gd[1:], w_nt[1:])) / (n_gd * n_nt)
     assert cos > 0.99
+
+
+def test_weighted_sample_is_length_biased_and_deterministic(spark, sf_smoke):
+    """Exponential-clock weighted sampling must over-represent heavy docs
+    (mean sampled weight > corpus mean) and be bit-stable run-to-run (the
+    clocks are hash-derived, not RNG)."""
+    from fxa_amplitude_send_spark.plans import all_queries
+
+    fn = all_queries()["llm_sample_weighted"]
+    a = fn(spark, sf_smoke).toPandas()
+    b = fn(spark, sf_smoke).toPandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    from fxa_amplitude_send_spark.sources import load_table
+
+    corpus_mean = (
+        load_table(spark, sf_smoke, "documents").agg({"n_chars": "avg"})
+        .collect()[0][0]
+    )
+    assert a["n_chars"].mean() > corpus_mean
