@@ -876,3 +876,80 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("sum_value_c").cast("long").alias("sum_value_c"),
     )
+
+
+@query(
+    "q_mv_star_minmax",
+    oracle="""
+    WITH f AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS value_c
+      FROM events
+      WHERE CAST(ROUND(value * 100) AS BIGINT) < 7500
+    ), d AS (
+      SELECT DISTINCT event_type,
+             CASE WHEN event_type IN ('click', 'view', 'signup')
+                  THEN 'passive' ELSE 'active' END AS category
+      FROM events
+    )
+    SELECT category, COUNT(*) AS mv_count,
+           CAST(SUM(value_c) AS BIGINT) AS sum_value_c,
+           MIN(value_c) AS min_value_c,
+           MAX(value_c) AS max_value_c
+    FROM f JOIN d USING (event_type)
+    GROUP BY category
+    """,
+)
+def q_mv_star_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX maintenance OVER A JOIN under the correctness gate
+    (sinks/star_mv.py recompute-on-retraction): a COUNT/SUM/MIN/MAX view
+    over events ⋈ type-dim grouped by the dim's category is maintained
+    through a fact append (extremes fold via least/greatest), a fact
+    delete that retracts ~every group's max (danger groups re-aggregate
+    from the CURRENT join), and a dim category-rekey merge that migrates
+    one event type's rows — and their extremes — between groups via the
+    CDF pre/postimage pair. One refresh folds all three; the view must
+    hash-match the oracle's from-scratch join aggregate. Integer-cents
+    grid throughout."""
+    from ..sinks.star_mv import create_star_mv, read_star_mv, refresh_star_mv
+    from ..sinks.versioned import (
+        append_snapshot,
+        delete_snapshot,
+        merge_snapshot,
+        write_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    dim = ev.select("event_type").distinct().withColumn(
+        "category",
+        F.when(
+            F.col("event_type").isin("click", "view"), F.lit("passive")
+        ).otherwise(F.lit("active")),
+    )
+    fp = _work_root("smmf", sf_dir)
+    dp = _work_root("smmd", sf_dir)
+    mv = _work_root("smmv", sf_dir)
+    write_snapshot(ev.filter(F.col("event_id") % 2 == 0), fp)   # f v1
+    write_snapshot(dim, dp)                                     # d v1
+    create_star_mv(
+        spark, fp, [{"path": dp, "on": ["event_type"]}], mv,
+        keys=["category"], sums=["value_c"],
+        mins=["value_c"], maxs=["value_c"],
+    )
+    append_snapshot(ev.filter(F.col("event_id") % 2 == 1), fp)  # f v2
+    delete_snapshot(spark, fp, "value_c >= 7500")               # f v3
+    rekeyed = dim.filter(F.col("event_type") == "signup").withColumn(
+        "category", F.lit("passive")
+    )
+    merge_snapshot(spark, dp, rekeyed, ["event_type"])          # d v2
+    refresh_star_mv(spark, mv)  # all three movements in ONE window
+    return read_star_mv(spark, mv).select(
+        "category",
+        "mv_count",
+        F.col("sum_value_c").cast("long").alias("sum_value_c"),
+        "min_value_c",
+        "max_value_c",
+    )

@@ -193,6 +193,8 @@ def answer_join_aggregate(
     keys: list[str],
     sums: list[str],
     mv_paths: list[str],
+    mins: list[str] | None = None,
+    maxs: list[str] | None = None,
     allow_stale: bool = False,
 ) -> tuple[DataFrame, str | None]:
     """Answer ``SELECT keys, COUNT(*) AS mv_count, SUM(sums…) FROM fact
@@ -206,6 +208,7 @@ def answer_join_aggregate(
     100 TB posture: a hit replaces the fact-sized join + shuffle with a
     roll-up over the view's groups; the freshness test is N cheap
     manifest reads, no data I/O."""
+    mins, maxs = list(mins or []), list(maxs or [])
     want = {(os.path.abspath(fact_path), ())} | {
         (os.path.abspath(d["path"]), tuple(sorted(d["on"]))) for d in dims
     }
@@ -221,6 +224,10 @@ def answer_join_aggregate(
             continue
         if not set(sums) <= set(meta["sums"]):
             continue
+        if not set(mins) <= set(meta.get("mins", [])):
+            continue
+        if not set(maxs) <= set(meta.get("maxs", [])):
+            continue
         if not allow_stale and not _join_fresh(meta):
             continue
         width = len(meta["keys"])
@@ -233,6 +240,8 @@ def answer_join_aggregate(
         out = view.groupBy(*keys).agg(
             F.sum("mv_count").cast("long").alias("mv_count"),
             *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sums],
+            *[F.min(f"min_{c}").alias(f"min_{c}") for c in mins],
+            *[F.max(f"max_{c}").alias(f"max_{c}") for c in maxs],
         )
         return out, p
 
@@ -242,5 +251,7 @@ def answer_join_aggregate(
     out = acc.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("long").alias("mv_count"),
         *[F.sum(c).alias(f"sum_{c}") for c in sums],
+        *[F.min(c).alias(f"min_{c}") for c in mins],
+        *[F.max(c).alias(f"max_{c}") for c in maxs],
     )
     return out, None

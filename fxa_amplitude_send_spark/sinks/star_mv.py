@@ -145,20 +145,28 @@ def create_star_mv(
     mv_path: str,
     keys: list[str],
     sums: list[str],
+    mins: list[str] | None = None,
+    maxs: list[str] | None = None,
 ) -> int:
-    """Materialize ``SELECT keys, COUNT(*), SUM(sums…) FROM fact JOIN
-    dim1 USING (…) JOIN dim2 USING (…) … GROUP BY keys`` over every
-    table's CURRENT version. ``dims`` is an ordered list of
-    ``{"path": str, "on": [join cols]}``. Returns the MV's version."""
+    """Materialize ``SELECT keys, COUNT(*), SUM(sums…), MIN(mins…),
+    MAX(maxs…) FROM fact JOIN dim1 USING (…) JOIN dim2 USING (…) …
+    GROUP BY keys`` over every table's CURRENT version. ``dims`` is an
+    ordered list of ``{"path": str, "on": [join cols]}``. ``mins``/
+    ``maxs`` opt into recompute-on-retraction maintenance (same contract
+    as the base MV: a retraction touching a stored extreme re-aggregates
+    ONLY that group from the current join). Returns the MV's version."""
     paths = [fact_path] + [d["path"] for d in dims]
     ons: list[list[str]] = [[]] + [list(d["on"]) for d in dims]
     if len(paths) < 2:
         raise ValueError("a star view needs at least one dim")
+    mins, maxs = list(mins or []), list(maxs or [])
     versions = [current_version(p) for p in paths]
     for p, v in zip(paths, versions):
         if v == 0:
             raise FileNotFoundError(f"no committed snapshot at {p}")
-    side, selected = _plan_columns(spark, paths, ons, keys, sums)
+    extreme_cols = sorted({*mins, *maxs})
+    view_cols = sums + [c for c in extreme_cols if c not in sums]
+    side, selected = _plan_columns(spark, paths, ons, keys, view_cols)
     frames = [
         read_snapshot(spark, p, v).select(*selected[i])
         for i, (p, v) in enumerate(zip(paths, versions))
@@ -169,6 +177,8 @@ def create_star_mv(
         .agg(
             F.count(F.lit(1)).cast("long").alias("mv_count"),
             *[F.sum(c).alias(f"sum_{c}") for c in sums],
+            *[F.min(c).alias(f"min_{c}") for c in mins],
+            *[F.max(c).alias(f"max_{c}") for c in maxs],
         )
     )
     v = write_snapshot(view, mv_path)
@@ -180,6 +190,8 @@ def create_star_mv(
             "ons": ons,
             "keys": keys,
             "sums": sums,
+            "mins": mins,
+            "maxs": maxs,
             "side": side,
             "selected": selected,
             "versions_synced": versions,
@@ -209,6 +221,9 @@ def refresh_star_mv(spark: SparkSession, mv_path: str) -> int:
         )
     paths, ons = meta["paths"], meta["ons"]
     keys, sums, selected = meta["keys"], meta["sums"], meta["selected"]
+    mins, maxs = meta.get("mins", []), meta.get("maxs", [])
+    extreme_cols = sorted({*mins, *maxs})
+    view_cols = sums + [c for c in extreme_cols if c not in sums]
     los = meta["versions_synced"]
     his = [current_version(p) for p in paths]
     if all(hi <= lo for lo, hi in zip(los, his)):
@@ -250,13 +265,22 @@ def refresh_star_mv(spark: SparkSession, mv_path: str) -> int:
                 frames.append(
                     read_snapshot(spark, p, v).select(*selected[j])
                 )
-        parts.append(_chain(frames, ons).select(*keys, *sums, "s"))
+        parts.append(_chain(frames, ons).select(*keys, *view_cols, "s"))
     signed = parts[0]
     for p in parts[1:]:
         signed = signed.unionByName(p)
+    ins, ret = F.col("s") == 1, F.col("s") == -1
     delta = signed.groupBy(*keys).agg(
         F.sum("s").cast("long").alias("d_count"),
         *[F.sum(F.col("s") * F.col(c)).alias(f"d_sum_{c}") for c in sums],
+        # inserted-rows extremes fold in free; retracted-rows extremes
+        # only DETECT whether the stored extreme might be gone (same
+        # recompute-on-retraction algebra as the base MV — the joined
+        # multiset is a multiset like any other)
+        *[F.min(F.when(ins, F.col(c))).alias(f"d_insmin_{c}") for c in mins],
+        *[F.min(F.when(ret, F.col(c))).alias(f"d_retmin_{c}") for c in mins],
+        *[F.max(F.when(ins, F.col(c))).alias(f"d_insmax_{c}") for c in maxs],
+        *[F.max(F.when(ret, F.col(c))).alias(f"d_retmax_{c}") for c in maxs],
     )
 
     # Same race discipline as refresh_mv/refresh_join_mv: pin the parent
@@ -264,7 +288,21 @@ def refresh_star_mv(spark: SparkSession, mv_path: str) -> int:
     # create, the loser discards its staged fold.
     cur_mv_version = current_version(mv_path)
     cur = read_snapshot(spark, mv_path, cur_mv_version)
-    measures = ["mv_count"] + [f"sum_{c}" for c in sums]
+    measures = (
+        ["mv_count"]
+        + [f"sum_{c}" for c in sums]
+        + [f"min_{c}" for c in mins]
+        + [f"max_{c}" for c in maxs]
+    )
+    danger_pred = F.lit(False)
+    for c in mins:
+        danger_pred = danger_pred | (
+            F.col(f"d.d_retmin_{c}") <= F.col(f"m.min_{c}")
+        )
+    for c in maxs:
+        danger_pred = danger_pred | (
+            F.col(f"d.d_retmax_{c}") >= F.col(f"m.max_{c}")
+        )
     full = (
         cur.alias("m")
         .join(delta.alias("d"), keys, "full_outer")
@@ -281,12 +319,68 @@ def refresh_star_mv(spark: SparkSession, mv_path: str) -> int:
                 ).alias(f"sum_{c}")
                 for c in sums
             ],
+            *[
+                F.least(F.col(f"m.min_{c}"), F.col(f"d.d_insmin_{c}")).alias(
+                    f"min_{c}"
+                )
+                for c in mins
+            ],
+            *[
+                F.greatest(
+                    F.col(f"m.max_{c}"), F.col(f"d.d_insmax_{c}")
+                ).alias(f"max_{c}")
+                for c in maxs
+            ],
+            F.coalesce(danger_pred, F.lit(False)).alias("_danger"),
             F.col("m.mv_count").isNotNull().alias("_in_cur"),
             F.col("d.d_count").isNotNull().alias("_in_delta"),
             *[F.col(f"m.{mc}").alias(f"_pre_{mc}") for mc in measures],
         )
         .localCheckpoint(eager=True)  # reused by both staging writes
     )
+    if extreme_cols:
+        danger_keys = full.filter(F.col("_danger")).select(*keys)
+        if danger_keys.limit(1).count():
+            # ONLY the danger groups re-aggregate, from the CURRENT join:
+            # every table's new snapshot, column-pruned, semi-joined down
+            # to the affected group keys before the aggregate
+            frames = [
+                read_snapshot(spark, p, hv).select(*selected[j])
+                for j, (p, hv) in enumerate(zip(paths, his))
+            ]
+            recomputed = (
+                _chain(frames, ons)
+                .join(F.broadcast(danger_keys), keys, "left_semi")
+                .groupBy(*keys)
+                .agg(
+                    *[F.min(c).alias(f"rc_min_{c}") for c in mins],
+                    *[F.max(c).alias(f"rc_max_{c}") for c in maxs],
+                )
+            )
+            full = (
+                full.join(recomputed, keys, "left")
+                .select(
+                    *keys,
+                    "mv_count",
+                    *[f"sum_{c}" for c in sums],
+                    *[
+                        F.when(F.col("_danger"), F.col(f"rc_min_{c}"))
+                        .otherwise(F.col(f"min_{c}"))
+                        .alias(f"min_{c}")
+                        for c in mins
+                    ],
+                    *[
+                        F.when(F.col("_danger"), F.col(f"rc_max_{c}"))
+                        .otherwise(F.col(f"max_{c}"))
+                        .alias(f"max_{c}")
+                        for c in maxs
+                    ],
+                    "_in_cur",
+                    "_in_delta",
+                    *[f"_pre_{mc}" for mc in measures],
+                )
+                .localCheckpoint(eager=True)
+            )
     merged = full.filter(F.col("mv_count") > 0).select(*keys, *measures)
     changes = _mv_change_rows(full, keys, measures)
 

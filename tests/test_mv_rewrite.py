@@ -400,3 +400,61 @@ def test_join_rewrite_survives_dim_compaction(spark, star_tables):
         spark, fp, dims, keys=["n_name"], sums=["price_c"], mv_paths=[smv],
     )
     assert src == smv
+
+
+def test_join_rewrite_minmax_rollup_and_subsumption(spark, sf_smoke, tmp_path):
+    """A star view carrying MIN/MAX answers a coarser min/max join
+    aggregate by extreme roll-up; a request for an uncovered extreme
+    column falls back."""
+    from fxa_amplitude_send_spark.sinks.mv_rewrite import answer_join_aggregate
+    from fxa_amplitude_send_spark.sinks.star_mv import create_star_mv
+    from fxa_amplitude_send_spark.sinks.versioned import read_snapshot
+
+    orders = load_table(spark, sf_smoke, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        (F.col("o_orderkey") % 4).alias("obucket"),
+        "o_totalprice",
+    )
+    cust = load_table(spark, sf_smoke, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment", "c_acctbal"
+    )
+    fp, dp, smv = (
+        str(tmp_path / "f"), str(tmp_path / "d"), str(tmp_path / "mv")
+    )
+    write_snapshot(orders, fp)
+    write_snapshot(cust, dp)
+    create_star_mv(
+        spark, fp, [{"path": dp, "on": ["custkey"]}], smv,
+        keys=["c_mktsegment", "obucket"], sums=[],
+        mins=["o_totalprice"], maxs=["o_totalprice"],
+    )
+    dims = [{"path": dp, "on": ["custkey"]}]
+    out, src = answer_join_aggregate(
+        spark, fp, dims, keys=["c_mktsegment"], sums=[],
+        mins=["o_totalprice"], maxs=["o_totalprice"], mv_paths=[smv],
+    )
+    assert src == smv
+    got = {
+        r["c_mktsegment"]: (r["mv_count"], round(r["min_o_totalprice"], 2),
+                            round(r["max_o_totalprice"], 2))
+        for r in out.collect()
+    }
+    expect = {
+        r["c_mktsegment"]: (r["mv_count"], round(r["min_o_totalprice"], 2),
+                            round(r["max_o_totalprice"], 2))
+        for r in read_snapshot(spark, fp)
+        .join(read_snapshot(spark, dp), "custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("mv_count"),
+            F.min("o_totalprice").alias("min_o_totalprice"),
+            F.max("o_totalprice").alias("max_o_totalprice"),
+        )
+        .collect()
+    }
+    assert got == expect
+    out2, src2 = answer_join_aggregate(
+        spark, fp, dims, keys=["c_mktsegment"], sums=[],
+        mins=["c_acctbal"], maxs=[], mv_paths=[smv],
+    )
+    assert src2 is None  # c_acctbal extreme not carried by the view

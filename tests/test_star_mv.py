@@ -304,3 +304,105 @@ def test_star_mv_vacuumed_change_window_refused(
     vacuum(fp, retain_versions=1)
     with pytest.raises(RuntimeError, match="vacuumed"):
         refresh_star_mv(spark, mv)
+
+
+def _mm_map(df):
+    return {
+        r["n_name"]: (r["mv_count"], round(r["min_o_totalprice"], 2),
+                      round(r["max_o_totalprice"], 2))
+        for r in df.collect()
+    }
+
+
+def _mm_recompute(spark, fp, cp, np_):
+    return _mm_map(
+        read_snapshot(spark, fp)
+        .join(read_snapshot(spark, cp), "custkey")
+        .join(read_snapshot(spark, np_), "nationkey")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("mv_count"),
+            F.min("o_totalprice").alias("min_o_totalprice"),
+            F.max("o_totalprice").alias("max_o_totalprice"),
+        )
+    )
+
+
+def test_star_mv_minmax_insert_fold_and_retraction_recompute(
+    spark, fact, cust, nation, tmp_path
+):
+    """MIN/MAX over the JOIN: inserts fold via least/greatest; a fact
+    delete that retracts ~every group's max forces the danger-group
+    re-aggregation from the CURRENT join — the view must equal a
+    from-scratch recompute after both."""
+    fp = str(tmp_path / "f")
+    cp = str(tmp_path / "c")
+    np_ = str(tmp_path / "n")
+    mv = str(tmp_path / "mv")
+    write_snapshot(fact.filter("o_orderkey % 2 = 0"), fp)
+    write_snapshot(cust, cp)
+    write_snapshot(nation, np_)
+    create_star_mv(
+        spark, fp,
+        [{"path": cp, "on": ["custkey"]}, {"path": np_, "on": ["nationkey"]}],
+        mv, keys=["n_name"], sums=[],
+        mins=["o_totalprice"], maxs=["o_totalprice"],
+    )
+    append_snapshot(fact.filter("o_orderkey % 2 = 1"), fp)  # insert fold
+    refresh_star_mv(spark, mv)
+    assert _mm_map(read_star_mv(spark, mv)) == _mm_recompute(spark, fp, cp, np_)
+    delete_snapshot(spark, fp, "o_totalprice > 150000")     # retract maxes
+    refresh_star_mv(spark, mv)
+    assert _mm_map(read_star_mv(spark, mv)) == _mm_recompute(spark, fp, cp, np_)
+
+
+def test_star_mv_minmax_dim_rekey_migrates_extremes(
+    spark, fact, cust, nation, tmp_path
+):
+    """A dim rekey moves joined rows between outer groups: the CDF
+    preimage retracts rows (possibly the stored extreme) from the old
+    nation while the postimage inserts into the new one — extremes must
+    land correctly on BOTH sides."""
+    fp = str(tmp_path / "f")
+    cp = str(tmp_path / "c")
+    np_ = str(tmp_path / "n")
+    mv = str(tmp_path / "mv")
+    write_snapshot(fact, fp)
+    write_snapshot(cust, cp)
+    write_snapshot(nation, np_)
+    create_star_mv(
+        spark, fp,
+        [{"path": cp, "on": ["custkey"]}, {"path": np_, "on": ["nationkey"]}],
+        mv, keys=["n_name"], sums=["o_totalprice"],
+        mins=["o_totalprice"], maxs=["o_totalprice"],
+    )
+    migrated = (
+        read_snapshot(spark, cp)
+        .filter("c_mktsegment IN ('BUILDING', 'MACHINERY')")
+        .withColumn("nationkey", F.lit(7))
+    )
+    merge_snapshot(spark, cp, migrated, ["custkey"])
+    refresh_star_mv(spark, mv)
+    got = {
+        r["n_name"]: (r["mv_count"], round(r["sum_o_totalprice"], 2),
+                      round(r["min_o_totalprice"], 2),
+                      round(r["max_o_totalprice"], 2))
+        for r in read_star_mv(spark, mv).collect()
+    }
+    expect = {
+        r["n_name"]: (r["mv_count"], round(r["sum_o_totalprice"], 2),
+                      round(r["min_o_totalprice"], 2),
+                      round(r["max_o_totalprice"], 2))
+        for r in read_snapshot(spark, fp)
+        .join(read_snapshot(spark, cp), "custkey")
+        .join(read_snapshot(spark, np_), "nationkey")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("mv_count"),
+            F.sum("o_totalprice").alias("sum_o_totalprice"),
+            F.min("o_totalprice").alias("min_o_totalprice"),
+            F.max("o_totalprice").alias("max_o_totalprice"),
+        )
+        .collect()
+    }
+    assert got == expect
