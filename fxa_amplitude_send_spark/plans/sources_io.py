@@ -953,3 +953,73 @@ def q_mv_star_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value_c",
         "max_value_c",
     )
+
+
+@query(
+    "q_mv_rewrite_rollup",
+    oracle="""
+    WITH final AS (
+      SELECT event_type, event_id % 3 AS bucket,
+             CAST(ROUND(value * 100) AS BIGINT) AS value_c
+      FROM events WHERE event_type <> 'error'
+    )
+    SELECT event_type, bucket, COUNT(*) AS mv_count,
+           CAST(SUM(value_c) AS BIGINT) AS sum_value_c
+    FROM final
+    GROUP BY ROLLUP(event_type, bucket)
+    """,
+)
+def q_mv_rewrite_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An entire ROLLUP answered from ONE maintained view: every grouping
+    set of ROLLUP(event_type, bucket) is a key-subset of the finest MV's
+    grouping, so answer_aggregate serves all three levels — detail,
+    per-type, grand total — by roll-up without ever scanning the base
+    (each route is enforced; a fallback raises). This is the
+    multi-granularity-dashboard pattern: one incremental refresh feeds
+    every drill level. The base absorbs an append + a group delete before
+    the refresh; result hash-matches the oracle's GROUP BY ROLLUP of the
+    final state. Integer-cents grid."""
+    from ..sinks.materialized_view import create_mv, refresh_mv
+    from ..sinks.mv_rewrite import answer_aggregate
+    from ..sinks.versioned import (
+        append_snapshot,
+        delete_snapshot,
+        write_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("event_id") % 3).alias("bucket"),
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    base = _work_root("rrbase", sf_dir)
+    mv = _work_root("rrmv", sf_dir)
+    write_snapshot(ev.filter(F.col("event_id") % 2 == 0), base)   # v1
+    create_mv(spark, base, mv, keys=["event_type", "bucket"], sums=["value_c"])
+    append_snapshot(ev.filter(F.col("event_id") % 2 == 1), base)  # v2
+    delete_snapshot(spark, base, "event_type = 'error'")          # v3
+    refresh_mv(spark, mv)
+
+    levels = [["event_type", "bucket"], ["event_type"], []]
+    parts = []
+    for keys in levels:
+        out, src = answer_aggregate(
+            spark, base, keys=keys, sums=["value_c"], mv_paths=[mv],
+        )
+        if src != mv:  # every level must come from the view
+            raise RuntimeError(f"rollup level {keys} fell back to the base")
+        parts.append(
+            out.select(
+                F.col("event_type") if "event_type" in keys
+                else F.lit(None).cast("string").alias("event_type"),
+                F.col("bucket") if "bucket" in keys
+                else F.lit(None).cast("long").alias("bucket"),
+                "mv_count",
+                F.col("sum_value_c").cast("long").alias("sum_value_c"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
