@@ -588,6 +588,17 @@ def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT COUNT(*) FROM (SELECT id FROM a_items INTERSECT
                                   SELECT id FROM b_items))
     FROM icnt, thetas
+    UNION ALL
+    SELECT 'difference',
+           ROUND(CAST(dcnt.c AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+                 / CAST(thetas.t AS DOUBLE), 4),
+           (SELECT COUNT(*) FROM (SELECT id FROM a_items EXCEPT
+                                  SELECT id FROM b_items))
+    FROM (
+      SELECT COUNT(*) AS c FROM (
+        SELECT h FROM ska EXCEPT SELECT h FROM skb
+      ) e, thetas WHERE e.h < thetas.t
+    ) dcnt, thetas
     """,
 )
 def q_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -676,9 +687,28 @@ def q_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("est"),
         F.col("exact").cast("long").alias("exact"),
     )
+    # difference A \ B: below θ the sketches are complete, so anti-join
+    # membership is exact — |{h ∈ SA \ SB : h < θ}| / θ
+    dcnt = (
+        ska.join(skb, "h", "left_anti")
+        .crossJoin(F.broadcast(thetas))
+        .filter(F.col("h") < F.col("t"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    diff_exact = a_items.join(b_items, "id", "left_anti").agg(
+        F.count(F.lit(1)).alias("exact")
+    )
+    diff_row = dcnt.crossJoin(thetas).crossJoin(diff_exact).select(
+        F.lit("difference").alias("metric"),
+        F.round(
+            F.col("c").cast("double") * F.lit(float(P52)) / F.col("t"), 4
+        ).alias("est"),
+        F.col("exact").cast("long").alias("exact"),
+    )
     return (
         seg_row(ska, "distinct_a", a_items)
         .unionByName(seg_row(skb, "distinct_b", b_items))
         .unionByName(seg_row(sku, "union", union_items))
         .unionByName(inter_row)
+        .unionByName(diff_row)
     )

@@ -845,3 +845,50 @@ def llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(200)
         .select("doc_id", "n_chars")
     )
+
+
+@query(
+    "llm_sample_weighted_group",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang, n_chars,
+             -ln(CAST(list_reduce(list_transform(range(1, 14), j ->
+                  CAST(strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)),
+                              CAST(j AS INTEGER), 1)) - 1 AS BIGINT)),
+                  (acc, d) -> acc * 16 + d) AS DOUBLE)
+                 / CAST(4503599627370496 AS DOUBLE))
+             / CAST(n_chars AS DOUBLE) AS t
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY t, doc_id) AS rn
+      FROM w
+    )
+    SELECT doc_id, lang, n_chars FROM ranked WHERE rn <= 50
+    """,
+)
+def llm_sample_weighted_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP weighted sampling without replacement: an independent
+    Efraimidis–Spirakis draw of k=50 docs per language, inclusion
+    probability ∝ n_chars within each stratum — the per-language-quota +
+    length-weighted curation draw (stratified quotas with weighted picks,
+    the combination llm_sample_stratified's uniform draw can't express).
+    Same deterministic hash-derived exponential clocks as
+    llm_sample_weighted; per-group top-k is ONE row_number window (single
+    hash-partition shuffle on lang; WindowGroupLimit prunes to k per
+    group before the final filter at scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    u = h.cast("double") / F.lit(4503599627370496.0)
+    t = -F.log(u) / F.col("n_chars").cast("double")
+    w = Window.partitionBy("lang").orderBy(t.asc(), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang", "n_chars",
+                    F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 50)
+        .select("doc_id", "lang", "n_chars")
+    )

@@ -100,6 +100,8 @@ def _stage_data_files(df: DataFrame, path: str) -> list[dict]:
     Files are immutable once written; the staging subdir keeps concurrent
     writers from colliding. Footer min/max stats go INTO the manifest so
     readers can prune files without opening any of them."""
+    import pyarrow.parquet as pq
+
     stage = f"stage-{uuid.uuid4().hex}"
     out = os.path.join(path, "data", stage)
     df.write.mode("overwrite").parquet(out)
@@ -111,6 +113,10 @@ def _stage_data_files(df: DataFrame, path: str) -> list[dict]:
                 {
                     "path": os.path.join("data", stage, name),
                     "stats": _file_stats(full),
+                    # authoritative footer row count: commits sum these
+                    # instead of re-scanning the staged files (one fewer
+                    # Spark job per commit)
+                    "n": pq.ParquetFile(full).metadata.num_rows,
                 }
             )
     return entries
@@ -379,6 +385,14 @@ def vacuum(path: str, retain_versions: int = 2) -> list[str]:
 
 
 def _count_staged(spark: SparkSession, path: str, files: list[dict]) -> int:
+    """Row count of a staged file set — from the parquet footer counts
+    captured at staging time (no Spark job); falls back to a scan only for
+    entries that predate the footer-count field (none in practice: this is
+    only ever called on freshly staged entries)."""
+    if files and all("n" in e for e in files):
+        return sum(e["n"] for e in files)
+    if not files:
+        return 0
     return spark.read.parquet(*[os.path.join(path, e["path"]) for e in files]).count()
 
 
