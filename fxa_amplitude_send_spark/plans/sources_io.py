@@ -1023,3 +1023,55 @@ def q_mv_rewrite_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "q_check_constraints",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_c
+    FROM events WHERE value >= 0
+    GROUP BY event_type
+    """,
+)
+def q_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-time CHECK constraints under the correctness gate
+    (sinks/versioned.py add_check_constraint): a value>=0 constraint is
+    added after v1; a batch shifted entirely negative MUST be refused
+    before any manifest commit (the gate re-raises if it is silently
+    accepted — and if enforcement failed, the shifted sums would smash
+    the hash anyway), then a conforming append lands. The returned
+    aggregate of the final table must match the oracle's filter-only
+    derivation — proving the violating batch left no trace. Cost posture:
+    appends validate only the appended files, merges only their
+    insert/postimage change rows (O(changes), never O(table))."""
+    from ..sinks.versioned import (
+        add_check_constraint,
+        append_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    ok = ev.filter(F.col("value") >= 0)
+    table = _work_root("ckc", sf_dir)
+    write_snapshot(ok.filter(F.col("event_id") % 2 == 0), table)  # v1
+    add_check_constraint(spark, table, "value_nonneg", "value >= 0")
+    bad = ev.withColumn("value", F.col("value") - F.lit(10000.0))
+    try:
+        append_snapshot(bad, table)
+        raise RuntimeError(
+            "q_check_constraints: violating append was silently accepted"
+        )
+    except ValueError:
+        pass  # refused before commit, as required
+    append_snapshot(ok.filter(F.col("event_id") % 2 == 1), table)  # v2
+    return read_snapshot(spark, table).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_value_c"),
+    )

@@ -201,6 +201,7 @@ def write_snapshot(df: DataFrame, path: str) -> int:
     snapshot): stage data files, commit a manifest listing exactly them."""
     parent = current_version(path)
     files = _stage_data_files(df, path)
+    _verify_staged_checks(df.sparkSession, path, files)
     n = _count_staged(df.sparkSession, path, files)
     return _commit(
         path,
@@ -220,6 +221,7 @@ def append_snapshot(df: DataFrame, path: str) -> int:
         return write_snapshot(df, path)
     prev = _read_manifest(path, parent)
     new_files = _stage_data_files(df, path)
+    _verify_staged_checks(df.sparkSession, path, new_files)
     n_new = _count_staged(df.sparkSession, path, new_files)
     return _commit(
         path,
@@ -459,10 +461,12 @@ def append_snapshot_idempotent(df: DataFrame, path: str, txn_id: str) -> int:
         return version
     if version == 0:
         files = _stage_data_files(df, path)
+        _verify_staged_checks(df.sparkSession, path, files)
         n = _count_staged(df.sparkSession, path, files)
         return _commit(path, files, n, df.schema.json(), 0, txn_id=txn_id, kind="create")
     prev = _read_manifest(path, version)
     new_files = _stage_data_files(df, path)
+    _verify_staged_checks(df.sparkSession, path, new_files)
     n_new = _count_staged(df.sparkSession, path, new_files)
     return _commit(
         path,
@@ -622,6 +626,12 @@ def merge_snapshot(
 
     data_files = _stage_data_files(merged, path)
     change_files = _stage_data_files(changes, path)
+    # constraints: only rows NEW in this version can introduce a violation
+    # (pre-existing rows passed when first written) — validate the
+    # insert/update_postimage change rows, O(changes) not O(table)
+    _verify_staged_checks(
+        spark, path, change_files, where="_change_type != 'update_preimage'"
+    )
     n = _count_staged(spark, path, data_files)
     return _commit(
         path,
@@ -715,3 +725,101 @@ def append_snapshot_evolve(df: DataFrame, path: str) -> int:
         parent,
         appended=new_files,
     )
+
+
+# --- commit-time CHECK constraints ----------------------------------------
+
+_CHECKS_FILE = "_checks.json"
+
+
+def _load_checks(path: str) -> dict[str, str]:
+    try:
+        with open(os.path.join(path, _CHECKS_FILE), encoding="utf-8") as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return {}
+
+
+def _save_checks(path: str, checks: dict[str, str]) -> None:
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, _CHECKS_FILE + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(checks, fh, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(path, _CHECKS_FILE))
+
+
+def add_check_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> None:
+    """Register a Delta-style CHECK constraint (a SQL boolean expression
+    over the table's columns). The table's CURRENT content is validated at
+    registration — like ``ALTER TABLE ADD CONSTRAINT`` — and every
+    subsequent write/append/merge validates its STAGED rows before the
+    manifest commit, so a violating batch never becomes visible (its
+    orphaned staged files are invisible by construction and vacuum cleans
+    them). SQL semantics: a row violates only when the expression is
+    FALSE — NULL (unknown) passes, matching the standard and Delta.
+
+    Cost at scale: appends validate only the appended files; merges
+    validate only insert/update_postimage change rows (pre-existing rows
+    already passed when first written) — O(changes), never O(table).
+    Deletes and compactions cannot introduce violations and skip the
+    check entirely."""
+    checks = _load_checks(path)
+    if name in checks:
+        raise ValueError(f"constraint {name!r} already exists on {path}")
+    if current_version(path) > 0:
+        from pyspark.sql import functions as F
+
+        bad = (
+            read_snapshot(spark, path)
+            .filter(F.expr(expr) == False)  # noqa: E712 — IS FALSE (NULL passes)
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"cannot add constraint {name!r} ({expr!r}) to {path}: "
+                "existing rows violate it"
+            )
+    checks[name] = expr
+    _save_checks(path, checks)
+
+
+def drop_check_constraint(path: str, name: str) -> None:
+    checks = _load_checks(path)
+    if name not in checks:
+        raise ValueError(f"no constraint {name!r} on {path}")
+    del checks[name]
+    _save_checks(path, checks)
+
+
+def _verify_staged_checks(
+    spark: SparkSession, path: str, files: list[dict], where: str | None = None
+) -> None:
+    """Validate staged rows against the table's CHECK constraints in ONE
+    aggregate scan; raise (leaving the staged files uncommitted and
+    invisible) listing per-constraint violation counts."""
+    checks = _load_checks(path)
+    if not checks or not files:
+        return
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(*[os.path.join(path, e["path"]) for e in files])
+    if where is not None:
+        df = df.filter(where)
+    row = df.agg(
+        *[
+            F.count(F.when(F.expr(e) == False, 1)).alias(n)  # noqa: E712
+            for n, e in checks.items()
+        ]
+    ).collect()[0]
+    viol = {n: row[n] for n in checks if row[n]}
+    if viol:
+        detail = ", ".join(
+            f"{n} ({checks[n]!r}): {c} rows" for n, c in sorted(viol.items())
+        )
+        raise ValueError(
+            f"CHECK constraint violation on write to {path}: {detail} — "
+            "nothing was committed"
+        )

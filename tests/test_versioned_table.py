@@ -715,3 +715,102 @@ def test_manifest_records_commit_kind(spark, base, tmp_path):
     write_snapshot(base.limit(2), path)                             # v6 replace
     kinds = [snapshot_info(path, v)["kind"] for v in range(1, 7)]
     assert kinds == ["create", "append", "compact", "merge", "delete", "replace"]
+
+
+# --- commit-time CHECK constraints ----------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def test_check_constraint_blocks_violating_append(spark, tmp_path, sf_smoke):
+    from fxa_amplitude_send_spark.sinks.versioned import (
+        add_check_constraint,
+        append_snapshot,
+        current_version,
+        read_snapshot,
+        write_snapshot,
+    )
+    from fxa_amplitude_send_spark.sources import load_table
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "event_id", "event_type", "value"
+    )
+    p = str(tmp_path / "t")
+    write_snapshot(ev.filter("value >= 0 AND event_id % 2 = 0"), p)
+    add_check_constraint(spark, p, "value_nonneg", "value >= 0")
+    v = current_version(p)
+    bad = ev.filter("event_id % 2 = 1").withColumn(
+        "value", F.col("value") - 1000
+    )
+    with pytest.raises(ValueError, match="value_nonneg"):
+        append_snapshot(bad, p)
+    # nothing committed, table content untouched
+    assert current_version(p) == v
+    assert read_snapshot(spark, p).filter("value < 0").count() == 0
+    # a conforming append still lands
+    append_snapshot(ev.filter("event_id % 2 = 1 AND value >= 0"), p)
+    assert current_version(p) == v + 1
+
+
+def test_check_constraint_null_passes_and_merge_validates_changes_only(
+    spark, tmp_path, sf_smoke
+):
+    """SQL semantics: NULL check passes (unknown is not a violation); a
+    MERGE validates only its insert/postimage change rows — a violating
+    update is refused, a NULL-producing one is not."""
+    from fxa_amplitude_send_spark.sinks.versioned import (
+        add_check_constraint,
+        current_version,
+        merge_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+    from fxa_amplitude_send_spark.sources import load_table
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "event_id", "event_type", "value"
+    )
+    p = str(tmp_path / "t")
+    write_snapshot(ev.filter("value >= 0"), p)
+    add_check_constraint(spark, p, "value_nonneg", "value >= 0")
+    # merge-INSERT brand-new rows with NULL value (an update's NULL keeps
+    # the old value under the coalesce-aware merge, so inserts are the
+    # NULL-check path): unknown is not a violation
+    nulled = ev.filter("event_id % 10 = 3").select(
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+        "event_type",
+        F.lit(None).cast("double").alias("value"),
+    )
+    merge_snapshot(spark, p, nulled, ["event_id"])  # NULL passes
+    assert read_snapshot(spark, p).filter("value IS NULL").count() > 0
+    v = current_version(p)
+    bad = ev.filter("event_id % 10 = 4").withColumn(
+        "value", F.lit(-5.0)
+    )
+    with pytest.raises(ValueError, match="value_nonneg"):
+        merge_snapshot(spark, p, bad, ["event_id"])
+    assert current_version(p) == v
+
+
+def test_check_constraint_add_validates_existing_and_drop(
+    spark, tmp_path, sf_smoke
+):
+    from fxa_amplitude_send_spark.sinks.versioned import (
+        add_check_constraint,
+        append_snapshot,
+        drop_check_constraint,
+        write_snapshot,
+    )
+    from fxa_amplitude_send_spark.sources import load_table
+
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "value")
+    p = str(tmp_path / "t")
+    write_snapshot(ev, p)
+    with pytest.raises(ValueError, match="existing rows violate"):
+        add_check_constraint(spark, p, "huge", "value > 1e9")
+    add_check_constraint(spark, p, "nonneg", "value >= 0")
+    with pytest.raises(ValueError, match="already exists"):
+        add_check_constraint(spark, p, "nonneg", "value >= 0")
+    drop_check_constraint(p, "nonneg")
+    # after drop, a violating append is accepted again
+    append_snapshot(ev.withColumn("value", F.col("value") - 1e6), p)
