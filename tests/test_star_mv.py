@@ -406,3 +406,53 @@ def test_star_mv_minmax_dim_rekey_migrates_extremes(
         .collect()
     }
     assert got == expect
+
+
+def test_star_mv_streaming_triggered_refresh(spark, fact, cust, nation, tmp_path):
+    """Outer-dim CDF stream -> star-view loop: a streaming reader tails
+    the NATION table's change feed and each micro-batch triggers an
+    incremental star refresh that folds ALL tables' cursors — the
+    snowflake flavor of slowly-changing-dimension propagation."""
+    from fxa_amplitude_send_spark.sinks.versioned import current_version
+    from fxa_amplitude_send_spark.sources.versioned_stream import (
+        VersionedTableDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableDataSource)
+    fp, cp, np_, mv = _setup(spark, fact, cust, nation, tmp_path)
+    # all three tables move while the stream is down
+    append_snapshot(fact.filter("o_orderkey % 2 = 1"), fp)
+    migrated = (
+        read_snapshot(spark, cp)
+        .filter("c_mktsegment = 'FURNITURE'")
+        .withColumn("nationkey", F.lit(11))
+    )
+    merge_snapshot(spark, cp, migrated, ["custkey"])
+    renamed = (
+        read_snapshot(spark, np_)
+        .filter("nationkey % 7 = 0")
+        .withColumn("n_name", F.concat(F.lit("X_"), F.col("n_name")))
+    )
+    merge_snapshot(spark, np_, renamed, ["nationkey"])
+
+    refreshes: list[int] = []
+
+    def on_batch(batch_df, batch_id):
+        refreshes.append(refresh_star_mv(batch_df.sparkSession, mv))
+
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", np_)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert refreshes, "stream delivered no batches"
+    assert _as_map(read_star_mv(spark, mv)) == _recompute(spark, fp, cp, np_)
+    v = current_version(mv)
+    assert refresh_star_mv(spark, mv) == v  # trigger is idempotent
