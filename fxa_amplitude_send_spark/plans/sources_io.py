@@ -1075,3 +1075,86 @@ def q_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_value_c"),
     )
+
+
+@query(
+    "q_stream_join",
+    oracle="""
+    SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts,
+           CAST(ROUND(p.value * 100) AS BIGINT) AS value_c
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+    JOIN (SELECT user_id, ts, value FROM events
+          WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND c.ts < p.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join under the correctness gate: clicks and
+    purchases replay as two independent file streams (two files each,
+    maxFilesPerTrigger=1, availableNow), joined on user within
+    (click.ts, click.ts + 30 min] — purchase attribution, the canonical
+    stream-stream shape. The no-drop watermark (3650 days: state cleanup
+    is irrelevant under a finite availableNow replay, and any real
+    watermark could declare replayed rows late and silently drop matches)
+    makes the final append-mode sink EXACTLY the batch range join, which
+    the oracle computes from scratch — so cross-stream state buffering
+    across micro-batches is pinned by the driver's hash, complementing
+    q_stream_tumbling's aggregate-state gate. Integer-cents grid."""
+    from ..streaming.pipeline import stream_stream_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    c_dir = _work_root("sjc", sf_dir)
+    p_dir = _work_root("sjp", sf_dir)
+    clicks.repartition(2).write.parquet(c_dir)
+    purch.repartition(2).write.parquet(p_dir)
+    # watermarks demand TIMESTAMP, the data is NTZ: interpret the wall
+    # clock AS UTC (to_utc_timestamp with the fixed zone) — a session-tz
+    # cast would be ambiguous across a DST fall-back in whatever zone the
+    # harness runs (Fiji ended DST mid-January 2024). The original NTZ
+    # columns are what the result carries.
+    as_instant = lambda df: df.withColumn(  # noqa: E731
+        "tsu", F.to_utc_timestamp(F.col("ts"), "UTC")
+    )
+    cs = as_instant(
+        spark.readStream.schema(spark.read.parquet(c_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(c_dir)
+    )
+    ps = as_instant(
+        spark.readStream.schema(spark.read.parquet(p_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(p_dir)
+    )
+    joined = stream_stream_interval_join(
+        cs, ps, key="user_id", left_ts="tsu", right_ts="tsu",
+        max_delay="30 minutes", watermark="3650 days",
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.ts").alias("click_ts"),
+        F.col("r.ts").alias("purchase_ts"),
+        F.col("r.value_c").alias("value_c"),
+    )
+    sink = "sj_sink_" + os.path.basename(c_dir).rsplit("_", 2)[0][10:]
+    try:
+        spark.catalog.dropTempView(sink)
+    except Exception:
+        pass
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if len(q.recentProgress) < 2:  # cross-batch state buffering IS the point
+        raise RuntimeError("q_stream_join: expected multiple micro-batches")
+    return spark.table(sink)
