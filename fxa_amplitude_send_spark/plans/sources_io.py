@@ -1158,3 +1158,67 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     if len(q.recentProgress) < 2:  # cross-batch state buffering IS the point
         raise RuntimeError("q_stream_join: expected multiple micro-batches")
     return spark.table(sink)
+
+
+@query(
+    "q_cdf_read",
+    oracle="""
+    WITH src AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS value_c,
+             CAST(ROUND(value * 50) AS BIGINT) AS half_c
+      FROM events
+    )
+    SELECT event_id, 'migrated' AS event_type, half_c AS value_c,
+           'insert' AS _change_type
+    FROM src WHERE event_id % 10 = 3 AND event_id % 2 = 1
+    UNION ALL
+    SELECT event_id, event_type, value_c, 'update_preimage'
+    FROM src WHERE event_id % 10 = 3 AND event_id % 2 = 0
+    UNION ALL
+    SELECT event_id, 'migrated', half_c, 'update_postimage'
+    FROM src WHERE event_id % 10 = 3 AND event_id % 2 = 0
+    UNION ALL
+    SELECT event_id, event_type, value_c, 'delete'
+    FROM src WHERE event_id % 2 = 0 AND event_id % 10 <> 3
+          AND event_type = 'error'
+    """,
+)
+def q_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed ITSELF under the correctness gate
+    (sinks/versioned.read_change_feed — Delta table_changes parity): a
+    table of even events absorbs a reshaping MERGE (odd %10=3 rows are
+    CDF inserts; even %10=3 rows emit update pre- AND postimages with
+    the committed coalesce-aware values) and a DELETE of the remaining
+    'error' rows; reading versions (1, 3] must reproduce every change
+    row — type, payload, and change kind — against the oracle's
+    from-first-principles derivation. This pins the CDC payload the
+    incremental views consume, not just their folded results."""
+    from ..sinks.versioned import (
+        delete_snapshot,
+        merge_snapshot,
+        read_change_feed,
+        write_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    table = _work_root("cdf", sf_dir)
+    write_snapshot(ev.filter(F.col("event_id") % 2 == 0), table)    # v1
+    migrated = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 10 == 3)
+        .select(
+            "event_id",
+            F.lit("migrated").alias("event_type"),
+            F.round(F.col("value") * 50).cast("long").alias("value_c"),
+        )
+    )
+    merge_snapshot(spark, table, migrated, ["event_id"])            # v2
+    delete_snapshot(spark, table, "event_type = 'error'")           # v3
+    return read_change_feed(spark, table, since_version=1).select(
+        "event_id", "event_type", "value_c", "_change_type"
+    )

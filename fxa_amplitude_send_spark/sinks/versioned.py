@@ -823,3 +823,40 @@ def _verify_staged_checks(
             f"CHECK constraint violation on write to {path}: {detail} — "
             "nothing was committed"
         )
+
+
+def read_change_feed(
+    spark: SparkSession,
+    path: str,
+    since_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Delta ``table_changes`` parity: every change row for versions in
+    ``(since_version, to_version]`` with a ``_change_type`` column —
+    appends synthesize ``insert`` rows from their appended files,
+    merge/delete versions emit their dedicated CDF files
+    (insert / update_preimage / update_postimage / delete), compactions
+    contribute nothing, and a REPLACE in the window refuses loudly (its
+    delta is not expressible as change rows). IO is proportional to the
+    window's change data, never a table diff — the same O(changes)
+    contract the incremental views consume; this is the user-facing
+    reader for CDC consumers."""
+    from .materialized_view import _change_feed
+
+    if to_version is None:
+        to_version = current_version(path)
+    cols = [
+        f.name
+        for f in read_snapshot(spark, path, to_version).schema.fields
+    ]
+    out = _change_feed(spark, path, since_version, to_version, cols)
+    if out is None:  # only compactions (or an empty window)
+        import json as _json
+
+        from pyspark.sql.types import StringType, StructType
+
+        schema = StructType.fromJson(
+            _json.loads(_read_manifest(path, to_version)["schema"])
+        ).add("_change_type", StringType())
+        return spark.createDataFrame([], schema)
+    return out

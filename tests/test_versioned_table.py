@@ -814,3 +814,32 @@ def test_check_constraint_add_validates_existing_and_drop(
     drop_check_constraint(p, "nonneg")
     # after drop, a violating append is accepted again
     append_snapshot(ev.withColumn("value", F.col("value") - 1e6), p)
+
+
+def test_read_change_feed_public_api(spark, tmp_path, sf_smoke):
+    """read_change_feed (table_changes parity): appends synthesize
+    inserts, a compaction-only window returns an EMPTY frame with the
+    right schema, and a replace in the window refuses."""
+    from fxa_amplitude_send_spark.sinks.versioned import (
+        append_snapshot,
+        compact_snapshot,
+        read_change_feed,
+        write_snapshot,
+    )
+    from fxa_amplitude_send_spark.sources import load_table
+
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "value")
+    p = str(tmp_path / "t")
+    write_snapshot(ev.filter("event_id % 2 = 0"), p)   # v1
+    append_snapshot(ev.filter("event_id % 2 = 1"), p)  # v2
+    feed = read_change_feed(spark, p, since_version=1)
+    assert set(feed.columns) == {"event_id", "value", "_change_type"}
+    assert feed.filter("_change_type <> 'insert'").count() == 0
+    assert feed.count() == ev.filter("event_id % 2 = 1").count()
+    compact_snapshot(spark, p, target_files=2)         # v3
+    empty = read_change_feed(spark, p, since_version=2)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"event_id", "value", "_change_type"}
+    write_snapshot(ev.limit(5), p)                     # v4: replace
+    with pytest.raises(RuntimeError, match="REPLACE"):
+        read_change_feed(spark, p, since_version=3)
