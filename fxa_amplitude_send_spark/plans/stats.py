@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table
-from .registry import query
+from .registry import all_oracles, query
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -48,19 +48,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """,
 )
 def q_stat_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pearson correlation + sample covariance/stddev per group. All four
-    statistics are declarative AggregateFunctions with mergeable co-moment
-    state (Welford-style), so the plan is a single hash aggregate with
-    map-side partials — per-group state is O(1) regardless of group size,
-    the canonical 100 TB aggregation shape."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qp"),
-        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
-        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
-        F.count(F.lit(1)).alias("n"),
-    )
+    """Pearson correlation + sample covariance/stddev per group, run
+    through the SQL-TEXT door: the exact oracle string executes via
+    spark.sql (sql_api.run_sql) — parser/analyzer handle it with zero
+    translation, the 10th one-string query. All four statistics are
+    declarative AggregateFunctions with mergeable co-moment state
+    (Welford-style): a single hash aggregate with map-side partials,
+    per-group state O(1) regardless of group size — the canonical 100 TB
+    aggregation shape."""
+    from ..sql_api import run_sql
+
+    return run_sql(spark, sf_dir, all_oracles()["q_stat_corr"])
 
 
 @query(
@@ -77,20 +75,14 @@ def q_stat_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stat_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group closed-form OLS (y = extendedprice ~ x = quantity) via the
-    SQL-standard REGR_* family — slope, intercept, R². Same single-exchange
-    mergeable-state shape as q_stat_corr; the regression over a 100 TB fact
-    table costs exactly one narrow shuffle of per-group co-moments."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 4).alias("slope"),
-        F.round(
-            F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4
-        ).alias("intercept"),
-        F.round(F.expr("regr_r2(l_extendedprice, l_quantity)"), 6).alias("r2"),
-        F.expr("regr_count(l_extendedprice, l_quantity)")
-        .cast("long")
-        .alias("n"),
-    )
+    SQL-standard REGR_* family — slope, intercept, R² — through the
+    SQL-TEXT door (one portable string is engine query AND oracle; the
+    11th). Same single-exchange mergeable-state shape as q_stat_corr; a
+    regression over a 100 TB fact costs exactly one narrow shuffle of
+    per-group co-moments."""
+    from ..sql_api import run_sql
+
+    return run_sql(spark, sf_dir, all_oracles()["q_stat_regression"])
 
 
 @query(
