@@ -456,3 +456,76 @@ def test_star_mv_streaming_triggered_refresh(spark, fact, cust, nation, tmp_path
     assert _as_map(read_star_mv(spark, mv)) == _recompute(spark, fp, cp, np_)
     v = current_version(mv)
     assert refresh_star_mv(spark, mv) == v  # trigger is idempotent
+
+
+def test_star_mv_crash_coherence_refusal(spark, fact, cust, nation, tmp_path):
+    """A crash between a refresh's snapshot commit and its meta write
+    leaves mv_version out of step with CURRENT; folding the same window
+    again would double-count, so the next refresh must refuse."""
+    import json
+
+    fp, cp, np_, mv = _setup(spark, fact, cust, nation, tmp_path)
+    append_snapshot(fact.filter("o_orderkey % 2 = 1"), fp)
+    refresh_star_mv(spark, mv)
+    meta_path = str(tmp_path / "mv" / "_mv_meta.json")
+    meta = json.load(open(meta_path))
+    meta["mv_version"] -= 1  # simulate: commit landed, meta write did not
+    json.dump(meta, open(meta_path, "w"))
+    with pytest.raises(RuntimeError, match="crashed between commit"):
+        refresh_star_mv(spark, mv)
+
+
+def test_star_mv_randomized_operation_sequences(
+    spark, fact, cust, nation, tmp_path
+):
+    """Seeded fuzz over the operation menu: random interleavings of fact
+    appends/deletes, customer re-keys, nation renames/deletes — after
+    every refresh the maintained view must equal a from-scratch
+    recompute. Catches cross-term bookkeeping errors no hand-written
+    scenario anticipates."""
+    import random
+
+    rng = random.Random(7)
+    fp, cp, np_, mv = _setup(spark, fact, cust, nation, tmp_path,
+                             fact_pred="o_orderkey % 3 = 0")
+    pending_fact_slice = [1, 2]
+
+    def fact_append():
+        if pending_fact_slice:
+            m = pending_fact_slice.pop()
+            append_snapshot(fact.filter(f"o_orderkey % 3 = {m}"), fp)
+
+    def fact_delete():
+        delete_snapshot(
+            spark, fp, f"o_totalprice > {rng.choice([150000, 250000, 350000])}"
+        )
+
+    def cust_rekey():
+        seg = rng.choice(["BUILDING", "MACHINERY", "AUTOMOBILE"])
+        moved = (
+            read_snapshot(spark, cp)
+            .filter(f"c_mktsegment = '{seg}'")
+            .withColumn("nationkey", F.lit(rng.randrange(25)))
+        )
+        merge_snapshot(spark, cp, moved, ["custkey"])
+
+    def nation_rename():
+        k = rng.randrange(2, 6)
+        renamed = (
+            read_snapshot(spark, np_)
+            .filter(f"nationkey % {k} = 0")
+            .withColumn("n_name", F.concat(F.lit(f"R{k}_"), F.col("n_name")))
+        )
+        merge_snapshot(spark, np_, renamed, ["nationkey"])
+
+    def nation_delete():
+        delete_snapshot(spark, np_, f"nationkey = {rng.randrange(25)}")
+
+    ops = [fact_append, fact_delete, cust_rekey, nation_rename, nation_delete]
+    for round_no in range(3):
+        for _ in range(rng.randrange(1, 4)):
+            rng.choice(ops)()
+        refresh_star_mv(spark, mv)
+        assert _as_map(read_star_mv(spark, mv)) == _recompute(
+            spark, fp, cp, np_
+        ), f"divergence after random round {round_no}"
