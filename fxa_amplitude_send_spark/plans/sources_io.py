@@ -1026,6 +1026,79 @@ def q_mv_rewrite_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_mv_rewrite_cube",
+    oracle="""
+    WITH final AS (
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders WHERE o_orderpriority <> '1-URGENT'
+    )
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           COUNT(*) AS mv_count,
+           CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
+           MIN(price_c) AS min_price_c,
+           MAX(price_c) AS max_price_c
+    FROM final
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_mv_rewrite_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A full CUBE answered from ONE maintained flat view
+    (sinks/mv_rewrite.answer_grouping_sets): all four grouping sets of
+    CUBE(status, priority) — detail, two marginals, grand total — are
+    key-subsets of the view's grouping, so each set is a tiny roll-up of
+    O(view groups) rows instead of the base-sized Expand that native CUBE
+    executes, and the ``gid`` column carries Spark's GROUPING_ID bitmask
+    (identical to DuckDB's multi-arg GROUPING), disambiguating data NULLs
+    from super-aggregate NULLs. The base absorbs an append + a group
+    delete before the refresh — the delete drives MIN/MAX
+    recompute-on-retraction — and routing is enforced in-gate: a silent
+    base-scan fallback raises. Money on the integer-cents grid."""
+    from ..sinks.materialized_view import create_mv, refresh_mv
+    from ..sinks.mv_rewrite import answer_grouping_sets, cube_sets
+    from ..sinks.versioned import (
+        append_snapshot,
+        delete_snapshot,
+        write_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    base = _work_root("rcbase", sf_dir)
+    mv = _work_root("rcmv", sf_dir)
+    write_snapshot(orders.filter(F.col("o_orderkey") % 2 == 0), base)   # v1
+    create_mv(
+        spark, base, mv,
+        keys=["o_orderstatus", "o_orderpriority"], sums=["price_c"],
+        mins=["price_c"], maxs=["price_c"],
+    )
+    append_snapshot(orders.filter(F.col("o_orderkey") % 2 == 1), base)  # v2
+    delete_snapshot(spark, base, "o_orderpriority = '1-URGENT'")        # v3
+    refresh_mv(spark, mv)
+    keys = ["o_orderstatus", "o_orderpriority"]
+    out, src = answer_grouping_sets(
+        spark, base, keys, cube_sets(keys), sums=["price_c"],
+        mins=["price_c"], maxs=["price_c"], mv_paths=[mv],
+    )
+    if src != mv:  # the routing IS the point — a silent base scan is a bug
+        raise RuntimeError("q_mv_rewrite_cube: expected the MV to answer")
+    return out.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "gid",
+        "mv_count",
+        F.col("sum_price_c").cast("long").alias("sum_price_c"),
+        "min_price_c",
+        "max_price_c",
+    )
+
+
+@query(
     "q_check_constraints",
     oracle="""
     SELECT event_type, COUNT(*) AS n,

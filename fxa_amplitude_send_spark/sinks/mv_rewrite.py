@@ -151,6 +151,144 @@ def answer_aggregate(
     return out, None
 
 
+def rollup_sets(keys: list[str]) -> list[list[str]]:
+    """The grouping sets of ``GROUP BY ROLLUP(keys)``: every prefix, finest
+    first — [[a,b,c],[a,b],[a],[]]."""
+    return [keys[:i] for i in range(len(keys), -1, -1)]
+
+
+def cube_sets(keys: list[str]) -> list[list[str]]:
+    """The grouping sets of ``GROUP BY CUBE(keys)``: every subset, order
+    preserved within each set."""
+    out: list[list[str]] = []
+    for mask in range(1 << len(keys)):
+        out.append([k for i, k in enumerate(keys) if mask & (1 << i)])
+    return sorted(out, key=len, reverse=True)
+
+
+def _grouping_id(keys: list[str], subset: list[str]) -> int:
+    """Spark/DuckDB GROUPING_ID bit convention: one bit per key in ``keys``
+    order, leftmost key = most significant bit, set when the key is
+    aggregated away in this grouping set."""
+    present = set(subset)
+    n = len(keys)
+    return sum(1 << (n - 1 - i) for i, k in enumerate(keys) if k not in present)
+
+
+def answer_grouping_sets(
+    spark: SparkSession,
+    base_path: str,
+    keys: list[str],
+    grouping_sets: list[list[str]],
+    sums: list[str],
+    mv_paths: list[str],
+    mins: list[str] | None = None,
+    maxs: list[str] | None = None,
+    allow_stale: bool = False,
+) -> tuple[DataFrame, str | None]:
+    """Answer ``SELECT keys…, GROUPING_ID, COUNT(*), SUM/MIN/MAX(…) FROM
+    base GROUP BY GROUPING SETS (…)`` — ROLLUP and CUBE via the
+    ``rollup_sets``/``cube_sets`` helpers — from ONE compatible fresh flat
+    view when possible, else from the base's current snapshot.
+
+    A flat view grouped by a superset of every grouping set answers ALL the
+    sets: each set is an independent roll-up of the view's groups (COUNT =
+    SUM of partial counts, SUM of partial SUMs, MIN of partial MINs, MAX of
+    partial MAXs — the same subsumption algebra as ``answer_aggregate``,
+    applied once per set). Output carries the full ``keys`` list (absent
+    keys NULL-filled in the view's own column type) plus a ``gid`` column
+    with Spark's GROUPING_ID bit layout (leftmost key = MSB; DuckDB's
+    multi-arg ``GROUPING`` emits the identical bitmask), which is what
+    disambiguates a data NULL from a super-aggregate NULL.
+
+    100 TB posture: the hit path replaces a base-sized Expand (Spark
+    executes native ROLLUP/CUBE as scan × n_sets row multiplication before
+    the shuffle) with n_sets tiny aggregations over O(view groups) rows —
+    the cube materialization pattern warehouses buy sketch-cubes for. The
+    miss path uses native ``groupingSets`` so the base is still scanned
+    exactly once. Returns ``(result, chosen_mv_path_or_None)``."""
+    mins, maxs = list(mins or []), list(maxs or [])
+    for s in grouping_sets:
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s} is not a subset of keys {keys}")
+    base_current = current_version(base_path)
+    chosen: tuple[int, str, dict] | None = None
+    for p in mv_paths:
+        try:
+            meta = _load_meta(p)
+        except FileNotFoundError:
+            continue
+        if not _compatible(
+            meta, base_path, keys, sums, mins, maxs, base_current, allow_stale
+        ):
+            continue
+        width = len(meta.get("keys", []))
+        if chosen is None or width < chosen[0]:
+            chosen = (width, p, meta)
+
+    def _union_sets(src: DataFrame, count_expr, val) -> DataFrame:
+        """One roll-up per grouping set over ``src`` (the view or the base),
+        NULL-filling absent keys in the source's own dtype and stamping the
+        set's grouping id; unioned finest-first."""
+        dtypes = dict(src.dtypes)
+        parts = []
+        for s in grouping_sets:
+            agg = src.groupBy(*s).agg(
+                count_expr.alias("mv_count"),
+                *[F.sum(val("sum_", c)).alias(f"sum_{c}") for c in sums],
+                *[F.min(val("min_", c)).alias(f"min_{c}") for c in mins],
+                *[F.max(val("max_", c)).alias(f"max_{c}") for c in maxs],
+            )
+            parts.append(
+                agg.select(
+                    *[
+                        F.col(k)
+                        if k in s
+                        else F.lit(None).cast(dtypes[k]).alias(k)
+                        for k in keys
+                    ],
+                    F.lit(_grouping_id(keys, s)).cast("long").alias("gid"),
+                    "mv_count",
+                    *[f"sum_{c}" for c in sums],
+                    *[f"min_{c}" for c in mins],
+                    *[f"max_{c}" for c in maxs],
+                )
+            )
+        out = parts[0]
+        for part in parts[1:]:
+            out = out.unionByName(part)
+        return out
+
+    if chosen is not None:
+        _, p, _meta = chosen
+        view = read_mv(spark, p)
+        out = _union_sets(
+            view,
+            F.sum("mv_count").cast("long"),
+            lambda pre, c: F.col(f"{pre}{c}"),
+        )
+        return out, p
+
+    # miss: native groupingSets keeps it ONE base scan (Expand), not n
+    base = read_snapshot(spark, base_path, base_current)
+    out = base.groupingSets(grouping_sets, *[F.col(k) for k in keys]).agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).cast("long").alias("mv_count"),
+        *[F.sum(c).alias(f"sum_{c}") for c in sums],
+        *[F.min(c).alias(f"min_{c}") for c in mins],
+        *[F.max(c).alias(f"max_{c}") for c in maxs],
+    )
+    out = out.select(
+        *keys,
+        "gid",
+        "mv_count",
+        *[f"sum_{c}" for c in sums],
+        *[f"min_{c}" for c in mins],
+        *[f"max_{c}" for c in maxs],
+    )
+    return out, None
+
+
 def _join_shape(meta: dict) -> set[tuple[str, tuple[str, ...]]] | None:
     """A join/star view's join spec as an order-free multiset-of-tables
     key: {(abspath, sorted on-cols), ...} with the fact keyed by on=().

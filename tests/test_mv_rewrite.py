@@ -458,3 +458,149 @@ def test_join_rewrite_minmax_rollup_and_subsumption(spark, sf_smoke, tmp_path):
         mins=["c_acctbal"], maxs=[], mv_paths=[smv],
     )
     assert src2 is None  # c_acctbal extreme not carried by the view
+
+
+# ---------------------------------------------------------------------------
+# Grouping-sets / ROLLUP / CUBE rewrite (answer_grouping_sets)
+# ---------------------------------------------------------------------------
+
+
+def _gs_got(df, keys):
+    return {
+        tuple(r[k] for k in keys) + (r["gid"],): (r["mv_count"], r["sum_value_c"])
+        for r in df.collect()
+    }
+
+
+def test_grouping_sets_helpers():
+    from fxa_amplitude_send_spark.sinks.mv_rewrite import (
+        _grouping_id,
+        cube_sets,
+        rollup_sets,
+    )
+
+    assert rollup_sets(["a", "b"]) == [["a", "b"], ["a"], []]
+    assert sorted(map(tuple, cube_sets(["a", "b"]))) == [
+        (), ("a",), ("a", "b"), ("b",),
+    ]
+    # Spark/DuckDB bit layout: leftmost key = MSB, set when aggregated away
+    assert _grouping_id(["a", "b"], ["a", "b"]) == 0
+    assert _grouping_id(["a", "b"], ["a"]) == 1
+    assert _grouping_id(["a", "b"], ["b"]) == 2
+    assert _grouping_id(["a", "b"], []) == 3
+
+
+def test_cube_from_view_matches_native_groupingsets(spark, base, fine_mv):
+    """The view-answered CUBE must be row-for-row identical to Spark's
+    native groupingSets over the base — including the grouping-id bit
+    layout, which is what proves our manual gid matches grouping_id()."""
+    from fxa_amplitude_send_spark.sinks.mv_rewrite import (
+        answer_grouping_sets,
+        cube_sets,
+    )
+
+    keys = ["event_type", "bucket"]
+    out, src = answer_grouping_sets(
+        spark, base, keys, cube_sets(keys), sums=["value_c"],
+        mv_paths=[fine_mv],
+    )
+    assert src == fine_mv
+    native, nsrc = answer_grouping_sets(
+        spark, base, keys, cube_sets(keys), sums=["value_c"], mv_paths=[],
+    )
+    assert nsrc is None
+    assert _gs_got(out, keys) == _gs_got(native, keys)
+    # sanity: 4 grouping sets -> grand total row present exactly once
+    grand = [r for r in out.collect() if r["gid"] == 3]
+    assert len(grand) == 1
+
+
+def test_rollup_from_view_after_movement(spark, base, fine_mv):
+    """ROLLUP answered from the view AFTER an append + delete + refresh
+    reflects the final base state (the maintained-view path, not a stale
+    cache)."""
+    from fxa_amplitude_send_spark.sinks.mv_rewrite import (
+        answer_grouping_sets,
+        rollup_sets,
+    )
+
+    delete_snapshot(spark, base, "event_type = 'error'")
+    refresh_mv(spark, fine_mv)
+    keys = ["event_type", "bucket"]
+    out, src = answer_grouping_sets(
+        spark, base, keys, rollup_sets(keys), sums=["value_c"],
+        mins=["value_c"], maxs=["value_c"], mv_paths=[fine_mv],
+    )
+    assert src == fine_mv
+    native, _ = answer_grouping_sets(
+        spark, base, keys, rollup_sets(keys), sums=["value_c"],
+        mins=["value_c"], maxs=["value_c"], mv_paths=[],
+    )
+    got = {
+        tuple(r[k] for k in keys) + (r["gid"],): (
+            r["mv_count"], r["sum_value_c"], r["min_value_c"], r["max_value_c"]
+        )
+        for r in out.collect()
+    }
+    exp = {
+        tuple(r[k] for k in keys) + (r["gid"],): (
+            r["mv_count"], r["sum_value_c"], r["min_value_c"], r["max_value_c"]
+        )
+        for r in native.collect()
+    }
+    assert got == exp
+    assert all(k[0] != "error" for k in got if k[-1] in (0, 1))
+
+
+def test_grouping_sets_never_reads_base_on_hit(spark, base, fine_mv, monkeypatch):
+    from fxa_amplitude_send_spark.sinks.mv_rewrite import (
+        answer_grouping_sets,
+        rollup_sets,
+    )
+
+    reads = []
+    real = mvr.read_snapshot
+    monkeypatch.setattr(
+        mvr, "read_snapshot",
+        lambda spark, path, version=None: (
+            reads.append(path), real(spark, path, version)
+        )[1],
+    )
+    keys = ["event_type", "bucket"]
+    out, src = answer_grouping_sets(
+        spark, base, keys, rollup_sets(keys), sums=["value_c"],
+        mv_paths=[fine_mv],
+    )
+    out.collect()
+    assert src == fine_mv
+    assert base not in reads
+
+
+def test_grouping_sets_stale_and_invalid(spark, base, fine_mv, sf_smoke):
+    """Stale view → base fallback with identical schema; a grouping set
+    outside the key list refuses loudly."""
+    from fxa_amplitude_send_spark.sinks.mv_rewrite import (
+        answer_grouping_sets,
+        rollup_sets,
+    )
+
+    keys = ["event_type", "bucket"]
+    ev = load_table(spark, sf_smoke, "events").select(
+        (F.col("event_id") + 1_000_000).alias("event_id"),
+        "event_type",
+        (F.col("event_id") % 3).alias("bucket"),
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    append_snapshot(ev, base)
+    out, src = answer_grouping_sets(
+        spark, base, keys, rollup_sets(keys), sums=["value_c"],
+        mv_paths=[fine_mv],
+    )
+    assert src is None
+    assert out.columns == ["event_type", "bucket", "gid", "mv_count",
+                           "sum_value_c"]
+    with pytest.raises(ValueError, match="not a subset"):
+        answer_grouping_sets(
+            spark, base, keys, [["event_id"]], sums=["value_c"],
+            mv_paths=[fine_mv],
+        )
