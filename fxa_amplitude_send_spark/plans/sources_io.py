@@ -1099,6 +1099,85 @@ def q_mv_rewrite_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_mv_distinct",
+    oracle="""
+    WITH final AS (
+      SELECT o_orderstatus, o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders WHERE o_orderpriority <> '1-URGENT'
+    ), h AS (
+      SELECT DISTINCT o_orderstatus, list_reduce(
+        list_transform(range(1, 14), j -> CAST(strpos('0123456789abcdef',
+            substr(md5(CAST(o_custkey AS VARCHAR)), CAST(j AS INTEGER), 1)) - 1
+          AS BIGINT)),
+        (acc, d) -> acc * 16 + d) AS h
+      FROM final
+    ), r AS (
+      SELECT o_orderstatus, h,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY h) AS rn
+      FROM h
+    ), sk AS (
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_sketch, MAX(h) AS mx
+      FROM r WHERE rn <= 128 GROUP BY o_orderstatus
+    ), agg AS (
+      SELECT o_orderstatus, COUNT(*) AS mv_count,
+             CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+      FROM final GROUP BY o_orderstatus
+    )
+    SELECT a.o_orderstatus, a.mv_count, a.sum_price_c, s.n_sketch,
+           ROUND(CASE WHEN s.n_sketch < 128 THEN CAST(s.n_sketch AS DOUBLE)
+                      ELSE CAST(127 AS DOUBLE)
+                           * CAST(4503599627370496 AS DOUBLE)
+                           / CAST(s.mx AS DOUBLE) END, 4) AS nd_est
+    FROM agg a JOIN sk s USING (o_orderstatus)
+    """,
+)
+def q_mv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-valued MV measures under the correctness gate
+    (sinks/materialized_view.py ``distincts=``): a view keeps a KMV theta
+    sketch of o_custkey per order status — maintained through an append
+    (exact KMV merge fold) and a group delete (danger-group recompute from
+    the base) — and the reader derives the distinct-customer ESTIMATE with
+    kmv_estimate. Because the sketch hash is the engine-portable 52-bit
+    md5 fold (q_theta_sketch's trick), the refreshed sketch's size and
+    estimate hash-match a DuckDB oracle that rebuilds the KMV from the
+    final base state — an incrementally-maintained APPROXIMATE aggregate
+    verified EXACTLY, which neither HLL nor native approx_count_distinct
+    can offer. Money on the integer-cents grid."""
+    from ..sinks.materialized_view import create_mv, kmv_estimate, read_mv, refresh_mv
+    from ..sinks.versioned import (
+        append_snapshot,
+        delete_snapshot,
+        write_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    base = _work_root("ndbase", sf_dir)
+    mv = _work_root("ndmv", sf_dir)
+    write_snapshot(orders.filter(F.col("o_orderkey") % 2 == 0), base)   # v1
+    create_mv(
+        spark, base, mv, keys=["o_orderstatus"], sums=["price_c"],
+        distincts=["o_custkey"], kmv_k=128,
+    )
+    append_snapshot(orders.filter(F.col("o_orderkey") % 2 == 1), base)  # v2
+    delete_snapshot(spark, base, "o_orderpriority = '1-URGENT'")        # v3
+    refresh_mv(spark, mv)
+    return read_mv(spark, mv).select(
+        "o_orderstatus",
+        "mv_count",
+        F.col("sum_price_c").cast("long").alias("sum_price_c"),
+        F.size("nd_o_custkey").cast("long").alias("n_sketch"),
+        kmv_estimate("nd_o_custkey", 128).alias("nd_est"),
+    )
+
+
+@query(
     "q_check_constraints",
     oracle="""
     SELECT event_type, COUNT(*) AS n,

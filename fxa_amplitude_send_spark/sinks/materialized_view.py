@@ -18,6 +18,16 @@ for each sum measure. Applying the delta to the stored view is a key-equi
 outer merge; groups whose maintained count reaches 0 are dropped (they have
 no supporting base rows left). AVG is derived (sum/count) by readers.
 
+DISTINCT-COUNT measures (``distincts=``) are stored as KMV theta sketches
+(``nd_<col>``: the k smallest distinct 52-bit portable hashes, sorted) —
+the warehouse pattern of keeping mergeable sketches inside the cube.
+Inserts fold exactly (KMV merge property); a retraction that could touch a
+sketch member falls into the same danger-group recompute as MIN/MAX below.
+Because the hash is engine-portable (md5 hex fold, q_theta_sketch's
+trick), a sketch-valued view is verifiable HASH-EXACT against a DuckDB
+oracle, and ``kmv_estimate`` turns a sketch into the distinct-count
+estimate (exact below k).
+
 MIN/MAX (``mins=`` / ``maxs=``) use the standard recompute-on-retraction
 upgrade: inserts maintain them for free (new_min = least(stored, batch
 min)), but a retraction that TOUCHES the current extreme (retracted min <=
@@ -107,6 +117,64 @@ def _aggregate(
     )
 
 
+_KMV_SPACE = 4503599627370496  # 2^52 — the portable hash's value space
+
+
+def _kmv_hash(c: str):
+    """52-bit engine-portable hash (first 13 hex chars of md5 of the string
+    form): Spark's conv(base16) and DuckDB's hex-digit fold reproduce it
+    bit-identically, so a sketch-valued measure stays ORACLE-EXACT — the
+    same trick q_theta_sketch (plans/stats.py) pins under the driver gate.
+    NULL hashes to NULL and drops out, matching COUNT(DISTINCT col)."""
+    return F.conv(
+        F.substring(F.md5(F.col(c).cast("string")), 1, 13), 16, 10
+    ).cast("long")
+
+
+def _kmv_sketch(df: DataFrame, keys: list[str], col: str, k: int, alias: str):
+    """Per-group KMV sketch: the k SMALLEST distinct portable hashes of
+    ``col``, ascending. Built bounded-memory in three shuffles — distinct
+    (keys, hash) → row_number ≤ k → collect_list of ≤ k — never a
+    collect_set of a group's full distinct set, so a 100 TB group with
+    billions of distincts still costs O(k) memory per task. Groups whose
+    values are all NULL vanish here; callers coalesce to an empty array."""
+    from pyspark.sql import Window
+
+    h = (
+        df.select(*keys, _kmv_hash(col).alias("_h"))
+        .filter(F.col("_h").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy(*keys).orderBy("_h")
+    return (
+        h.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*keys)
+        .agg(F.array_sort(F.collect_list("_h")).alias(alias))
+    )
+
+
+def _empty_sketch():
+    return F.array().cast("array<long>")
+
+
+def kmv_estimate(col, k: int):
+    """Distinct-count estimate from a stored KMV sketch column: EXACT
+    (= the sketch's size) while the group has fewer than k distinct values,
+    else the classic (k-1)·2^52 / kth-smallest-hash estimator (Beyer et
+    al. 2007). Rounded to 4dp so the division of exact integers on the
+    2^52 grid compares hash-stable across engines."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.round(
+        F.when(F.size(col) < k, F.size(col).cast("double")).otherwise(
+            F.lit(float(k - 1))
+            * F.lit(float(_KMV_SPACE))
+            / F.element_at(col, k).cast("double")
+        ),
+        4,
+    )
+
+
 def create_mv(
     spark: SparkSession,
     base_path: str,
@@ -116,11 +184,24 @@ def create_mv(
     aggs: list[str] | None = None,
     mins: list[str] | None = None,
     maxs: list[str] | None = None,
+    distincts: list[str] | None = None,
+    kmv_k: int = 128,
 ) -> int:
     """Materialize ``SELECT keys, COUNT(*), SUM(sums...), MIN(mins...),
     MAX(maxs...) GROUP BY keys`` over the base table's CURRENT version.
     Returns the MV's committed version. ``mins``/``maxs`` opt into
-    recompute-on-retraction maintenance (see module docstring)."""
+    recompute-on-retraction maintenance (see module docstring).
+
+    ``distincts`` adds SKETCH-VALUED measures: per group, an ``nd_<col>``
+    column holding a KMV theta sketch (the ``kmv_k`` smallest distinct
+    portable hashes, sorted ascending — the Druid/warehouse pattern of
+    storing mergeable distinct-count sketches inside the cube). Inserts
+    fold in for free (k smallest of the union of two k-smallest sets IS
+    the union's k smallest); a retraction whose hash could live inside the
+    stored sketch triggers the same danger-group recompute as MIN/MAX.
+    Readers turn the sketch into an estimate with ``kmv_estimate`` —
+    exact below k distincts — and roll sketches UP across groups
+    losslessly (mv_rewrite.answer_aggregate accepts ``distincts``)."""
     if aggs:
         bad = [a for a in aggs if a.lower() not in ("count", "sum")]
         if bad:
@@ -133,9 +214,14 @@ def create_mv(
     if base_version == 0:
         raise FileNotFoundError(f"no committed snapshot at {base_path}")
     mins, maxs = list(mins or []), list(maxs or [])
-    view = _aggregate(
-        read_snapshot(spark, base_path, base_version), keys, sums, mins, maxs
-    )
+    distincts = list(distincts or [])
+    base = read_snapshot(spark, base_path, base_version)
+    view = _aggregate(base, keys, sums, mins, maxs)
+    for c in distincts:
+        sk = _kmv_sketch(base, keys, c, kmv_k, f"nd_{c}")
+        view = view.join(sk, keys, "left").withColumn(
+            f"nd_{c}", F.coalesce(F.col(f"nd_{c}"), _empty_sketch())
+        )
     v = write_snapshot(view, mv_path)
     _save_meta(
         mv_path,
@@ -145,6 +231,8 @@ def create_mv(
             "sums": sums,
             "mins": mins,
             "maxs": maxs,
+            "distincts": distincts,
+            "kmv_k": kmv_k,
             "base_version_synced": base_version,
             "mv_version": v,
         },
@@ -259,12 +347,16 @@ def refresh_mv(spark: SparkSession, mv_path: str) -> int:
         )
     base_path, keys, sums = meta["base_path"], meta["keys"], meta["sums"]
     mins, maxs = meta.get("mins", []), meta.get("maxs", [])
+    distincts = meta.get("distincts", [])
+    kmv_k = meta.get("kmv_k", 128)
     lo, hi = meta["base_version_synced"], current_version(base_path)
     if hi <= lo:
         return current_version(mv_path)
 
     extreme_cols = sorted({*mins, *maxs})
-    measure_cols = sums + [c for c in extreme_cols if c not in sums]
+    measure_cols = sums + [
+        c for c in sorted({*extreme_cols, *distincts}) if c not in sums
+    ]
     changes = _change_feed(spark, base_path, lo, hi, keys + measure_cols)
     if changes is None:  # only compactions happened
         meta["base_version_synced"] = hi
@@ -272,6 +364,10 @@ def refresh_mv(spark: SparkSession, mv_path: str) -> int:
         return current_version(mv_path)
 
     ins, ret = _sign() == 1, _sign() == -1
+    if distincts:
+        # the change feed feeds BOTH the signed delta aggregate and the
+        # per-column insert sketches — materialize it once
+        changes = changes.localCheckpoint(eager=True)
     delta = changes.groupBy(*keys).agg(
         F.sum(_sign()).cast("long").alias("d_count"),
         *[F.sum(_sign() * F.col(c)).alias(f"d_sum_{c}") for c in sums],
@@ -281,7 +377,24 @@ def refresh_mv(spark: SparkSession, mv_path: str) -> int:
         *[F.min(F.when(ret, F.col(c))).alias(f"d_retmin_{c}") for c in mins],
         *[F.max(F.when(ins, F.col(c))).alias(f"d_insmax_{c}") for c in maxs],
         *[F.max(F.when(ret, F.col(c))).alias(f"d_retmax_{c}") for c in maxs],
+        # retracted-rows smallest HASH per sketch column: detects whether a
+        # retraction could live inside the stored KMV sketch
+        *[
+            F.min(F.when(ret, _kmv_hash(c))).alias(f"d_retminh_{c}")
+            for c in distincts
+        ],
     )
+    # inserted-rows sketches: the k smallest distinct hashes among the
+    # batch's inserts, merged below (k-smallest of a union of k-smallest
+    # sets IS the union's k-smallest — the KMV merge property)
+    for c in distincts:
+        delta = delta.join(
+            _kmv_sketch(
+                changes.filter(ins), keys, c, kmv_k, f"d_inssk_{c}"
+            ),
+            keys,
+            "left",
+        )
 
     # Pin the MV version this refresh folds ON TOP OF. The commit below
     # targets exactly cur_mv_version + 1, so of two refreshers racing over
@@ -301,11 +414,25 @@ def refresh_mv(spark: SparkSession, mv_path: str) -> int:
         danger_pred = danger_pred | (
             F.col(f"d.d_retmax_{c}") >= F.col(f"m.max_{c}")
         )
+    for c in distincts:
+        # a retraction is harmless only when the stored sketch is FULL
+        # (size == k, so it is a k-smallest summary, not the complete set)
+        # AND every retracted hash lies above its threshold — then the
+        # sketch never contained it. Anything else could remove a sketch
+        # member whose other supporting rows we can't see: danger.
+        nd = F.col(f"m.nd_{c}")
+        safe = (F.size(nd) >= kmv_k) & (
+            F.col(f"d.d_retminh_{c}") > F.try_element_at(nd, F.lit(kmv_k))
+        )
+        danger_pred = danger_pred | (
+            F.col(f"d.d_retminh_{c}").isNotNull() & ~F.coalesce(safe, F.lit(False))
+        )
     measures = (
         ["mv_count"]
         + [f"sum_{c}" for c in sums]
         + [f"min_{c}" for c in mins]
         + [f"max_{c}" for c in maxs]
+        + [f"nd_{c}" for c in distincts]
     )
     full = (
         cur.alias("m")
@@ -337,6 +464,21 @@ def refresh_mv(spark: SparkSession, mv_path: str) -> int:
                 )
                 for c in maxs
             ],
+            # KMV merge: union of stored + inserted sketches, re-sorted,
+            # re-truncated to k — exact for inserts by the merge property
+            *[
+                F.slice(
+                    F.array_sort(
+                        F.array_union(
+                            F.coalesce(F.col(f"m.nd_{c}"), _empty_sketch()),
+                            F.coalesce(F.col(f"d.d_inssk_{c}"), _empty_sketch()),
+                        )
+                    ),
+                    1,
+                    kmv_k,
+                ).alias(f"nd_{c}")
+                for c in distincts
+            ],
             F.coalesce(danger_pred, F.lit(False)).alias("_danger"),
             # pre-change view state + presence markers: the MV's OWN change
             # feed (pre/postimages) is derived from the same join, so the
@@ -347,22 +489,41 @@ def refresh_mv(spark: SparkSession, mv_path: str) -> int:
         )
     )
 
-    if extreme_cols:
+    if extreme_cols or distincts:
         full = full.localCheckpoint(eager=True)
         danger_keys = full.filter(F.col("_danger")).select(*keys)
         if danger_keys.limit(1).count():
             # ONLY the danger groups re-aggregate from the base — a single
             # column-pruned scan semi-joined down to the affected keys.
-            recomputed = (
+            need_cols = sorted({*extreme_cols, *distincts})
+            base_cur = (
                 read_snapshot(spark, base_path, hi)
-                .select(*keys, *extreme_cols)
+                .select(*keys, *need_cols)
                 .join(F.broadcast(danger_keys), keys, "left_semi")
-                .groupBy(*keys)
-                .agg(
-                    *[F.min(c).alias(f"rc_min_{c}") for c in mins],
-                    *[F.max(c).alias(f"rc_max_{c}") for c in maxs],
-                )
             )
+            if distincts:
+                # shared by the extremes aggregate AND each column's sketch
+                # rebuild — materialize the pruned danger slice once
+                base_cur = base_cur.localCheckpoint(eager=True)
+            recomputed = danger_keys
+            if extreme_cols:
+                recomputed = recomputed.join(
+                    base_cur.groupBy(*keys).agg(
+                        *[F.min(c).alias(f"rc_min_{c}") for c in mins],
+                        *[F.max(c).alias(f"rc_max_{c}") for c in maxs],
+                    ),
+                    keys,
+                    "left",
+                )
+            for c in distincts:
+                recomputed = recomputed.join(
+                    _kmv_sketch(base_cur, keys, c, kmv_k, f"rc_nd_{c}"),
+                    keys,
+                    "left",
+                ).withColumn(
+                    f"rc_nd_{c}",
+                    F.coalesce(F.col(f"rc_nd_{c}"), _empty_sketch()),
+                )
             full = full.join(recomputed, keys, "left").select(
                 *keys,
                 "mv_count",
@@ -378,6 +539,12 @@ def refresh_mv(spark: SparkSession, mv_path: str) -> int:
                     .otherwise(F.col(f"max_{c}"))
                     .alias(f"max_{c}")
                     for c in maxs
+                ],
+                *[
+                    F.when(F.col("_danger"), F.col(f"rc_nd_{c}"))
+                    .otherwise(F.col(f"nd_{c}"))
+                    .alias(f"nd_{c}")
+                    for c in distincts
                 ],
                 "_in_cur",
                 "_in_delta",

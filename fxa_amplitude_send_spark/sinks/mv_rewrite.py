@@ -75,6 +75,7 @@ def _compatible(
     maxs: list[str],
     base_current: int,
     allow_stale: bool,
+    distincts: list[str] = (),
 ) -> bool:
     if meta.get("kind") in ("join_mv", "star_mv"):
         return False  # join/star views answer joins, not single-base aggs
@@ -87,6 +88,8 @@ def _compatible(
     if not set(mins) <= set(meta.get("mins", [])):
         return False
     if not set(maxs) <= set(meta.get("maxs", [])):
+        return False
+    if not set(distincts) <= set(meta.get("distincts", [])):
         return False
     if not allow_stale and not _fresh(
         meta["base_path"], meta.get("base_version_synced", -1), base_current
@@ -103,6 +106,8 @@ def answer_aggregate(
     mv_paths: list[str],
     mins: list[str] | None = None,
     maxs: list[str] | None = None,
+    distincts: list[str] | None = None,
+    kmv_k: int = 128,
     allow_stale: bool = False,
 ) -> tuple[DataFrame, str | None]:
     """Answer ``SELECT keys, COUNT(*) AS mv_count, SUM(sums…), MIN(mins…),
@@ -111,8 +116,19 @@ def answer_aggregate(
     snapshot. Returns ``(result, chosen_mv_path_or_None)``; None means the
     base was scanned. Output columns are identical either way
     (mv_count / sum_* / min_* / max_*), so callers can't tell the routes
-    apart except by cost."""
+    apart except by cost.
+
+    ``distincts`` requests KMV sketch measures (``nd_<col>``): a hit rolls
+    the finer groups' sketches up LOSSLESSLY — the k smallest of a union
+    of per-group k-smallest sets is exactly the union's k smallest, so the
+    rolled-up sketch is bit-identical to one built from the base — which
+    is precisely why warehouses store sketches, not estimates, in their
+    cubes. On a hit the VIEW's recorded k wins; ``kmv_k`` only shapes the
+    base fallback. Estimate via materialized_view.kmv_estimate."""
+    from .materialized_view import _empty_sketch, _kmv_sketch
+
     mins, maxs = list(mins or []), list(maxs or [])
+    distincts = list(distincts or [])
     base_current = current_version(base_path)
     chosen: tuple[int, str, dict] | None = None
     for p in mv_paths:
@@ -121,7 +137,8 @@ def answer_aggregate(
         except FileNotFoundError:
             continue
         if not _compatible(
-            meta, base_path, keys, sums, mins, maxs, base_current, allow_stale
+            meta, base_path, keys, sums, mins, maxs, base_current,
+            allow_stale, distincts,
         ):
             continue
         width = len(meta.get("keys", []))
@@ -131,13 +148,25 @@ def answer_aggregate(
     if chosen is not None:
         _, p, meta = chosen
         view = read_mv(spark, p)
+        k = meta.get("kmv_k", 128)
         # roll the finer grouping up: COUNT is the SUM of partial counts,
-        # SUM of partial SUMs, MIN of partial MINs, MAX of partial MAXs
+        # SUM of partial SUMs, MIN of partial MINs, MAX of partial MAXs,
+        # sketches the re-truncated union of partial sketches
         out = view.groupBy(*keys).agg(
             F.sum("mv_count").cast("long").alias("mv_count"),
             *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sums],
             *[F.min(f"min_{c}").alias(f"min_{c}") for c in mins],
             *[F.max(f"max_{c}").alias(f"max_{c}") for c in maxs],
+            *[
+                F.slice(
+                    F.array_sort(
+                        F.array_distinct(F.flatten(F.collect_list(f"nd_{c}")))
+                    ),
+                    1,
+                    k,
+                ).alias(f"nd_{c}")
+                for c in distincts
+            ],
         )
         return out, p
 
@@ -148,6 +177,10 @@ def answer_aggregate(
         *[F.min(c).alias(f"min_{c}") for c in mins],
         *[F.max(c).alias(f"max_{c}") for c in maxs],
     )
+    for c in distincts:
+        out = out.join(
+            _kmv_sketch(base, keys, c, kmv_k, f"nd_{c}"), keys, "left"
+        ).withColumn(f"nd_{c}", F.coalesce(F.col(f"nd_{c}"), _empty_sketch()))
     return out, None
 
 
