@@ -94,14 +94,111 @@ def _file_stats(full_path: str) -> dict[str, list]:
     return {name: [mins[name], maxs[name]] for name in mins}
 
 
+_BLOOM_FILE = "_bloom_policy.json"
+
+
+def _load_bloom_policy(path: str) -> dict:
+    try:
+        with open(os.path.join(path, _BLOOM_FILE), encoding="utf-8") as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return {}
+
+
+def set_bloom_policy(
+    path: str, cols: list[str], bits: int = 8192, k: int = 5
+) -> None:
+    """Opt the table into per-file BLOOM FILTERS on ``cols``: every file
+    staged from now on carries a ``bits``-bit, ``k``-hash bloom of each
+    column's distinct values in its manifest entry, and equality reads
+    (``read_snapshot(prune_eq=…)``) drop files whose bloom proves the
+    probe value absent — point-lookup skipping for exactly the case
+    min/max boxes cannot prune: a high-cardinality key hash-scattered
+    across every file, where each file spans the full value range.
+
+    Sizing: with d distinct values per file, false-positive rate ≈
+    (1 − e^(−k·d/bits))^k — the 8192/5 default holds ~1 % up to ~1 000
+    distincts/file; size bits ≈ 10·d for big files. Existing files are
+    untouched (no bloom → conservatively kept); a compaction rewrites
+    everything under the policy. Probe values match on their string form
+    (str(value)), the same canonicalization used at build time."""
+    if bits % 8:
+        raise ValueError("bits must be a multiple of 8")
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, _BLOOM_FILE + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"cols": list(cols), "bits": bits, "k": k}, fh, indent=1)
+    os.replace(tmp, os.path.join(path, _BLOOM_FILE))
+
+
+def _bloom_positions(s: str, bits: int, k: int) -> list[int]:
+    """k bit positions via Kirsch–Mitzenmacher double hashing over one md5:
+    h_i = h1 + i·h2 — full k-hash quality from a single digest."""
+    import hashlib
+
+    d = hashlib.md5(s.encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return [(h1 + i * h2) % bits for i in range(k)]
+
+
+def _file_blooms(full_path: str, policy: dict) -> dict[str, str]:
+    """Per-column bloom bitsets for one staged file, base64-packed for the
+    JSON manifest. Reads ONLY the policy columns (columnar projection);
+    hashing runs over the file's DISTINCT values. At 8192 bits this is
+    1 KiB per (file, column) of manifest weight — the price of skipping a
+    whole file open at probe time. (Parquet's own footer bloom option
+    would sit one level lower; the manifest-level copy is the piece that
+    prunes BEFORE any file I/O, which is what matters at 100 TB.)"""
+    import base64
+
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(full_path)
+    present = [c for c in policy["cols"] if c in pf.schema_arrow.names]
+    if not present:
+        return {}
+    bits, k = policy["bits"], policy["k"]
+    tbl = pq.read_table(full_path, columns=present)
+    out = {}
+    for c in present:
+        words = bytearray(bits // 8)
+        vals = set(tbl.column(c).to_pylist())
+        vals.discard(None)
+        for v in vals:
+            for p in _bloom_positions(str(v), bits, k):
+                words[p // 8] |= 1 << (p % 8)
+        out[c] = base64.b64encode(bytes(words)).decode("ascii")
+    return out
+
+
+def _bloom_maybe_contains(entry: dict, col: str, value: object) -> bool:
+    """True unless the entry's bloom PROVES ``value`` absent from ``col``.
+    Entries without a bloom for the column are conservatively kept — the
+    same superset contract as min/max stats."""
+    import base64
+
+    bloom = entry.get("bloom")
+    if not bloom or col not in bloom.get("cols", {}):
+        return True
+    words = base64.b64decode(bloom["cols"][col])
+    return all(
+        words[p // 8] & (1 << (p % 8))
+        for p in _bloom_positions(str(value), bloom["bits"], bloom["k"])
+    )
+
+
 def _stage_data_files(df: DataFrame, path: str) -> list[dict]:
     """Write df into the shared data/ dir under a unique subdir, then return
     manifest file entries {path, stats} (paths relative to the table root).
     Files are immutable once written; the staging subdir keeps concurrent
     writers from colliding. Footer min/max stats go INTO the manifest so
-    readers can prune files without opening any of them."""
+    readers can prune files without opening any of them; tables with a
+    bloom policy additionally carry per-file bloom bitsets for
+    equality-probe skipping."""
     import pyarrow.parquet as pq
 
+    policy = _load_bloom_policy(path)
     stage = f"stage-{uuid.uuid4().hex}"
     out = os.path.join(path, "data", stage)
     df.write.mode("overwrite").parquet(out)
@@ -109,16 +206,23 @@ def _stage_data_files(df: DataFrame, path: str) -> list[dict]:
     for name in sorted(os.listdir(out)):
         if name.endswith(".parquet"):
             full = os.path.join(out, name)
-            entries.append(
-                {
-                    "path": os.path.join("data", stage, name),
-                    "stats": _file_stats(full),
-                    # authoritative footer row count: commits sum these
-                    # instead of re-scanning the staged files (one fewer
-                    # Spark job per commit)
-                    "n": pq.ParquetFile(full).metadata.num_rows,
-                }
-            )
+            entry = {
+                "path": os.path.join("data", stage, name),
+                "stats": _file_stats(full),
+                # authoritative footer row count: commits sum these
+                # instead of re-scanning the staged files (one fewer
+                # Spark job per commit)
+                "n": pq.ParquetFile(full).metadata.num_rows,
+            }
+            if policy:
+                cols = _file_blooms(full, policy)
+                if cols:
+                    entry["bloom"] = {
+                        "bits": policy["bits"],
+                        "k": policy["k"],
+                        "cols": cols,
+                    }
+            entries.append(entry)
     return entries
 
 
@@ -287,6 +391,7 @@ def read_snapshot(
     path: str,
     version: int | None = None,
     prune: tuple[str, object, object] | None = None,
+    prune_eq: tuple[str, object] | None = None,
 ) -> DataFrame:
     """Time-travel read: the file list of ``version`` (default CURRENT),
     loaded directly — no directory listing, so orphaned/staged/compacted-away
@@ -297,7 +402,14 @@ def read_snapshot(
     manifest-level skipping, the piece that matters at 100 TB where even
     footer reads across millions of files dominate planning. Files without
     stats for the column are conservatively kept. The caller still applies
-    the exact row filter; pruning is a superset guarantee."""
+    the exact row filter; pruning is a superset guarantee.
+
+    ``prune_eq=(col, value)`` is the POINT-LOOKUP twin: it applies the
+    min/max box test for value∈[min,max] AND, on tables with a bloom
+    policy (``set_bloom_policy``), drops files whose per-file bloom
+    proves the value absent — the case range stats cannot help with (a
+    hash-scattered key whose every file spans the full range). Same
+    superset contract: no bloom / no stats → kept."""
     v = current_version(path) if version is None else version
     manifest = _read_manifest(path, v)
     entries = manifest["files"]
@@ -308,6 +420,17 @@ def read_snapshot(
             for e in entries
             if col not in e.get("stats", {})
             or not (e["stats"][col][1] < lo or e["stats"][col][0] > hi)
+        ]
+    if prune_eq is not None:
+        col, val = prune_eq
+        entries = [
+            e
+            for e in entries
+            if (
+                col not in e.get("stats", {})
+                or (e["stats"][col][0] <= val <= e["stats"][col][1])
+            )
+            and _bloom_maybe_contains(e, col, val)
         ]
     if not entries:
         import json as _json
@@ -339,6 +462,25 @@ def pruned_file_count(
         for e in entries
         if col not in e.get("stats", {})
         or not (e["stats"][col][1] < lo or e["stats"][col][0] > hi)
+    ]
+    return len(kept), len(entries)
+
+
+def bloom_pruned_file_count(
+    path: str, col: str, value: object, version: int | None = None
+) -> tuple[int, int]:
+    """(files_scanned, files_total) for an equality probe under the bloom +
+    min/max skip path — the observability twin of pruned_file_count."""
+    v = current_version(path) if version is None else version
+    entries = _read_manifest(path, v)["files"]
+    kept = [
+        e
+        for e in entries
+        if (
+            col not in e.get("stats", {})
+            or (e["stats"][col][0] <= value <= e["stats"][col][1])
+        )
+        and _bloom_maybe_contains(e, col, value)
     ]
     return len(kept), len(entries)
 

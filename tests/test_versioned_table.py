@@ -843,3 +843,109 @@ def test_read_change_feed_public_api(spark, tmp_path, sf_smoke):
     write_snapshot(ev.limit(5), p)                     # v4: replace
     with pytest.raises(RuntimeError, match="REPLACE"):
         read_change_feed(spark, p, since_version=3)
+
+
+def test_bloom_policy_point_lookup_skips_files(spark, sf_smoke, tmp_path):
+    """Per-file blooms prune equality probes that min/max boxes CANNOT:
+    orders hash-scattered across 8 files means every file's [min, max]
+    spans the whole key range, yet a point probe opens only the file(s)
+    whose bloom admits the key — and the pruned read is still exact."""
+    from fxa_amplitude_send_spark.sinks.versioned import (
+        bloom_pruned_file_count,
+        pruned_file_count,
+        set_bloom_policy,
+    )
+
+    path = str(tmp_path / "t")
+    set_bloom_policy(path, ["o_orderkey"])
+    orders = load_table(spark, sf_smoke, "orders").select("o_orderkey", "o_totalprice")
+    write_snapshot(orders.repartition(8), path)
+
+    # mid-range key: inside every file's [min, max] box (a boundary key
+    # like the global min would let the box test prune by accident)
+    probe = orders.filter("o_orderkey >= 700").select("o_orderkey").head()[0]
+    # min/max is useless on a round-robin layout: the box keeps every file
+    mm_scanned, total = pruned_file_count(path, ("o_orderkey", probe, probe))
+    assert total >= 8 and mm_scanned == total
+    # the bloom keeps only the file(s) that (maybe) hold the key
+    scanned, total_b = bloom_pruned_file_count(path, "o_orderkey", probe)
+    assert total_b == total and 1 <= scanned < total
+
+    hit = read_snapshot(spark, path, prune_eq=("o_orderkey", probe)).filter(
+        f"o_orderkey = {probe}"
+    )
+    full = read_snapshot(spark, path).filter(f"o_orderkey = {probe}")
+    assert _ids(hit) == _ids(full) and hit.count() >= 1
+    assert len(hit.inputFiles()) == scanned
+
+
+def test_bloom_absent_value_prunes_everything(spark, sf_smoke, tmp_path):
+    """Probing a key that exists in NO file should skip (nearly) all files —
+    with 8192-bit blooms over ~200 distincts/file the FP rate is <<1%."""
+    from fxa_amplitude_send_spark.sinks.versioned import (
+        bloom_pruned_file_count,
+        set_bloom_policy,
+    )
+
+    path = str(tmp_path / "t")
+    set_bloom_policy(path, ["o_orderkey"])
+    orders = load_table(spark, sf_smoke, "orders").select("o_orderkey")
+    write_snapshot(orders.repartition(8), path)
+    scanned, total = bloom_pruned_file_count(path, "o_orderkey", -987654321)
+    assert scanned <= 1 < total  # allow one false positive, none expected
+    out = read_snapshot(spark, path, prune_eq=("o_orderkey", -987654321)).filter(
+        "o_orderkey = -987654321"
+    )
+    assert out.count() == 0 and out.columns == ["o_orderkey"]
+
+
+def test_bloom_pre_policy_files_conservatively_kept(spark, sf_smoke, tmp_path):
+    """Files staged BEFORE the policy carry no bloom and must always be
+    kept (superset contract); post-policy files still prune. A probe for a
+    key living only in the old files returns it intact."""
+    from fxa_amplitude_send_spark.sinks.versioned import (
+        bloom_pruned_file_count,
+        set_bloom_policy,
+        snapshot_info,
+    )
+
+    path = str(tmp_path / "t")
+    orders = load_table(spark, sf_smoke, "orders").select("o_orderkey")
+    old = orders.filter("o_orderkey % 2 = 0")
+    write_snapshot(old.repartition(4), path)            # v1: no blooms
+    set_bloom_policy(path, ["o_orderkey"])
+    append_snapshot(
+        orders.filter("o_orderkey % 2 = 1").repartition(4), path
+    )                                                    # v2: bloomed
+    files = snapshot_info(path)["files"]
+    assert sum(1 for e in files if "bloom" in e) == len(files) - 4
+
+    # mid-range EVEN key: lives only in the unbloomed files, and sits
+    # inside every file's [min, max] box so only the blooms can prune
+    probe = old.filter("o_orderkey >= 700").head()[0]
+    scanned, total = bloom_pruned_file_count(path, "o_orderkey", probe)
+    assert total == len(files)
+    # all 4 unbloomed files kept; the 4 bloomed (odd-key) files dropped
+    assert scanned == 4
+    hit = read_snapshot(spark, path, prune_eq=("o_orderkey", probe)).filter(
+        f"o_orderkey = {probe}"
+    )
+    assert hit.count() == 1
+
+
+def test_bloom_string_column(spark, sf_smoke, tmp_path):
+    """Blooms hash the canonical str() form, so string keys prune too."""
+    from fxa_amplitude_send_spark.sinks.versioned import (
+        bloom_pruned_file_count,
+        set_bloom_policy,
+    )
+
+    path = str(tmp_path / "t")
+    set_bloom_policy(path, ["c_name"])
+    cust = load_table(spark, sf_smoke, "customer").select("c_custkey", "c_name")
+    write_snapshot(cust.repartition(6), path)
+    probe = cust.select("c_name").head()[0]
+    scanned, total = bloom_pruned_file_count(path, "c_name", probe)
+    assert 1 <= scanned < total
+    hit = read_snapshot(spark, path, prune_eq=("c_name", probe))
+    assert hit.filter(hit.c_name == probe).count() == 1
