@@ -1374,3 +1374,60 @@ def q_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_change_feed(spark, table, since_version=1).select(
         "event_id", "event_type", "value_c", "_change_type"
     )
+
+
+@query(
+    "q_versioned_bloom",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events WHERE event_id IN (101, 577, 919)
+    """,
+)
+def q_versioned_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookups through per-file BLOOM skipping under the correctness
+    gate (sinks/versioned.py set_bloom_policy / prune_eq): events are
+    written ROUND-ROBIN across files — every file spans the full event_id
+    range, so min/max boxes prune nothing — and three probes must each (a)
+    skip over half the files via the manifest blooms (enforced in-gate: a
+    non-pruning read raises rather than silently falling back to a full
+    scan) and (b) return exactly the oracle's rows from the raw parquet.
+
+    Scale posture: file count tracks the row count (~8k distinct keys per
+    file) so the 131072-bit blooms stay at ~0.1 % false-positive rate at
+    any SF; the probe cost is O(files-kept), i.e. ~1 file open per lookup
+    regardless of table size — the piece range stats cannot deliver for a
+    hash-scattered high-cardinality key."""
+    from ..sinks.versioned import (
+        bloom_pruned_file_count,
+        read_snapshot,
+        set_bloom_policy,
+        write_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    table = _work_root("vbloom", sf_dir)
+    n = ev.count()
+    n_files = max(8, n // 8000)
+    set_bloom_policy(table, ["event_id"], bits=131072, k=5)
+    write_snapshot(ev.repartition(n_files), table)
+
+    probes = [101, 577, 919]
+    parts = []
+    for p in probes:
+        scanned, total = bloom_pruned_file_count(table, "event_id", p)
+        if not scanned < max(2, total // 2):
+            raise RuntimeError(
+                f"bloom skip did not engage for probe {p}: "
+                f"{scanned}/{total} files kept"
+            )
+        parts.append(
+            read_snapshot(spark, table, prune_eq=("event_id", p)).filter(
+                F.col("event_id") == p
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
