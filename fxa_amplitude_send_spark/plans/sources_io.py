@@ -1431,3 +1431,52 @@ def q_versioned_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     for part in parts[1:]:
         out = out.unionByName(part)
     return out
+
+
+@query(
+    "q_versioned_mor_delete",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE NOT (value >= 80 OR event_id % 7 = 0)
+    GROUP BY event_type
+    """,
+)
+def q_versioned_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE under the correctness gate
+    (sinks/versioned.py delete_snapshot_mor): two successive deletes write
+    only (file, position) tombstones — the gate RAISES if either commit
+    touched a single data file — and the read subtracts them with one
+    broadcast anti-join on the scan's _metadata.row_index. Hash-matching
+    the oracle's from-scratch filter proves the tombstone algebra exact,
+    including the second delete seeing only rows the first left alive.
+
+    Scale posture: a delete costs one scan plus O(deleted) bytes written,
+    never an O(table) rewrite — at 100 TB this is the difference between
+    seconds and a full-table job. Compaction (tested in pytest) folds the
+    vectors away when read amplification warrants it."""
+    from ..sinks.versioned import (
+        delete_snapshot_mor,
+        read_snapshot,
+        snapshot_info,
+        write_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    table = _work_root("vmor", sf_dir)
+    write_snapshot(ev.repartition(8), table)
+    v1_files = [e["path"] for e in snapshot_info(table, 1)["files"]]
+    delete_snapshot_mor(spark, table, "value >= 80")
+    delete_snapshot_mor(spark, table, "event_id % 7 = 0")
+    info = snapshot_info(table)
+    if [e["path"] for e in info["files"]] != v1_files:
+        raise RuntimeError("MoR delete rewrote data files — must be O(deleted)")
+    if len(info.get("dvs", [])) < 2:
+        raise RuntimeError("expected tombstone files from both deletes")
+    back = read_snapshot(spark, table)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

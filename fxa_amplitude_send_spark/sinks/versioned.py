@@ -236,6 +236,7 @@ def _commit(
     appended: list[dict] | None = None,
     changes: list[dict] | None = None,
     kind: str = "append",
+    dvs: list[str] | None = None,
 ) -> int:
     """``kind`` records HOW this version relates to its parent
     (create | append | replace | merge | delete | compact) so downstream
@@ -264,6 +265,12 @@ def _commit(
     }
     if changes is not None:
         manifest["changes"] = [e["path"] for e in changes]
+    if dvs:
+        # merge-on-read DELETION VECTORS: table-relative paths of parquet
+        # files holding (path, pos) tombstones. A version's live rows are
+        # its files MINUS its dvs; rewriting commits (replace/merge/
+        # compact/CoW-delete) materialize the subtraction and pass no dvs.
+        manifest["dvs"] = list(dvs)
     if txn_id is not None:
         manifest["txn_id"] = txn_id
     os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
@@ -334,6 +341,7 @@ def append_snapshot(df: DataFrame, path: str) -> int:
         prev["schema"],
         parent,
         appended=new_files,
+        dvs=prev.get("dvs"),
     )
 
 
@@ -446,7 +454,43 @@ def read_snapshot(
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(manifest["schema"]))
+    if manifest.get("dvs"):
+        return _with_positions(spark, path, manifest, paths, schema).drop(
+            "_vt_path", "_vt_pos"
+        )
     return spark.read.schema(schema).parquet(*paths)
+
+
+def _with_positions(spark, path, manifest, paths, schema):
+    """The snapshot's LIVE rows with (file, position) identity columns
+    ``_vt_path`` (table-relative) / ``_vt_pos``, deletion vectors applied.
+
+    Spark-idiomatic merge-on-read: positions come from the parquet scan's
+    ``_metadata.row_index`` pseudo-column (no extra shuffle, no window),
+    and the tombstones apply as ONE broadcast left-anti join — O(live rows)
+    scan + O(deleted rows) broadcast, never a table rewrite. The relative
+    path is recovered with substring_index on '/data/': staging dirs are
+    ``stage-<hex>`` so the LAST '/data/' in any file URI is always the
+    table's data root, even if the table path itself contains '/data/'."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.schema(schema).parquet(*paths).select(
+        "*",
+        F.concat(
+            F.lit("data/"),
+            F.substring_index(F.col("_metadata.file_path"), "/data/", -1),
+        ).alias("_vt_path"),
+        F.col("_metadata.row_index").alias("_vt_pos"),
+    )
+    dvs = manifest.get("dvs") or []
+    if dvs:
+        dv = spark.read.parquet(
+            *[os.path.join(path, p) for p in dvs]
+        ).select(
+            F.col("path").alias("_vt_path"), F.col("pos").alias("_vt_pos")
+        )
+        df = df.join(F.broadcast(dv), ["_vt_path", "_vt_pos"], "left_anti")
+    return df
 
 
 def pruned_file_count(
@@ -510,6 +554,9 @@ def vacuum(path: str, retain_versions: int = 2) -> list[str]:
         # subset of 'files' for appends but included for safety.
         referenced.update(m.get("changes", []))
         referenced.update(m.get("appended", []))
+        # deletion-vector tombstones are part of a version's readable
+        # surface too: losing one would RESURRECT its deleted rows
+        referenced.update(m.get("dvs", []))
     deleted = []
     data_root = os.path.join(path, "data")
     for dirpath, _dirs, files in os.walk(data_root):
@@ -618,6 +665,7 @@ def append_snapshot_idempotent(df: DataFrame, path: str, txn_id: str) -> int:
         version,
         txn_id=txn_id,
         appended=new_files,
+        dvs=prev.get("dvs"),
     )
 
 
@@ -822,6 +870,62 @@ def delete_snapshot(spark: SparkSession, path: str, predicate: str) -> int:
     )
 
 
+def delete_snapshot_mor(spark: SparkSession, path: str, predicate: str) -> int:
+    """DELETE with merge-on-read DELETION VECTORS: instead of rewriting the
+    surviving rows (delete_snapshot's copy-on-write — O(table) writes for
+    any delete), the matching rows' (file, row-position) pairs are written
+    as small tombstone files and the commit reuses the parent's data files
+    unchanged — O(deleted) writes. Readers subtract the tombstones with one
+    broadcast anti-join on the scan's own ``_metadata.row_index``, so at
+    100 TB a 10-row delete costs a scan plus kilobytes of writes, not a
+    100 TB rewrite. Delta deletion vectors / Iceberg positional deletes are
+    the same contract.
+
+    Everything else matches delete_snapshot exactly: CDF delete pre-images
+    under ``changes`` (so MV maintenance and change-feed readers are
+    indifferent to WHICH delete ran), time travel to pre-delete versions
+    returns the rows, vacuum keeps tombstones referenced by retained
+    manifests, and any rewriting commit (merge / compact / replace)
+    materializes the subtraction and clears the vectors. Repeated MoR
+    deletes accumulate vectors; positions are original file positions, so
+    vectors from different versions never conflict (a dead row is invisible
+    to later predicates by construction — tombstones apply before the
+    filter)."""
+    version = current_version(path)
+    if version == 0:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    prev = _read_manifest(path, version)
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(prev["schema"]))
+    paths = [os.path.join(path, e["path"]) for e in prev["files"]]
+    live = _with_positions(spark, path, prev, paths, schema)
+    matches = live.filter(predicate)
+
+    dv_rows = matches.select(
+        F.col("_vt_path").alias("path"), F.col("_vt_pos").alias("pos")
+    )
+    deleted = matches.drop("_vt_path", "_vt_pos").withColumn(
+        "_change_type", F.lit("delete")
+    )
+    dv_files = _stage_data_files(dv_rows, path)
+    change_files = _stage_data_files(deleted, path)
+    n_deleted = sum(e["n"] for e in dv_files)  # footer counts, no extra job
+    return _commit(
+        path,
+        prev["files"],
+        prev["n_rows"] - n_deleted,
+        prev["schema"],
+        version,
+        appended=[],
+        changes=change_files,
+        kind="delete",
+        dvs=(prev.get("dvs") or []) + [e["path"] for e in dv_files],
+    )
+
+
 def append_snapshot_evolve(df: DataFrame, path: str) -> int:
     """Append with SCHEMA EVOLUTION (mergeSchema semantics): the incoming
     frame may carry columns the table has never seen (they become nullable
@@ -866,6 +970,7 @@ def append_snapshot_evolve(df: DataFrame, path: str) -> int:
         unioned.json(),
         parent,
         appended=new_files,
+        dvs=prev.get("dvs"),
     )
 
 

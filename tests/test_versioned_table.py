@@ -949,3 +949,136 @@ def test_bloom_string_column(spark, sf_smoke, tmp_path):
     assert 1 <= scanned < total
     hit = read_snapshot(spark, path, prune_eq=("c_name", probe))
     assert hit.filter(hit.c_name == probe).count() == 1
+
+
+# --- merge-on-read deletion vectors ----------------------------------------
+
+
+def test_mor_delete_no_rewrite_and_exact_rows(spark, base, tmp_path):
+    """delete_snapshot_mor must (a) leave every data file untouched —
+    O(deleted) writes, the whole point at 100 TB — and (b) read back
+    exactly the surviving rows; time travel to v1 still has everything."""
+    from fxa_amplitude_send_spark.sinks.versioned import delete_snapshot_mor
+
+    path = str(tmp_path / "t")
+    write_snapshot(base.repartition(4), path)
+    v1_files = [e["path"] for e in snapshot_info(path, 1)["files"]]
+    v2 = delete_snapshot_mor(spark, path, "n_nationkey % 3 = 0")
+    assert v2 == 2
+    info = snapshot_info(path, 2)
+    assert [e["path"] for e in info["files"]] == v1_files  # zero rewrite
+    assert info["dvs"], "tombstone files must be referenced"
+    survivors = base.filter("NOT (n_nationkey % 3 = 0)")
+    assert _ids(read_snapshot(spark, path)) == _ids(survivors)
+    assert info["n_rows"] == survivors.count()
+    assert _ids(read_snapshot(spark, path, 1)) == _ids(base)  # time travel
+
+
+def test_mor_delete_accumulates_and_skips_dead_rows(spark, base, tmp_path):
+    """Repeated MoR deletes accumulate vectors; a predicate matching
+    already-dead rows emits NO new change rows (tombstones apply before
+    the filter); appends interleave correctly."""
+    from fxa_amplitude_send_spark.sinks.versioned import (
+        delete_snapshot_mor,
+        read_change_feed,
+    )
+
+    path = str(tmp_path / "t")
+    write_snapshot(base.filter("n_nationkey < 15"), path)          # v1
+    delete_snapshot_mor(spark, path, "n_nationkey < 5")            # v2
+    append_snapshot(base.filter("n_nationkey >= 15"), path)        # v3
+    delete_snapshot_mor(spark, path, "n_nationkey < 8")            # v4: 5,6,7
+    expect = base.filter("n_nationkey >= 8")
+    assert _ids(read_snapshot(spark, path)) == _ids(expect)
+    assert len(snapshot_info(path)["dvs"]) >= 2
+    # v4's change feed: exactly rows 5,6,7 — NOT the already-dead 0..4
+    feed = read_change_feed(spark, path, since_version=3)
+    assert sorted(r.n_nationkey for r in feed.collect()) == [5, 6, 7]
+    assert feed.filter("_change_type <> 'delete'").count() == 0
+
+
+def test_mor_delete_feeds_mv_maintenance(spark, sf_smoke, tmp_path):
+    """A counting MV refreshed across a MoR delete must equal the
+    from-scratch aggregate — the CDF contract is delete-flavor-blind."""
+    from fxa_amplitude_send_spark.sinks.materialized_view import (
+        create_mv,
+        read_mv,
+        refresh_mv,
+    )
+    from fxa_amplitude_send_spark.sinks.versioned import delete_snapshot_mor
+
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "event_type", "value")
+    bp, mp = str(tmp_path / "b"), str(tmp_path / "m")
+    write_snapshot(ev, bp)
+    create_mv(spark, bp, mp, keys=["event_type"], sums=["value"])
+    delete_snapshot_mor(spark, bp, "value >= 50")
+    refresh_mv(spark, mp)
+    got = {
+        r.event_type: (r.mv_count, round(r.sum_value, 6))
+        for r in read_mv(spark, mp).collect()
+    }
+    want = {
+        r.event_type: (r[1], round(r[2], 6))
+        for r in ev.filter("value < 50")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)), F.sum("value"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_mor_compact_materializes_and_clears_vectors(spark, base, tmp_path):
+    """Compaction after a MoR delete rewrites live rows only and the new
+    manifest carries no vectors; pre-compact versions still read through
+    their own vectors."""
+    from fxa_amplitude_send_spark.sinks.versioned import delete_snapshot_mor
+
+    path = str(tmp_path / "t")
+    write_snapshot(base.repartition(4), path)
+    delete_snapshot_mor(spark, path, "n_nationkey >= 20")       # v2
+    compact_snapshot(spark, path, target_files=1)               # v3
+    assert "dvs" not in snapshot_info(path, 3)
+    survivors = base.filter("n_nationkey < 20")
+    assert _ids(read_snapshot(spark, path, 3)) == _ids(survivors)
+    assert _ids(read_snapshot(spark, path, 2)) == _ids(survivors)
+    assert _ids(read_snapshot(spark, path, 1)) == _ids(base)
+
+
+def test_mor_vacuum_keeps_tombstones(spark, base, tmp_path):
+    """vacuum must treat tombstones as referenced: losing one would
+    resurrect deleted rows in a retained version."""
+    from fxa_amplitude_send_spark.sinks.versioned import delete_snapshot_mor
+
+    path = str(tmp_path / "t")
+    write_snapshot(base.repartition(4), path)                    # v1
+    delete_snapshot_mor(spark, path, "n_nationkey % 2 = 0")     # v2
+    append_snapshot(base.limit(0), path)                         # v3
+    append_snapshot(base.limit(0), path)                         # v4
+    vacuum(path, retain_versions=2)                              # keep v3, v4
+    for rel in snapshot_info(path)["dvs"]:
+        assert os.path.exists(os.path.join(path, rel))
+    survivors = base.filter("n_nationkey % 2 = 1")
+    assert _ids(read_snapshot(spark, path)) == _ids(survivors)
+
+
+def test_mor_merge_after_delete_applies_vectors(spark, base, tmp_path):
+    """MERGE on a vectored table must see only live rows (a dead key is an
+    INSERT, not an update) and its rewrite clears the vectors."""
+    from fxa_amplitude_send_spark.sinks.versioned import (
+        delete_snapshot_mor,
+        merge_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    write_snapshot(base, path)                                   # v1
+    delete_snapshot_mor(spark, path, "n_nationkey = 3")          # v2
+    upd = spark.createDataFrame(
+        [(3, "REBORN"), (7, "RENAMED")], ["n_nationkey", "n_name"]
+    ).select(
+        F.col("n_nationkey").cast(dict(base.dtypes)["n_nationkey"]), "n_name"
+    )
+    merge_snapshot(spark, path, upd, ["n_nationkey"])            # v3
+    assert "dvs" not in snapshot_info(path, 3)
+    out = {r.n_nationkey: r.n_name for r in read_snapshot(spark, path).collect()}
+    assert out[3] == "REBORN" and out[7] == "RENAMED"
+    assert len(out) == base.count()  # 24 survivors + reinserted key 3
