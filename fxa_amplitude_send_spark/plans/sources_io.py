@@ -1480,3 +1480,76 @@ def q_versioned_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "q_versioned_mor_merge",
+    oracle="""
+    WITH final AS (
+      SELECT event_id,
+             CASE WHEN event_id % 9 = 2 THEN 'remapped' ELSE event_type END
+               AS event_type,
+             CASE WHEN event_id % 9 = 2 THEN value * 0.25 ELSE value END
+               AS value
+      FROM events
+      UNION ALL
+      SELECT event_id + 50000000, 'backfill', value FROM events
+      WHERE event_id % 500 = 1
+    )
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM final GROUP BY event_type
+    """,
+)
+def q_versioned_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPSERT under the correctness gate
+    (sinks/versioned.py merge_snapshot_mor): a group-moving update (every
+    event_id % 9 = 2 row re-typed and re-valued) plus fresh inserts land
+    as tombstones + appended files — the gate RAISES if any pre-existing
+    data file left the manifest — and the read-back aggregate must
+    hash-match the oracle's CASE-expressed final state. (*0.25 is exact
+    in binary, so the float grid is engine-independent.)
+
+    Scale posture: the upsert writes O(changes) — one key join against the
+    live scan, tombstones for pre-images, new files for post-images —
+    where merge_snapshot would rewrite the table; at 100 TB that is the
+    difference between a bounded incremental commit and a full-table job."""
+    from ..sinks.versioned import (
+        merge_snapshot_mor,
+        read_snapshot,
+        snapshot_info,
+        write_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    table = _work_root("vmorm", sf_dir)
+    write_snapshot(ev.repartition(8), table)
+    v1_files = [e["path"] for e in snapshot_info(table, 1)["files"]]
+    upd = (
+        ev.filter(F.col("event_id") % 9 == 2)
+        .select(
+            "event_id",
+            F.lit("remapped").alias("event_type"),
+            (F.col("value") * 0.25).alias("value"),
+        )
+        .unionByName(
+            ev.filter(F.col("event_id") % 500 == 1).select(
+                (F.col("event_id") + 50_000_000).alias("event_id"),
+                F.lit("backfill").alias("event_type"),
+                "value",
+            )
+        )
+    )
+    merge_snapshot_mor(spark, table, upd, ["event_id"])
+    info = snapshot_info(table)
+    kept = [e["path"] for e in info["files"]][: len(v1_files)]
+    if kept != v1_files:
+        raise RuntimeError("MoR merge dropped/rewrote data files — must be O(changes)")
+    if not info.get("dvs"):
+        raise RuntimeError("MoR merge produced no tombstones for its updates")
+    back = read_snapshot(spark, table)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

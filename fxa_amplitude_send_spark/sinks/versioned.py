@@ -835,6 +835,94 @@ def merge_snapshot(
     )
 
 
+def merge_snapshot_mor(
+    spark: SparkSession, path: str, updates: DataFrame, key_cols: list[str]
+) -> int:
+    """MERGE (upsert) with merge-on-read mechanics: rows replaced by the
+    update are TOMBSTONED via deletion vectors and the merged values are
+    APPENDED as new data files — the commit writes O(changes), never the
+    O(table) rewrite merge_snapshot performs. At 100 TB an upsert of a
+    thousand keys costs one key-join scan plus kilobytes of writes.
+
+    Semantics are byte-identical to merge_snapshot (differential-tested):
+    coalesce(update, current) per value column, keys whose merged values
+    equal the current row are complete no-ops (no tombstone, no new row,
+    no change row), and the CDF carries the same insert /
+    update_preimage / update_postimage rows, so change-feed consumers and
+    MV maintenance cannot tell which merge flavor ran. The append-only
+    feed skips merge versions either way (``appended`` stays empty; the
+    new files enter ``files`` only)."""
+    version = current_version(path)
+    if version == 0:
+        return write_snapshot(updates, path)
+    prev = _read_manifest(path, version)
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(prev["schema"]))
+    cols = [f.name for f in schema.fields]
+    if sorted(updates.columns) != sorted(cols):
+        raise ValueError(f"updates schema {updates.columns} != table schema {cols}")
+
+    paths = [os.path.join(path, e["path"]) for e in prev["files"]]
+    cur = _with_positions(spark, path, prev, paths, schema)
+    c2 = cur.withColumn("_c_present", F.lit(1)).alias("c")
+    u2 = updates.select(*cols).withColumn("_u_present", F.lit(1)).alias("u")
+    j2 = c2.join(u2, key_cols, "full_outer")
+    val_cols = [x for x in cols if x not in key_cols]
+    merged_val = {x: F.coalesce(F.col(f"u.{x}"), F.col(f"c.{x}")) for x in val_cols}
+    changed_pred = F.lit(False)
+    for x in val_cols:
+        changed_pred = changed_pred | ~merged_val[x].eqNullSafe(F.col(f"c.{x}"))
+
+    changes_post = j2.filter(F.col("_u_present").isNotNull()).select(
+        *key_cols,
+        *[merged_val[x].alias(x) for x in val_cols],
+        F.when(F.col("_c_present").isNull(), F.lit("insert"))
+        .when(changed_pred, F.lit("update_postimage"))
+        .otherwise(F.lit(None))
+        .alias("_change_type"),
+    ).filter(F.col("_change_type").isNotNull()).select(*cols, "_change_type")
+    changes_pre = j2.filter(
+        F.col("_u_present").isNotNull() & F.col("_c_present").isNotNull()
+    ).filter(changed_pred).select(
+        *key_cols,
+        *[F.col(f"c.{x}").alias(x) for x in val_cols],
+        F.lit("update_preimage").alias("_change_type"),
+    ).select(*cols, "_change_type")
+    changes = changes_post.unionByName(changes_pre)
+
+    # the appended rows ARE the post-images; the tombstones ARE the
+    # pre-images' physical positions — both O(changes) by construction
+    new_rows = changes_post.drop("_change_type")
+    tombstones = j2.filter(
+        F.col("_u_present").isNotNull()
+        & F.col("_c_present").isNotNull()
+        & changed_pred
+    ).select(F.col("c._vt_path").alias("path"), F.col("c._vt_pos").alias("pos"))
+
+    new_files = _stage_data_files(new_rows, path)
+    dv_files = _stage_data_files(tombstones, path)
+    change_files = _stage_data_files(changes, path)
+    _verify_staged_checks(
+        spark, path, change_files, where="_change_type != 'update_preimage'"
+    )
+    n_new = sum(e["n"] for e in new_files)
+    n_dead = sum(e["n"] for e in dv_files)
+    return _commit(
+        path,
+        prev["files"] + new_files,
+        prev["n_rows"] + n_new - n_dead,
+        prev["schema"],
+        version,
+        appended=[],
+        changes=change_files,
+        kind="merge",
+        dvs=(prev.get("dvs") or []) + [e["path"] for e in dv_files],
+    )
+
+
 def delete_snapshot(spark: SparkSession, path: str, predicate: str) -> int:
     """DELETE FROM the versioned table: publishes one new version whose data
     files hold the surviving rows; deleted rows are recorded as change files

@@ -1082,3 +1082,109 @@ def test_mor_merge_after_delete_applies_vectors(spark, base, tmp_path):
     out = {r.n_nationkey: r.n_name for r in read_snapshot(spark, path).collect()}
     assert out[3] == "REBORN" and out[7] == "RENAMED"
     assert len(out) == base.count()  # 24 survivors + reinserted key 3
+
+
+def test_mor_merge_differential_vs_cow_merge(spark, sf_smoke, tmp_path):
+    """merge_snapshot_mor must produce the SAME logical table and the SAME
+    change feed as the copy-on-write merge_snapshot, while leaving every
+    pre-existing data file in place (O(changes) writes)."""
+    from fxa_amplitude_send_spark.sinks.versioned import (
+        merge_snapshot,
+        merge_snapshot_mor,
+        read_change_feed,
+    )
+
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "event_type", "value")
+    upd = (
+        ev.filter("event_id % 11 = 0")
+        .withColumn("value", F.col("value") * 2)          # real updates
+        .unionByName(
+            ev.limit(0)  # keep schema
+        )
+        .unionByName(
+            ev.filter("event_id % 13 = 5").withColumn(
+                "event_id", F.col("event_id") + 10_000_000  # inserts
+            )
+        )
+        .unionByName(
+            ev.filter("event_id % 17 = 3 AND event_id % 11 <> 0")
+        )  # no-op updates (disjoint from the real updates: unique keys)
+    )
+    cow, mor = str(tmp_path / "cow"), str(tmp_path / "mor")
+    for p in (cow, mor):
+        write_snapshot(ev.repartition(4), p)
+    merge_snapshot(spark, cow, upd, ["event_id"])
+    v1_files = [e["path"] for e in snapshot_info(mor, 1)["files"]]
+    merge_snapshot_mor(spark, mor, upd, ["event_id"])
+
+    info = snapshot_info(mor)
+    assert [e["path"] for e in info["files"]][: len(v1_files)] == v1_files
+    assert len(info["files"]) > len(v1_files)  # appended merged rows
+    assert info["dvs"], "updates must tombstone their pre-images"
+
+    def canon(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert canon(read_snapshot(spark, mor)) == canon(read_snapshot(spark, cow))
+    assert snapshot_info(mor)["n_rows"] == snapshot_info(cow)["n_rows"]
+    assert canon(read_change_feed(spark, mor, since_version=1)) == canon(
+        read_change_feed(spark, cow, since_version=1)
+    )
+
+
+def test_mor_merge_noop_updates_write_nothing(spark, base, tmp_path):
+    """An update whose merged values equal the current rows must be a
+    complete no-op: no tombstones, no new data files, no change rows."""
+    from fxa_amplitude_send_spark.sinks.versioned import (
+        merge_snapshot_mor,
+        read_change_feed,
+    )
+
+    path = str(tmp_path / "t")
+    write_snapshot(base, path)
+    n_files = len(snapshot_info(path)["files"])
+    merge_snapshot_mor(spark, path, base.filter("n_nationkey < 10"), ["n_nationkey"])
+    info = snapshot_info(path)
+    assert len(info["files"]) == n_files or all(
+        e["n"] == 0 for e in info["files"][n_files:]
+    )
+    assert read_change_feed(spark, path, since_version=1).count() == 0
+    assert _ids(read_snapshot(spark, path)) == _ids(base)
+
+
+def test_mor_merge_feeds_mv_maintenance(spark, sf_smoke, tmp_path):
+    """MV refresh across a MoR merge (group-moving update) must equal the
+    from-scratch aggregate — pre-image retraction works off the CDF alone."""
+    from fxa_amplitude_send_spark.sinks.materialized_view import (
+        create_mv,
+        read_mv,
+        refresh_mv,
+    )
+    from fxa_amplitude_send_spark.sinks.versioned import merge_snapshot_mor
+
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "event_type", "value")
+    bp, mp = str(tmp_path / "b"), str(tmp_path / "m")
+    write_snapshot(ev, bp)
+    create_mv(spark, bp, mp, keys=["event_type"], sums=["value"])
+    moved = ev.filter("event_id % 10 = 3").select(
+        "event_id", F.lit("migrated").alias("event_type"),
+        (F.col("value") * 0.5).alias("value"),
+    )
+    merge_snapshot_mor(spark, bp, moved, ["event_id"])
+    refresh_mv(spark, mp)
+    final = ev.withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 10 == 3, "migrated").otherwise(F.col("event_type")),
+    ).withColumn(
+        "value",
+        F.when(F.col("event_id") % 10 == 3, F.col("value") * 0.5).otherwise(F.col("value")),
+    )
+    got = {
+        r.event_type: (r.mv_count, round(r.sum_value, 6))
+        for r in read_mv(spark, mp).collect()
+    }
+    want = {
+        r.event_type: (r[1], round(r[2], 6))
+        for r in final.groupBy("event_type").agg(F.count(F.lit(1)), F.sum("value")).collect()
+    }
+    assert got == want
