@@ -394,6 +394,96 @@ def compact_snapshot(
     )
 
 
+def optimize_snapshot(
+    spark: SparkSession,
+    path: str,
+    dead_ratio: float = 0.3,
+    small_bytes: int | None = None,
+    target_files: int = 1,
+) -> int:
+    """Targeted OPTIMIZE: rewrite ONLY the files that need it — those whose
+    deletion-vector dead fraction is ≥ ``dead_ratio`` (read amplification:
+    every scan drags their tombstones through the anti-join) and, when
+    ``small_bytes`` is given, groups of ≥2 files under that size (small-file
+    bin-packing). Everything else keeps its manifest entry — stats, blooms
+    and data bytes untouched — so at 100 TB an optimize pass costs
+    O(rewritten files), where compact_snapshot costs O(table).
+
+    Tombstones pointing at rewritten files are dropped (their rows were
+    materialized away); the surviving tombstone set is consolidated into
+    fresh dv files, or cleared entirely when nothing dead remains. Logical
+    content is unchanged — the commit is kind='compact', so change-feed
+    consumers and MVs skip it by contract. A pass that selects no victims
+    is a NO-OP returning the current version (no empty commit).
+
+    Dead counts come from the dv parquet footers + a driver-side group-by
+    over the (small) tombstone set — no table scan is needed to DECIDE;
+    only victims are read."""
+    version = current_version(path)
+    if version == 0:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    prev = _read_manifest(path, version)
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    # driver-side fold: tombstones are O(deleted), tiny next to the table
+    from collections import Counter
+
+    counter: Counter = Counter()
+    for rel in prev.get("dvs") or []:
+        tbl = pq.read_table(os.path.join(path, rel), columns=["path"])
+        counter.update(tbl.column("path").to_pylist())
+    dead = dict(counter)
+
+    victims: list[str] = []
+    for e in prev["files"]:
+        if e["n"] > 0 and dead.get(e["path"], 0) / e["n"] >= dead_ratio and dead.get(
+            e["path"], 0
+        ) > 0:
+            victims.append(e["path"])
+    if small_bytes is not None:
+        small = [
+            e["path"]
+            for e in prev["files"]
+            if e["path"] not in victims
+            and os.path.getsize(os.path.join(path, e["path"])) < small_bytes
+        ]
+        if len(small) >= 2:
+            victims.extend(small)
+    if not victims:
+        return version
+
+    schema = StructType.fromJson(json.loads(prev["schema"]))
+    vset = set(victims)
+    live_victims = _with_positions(
+        spark, path, prev, [os.path.join(path, p) for p in victims], schema
+    ).drop("_vt_path", "_vt_pos")
+    new_files = _stage_data_files(live_victims.coalesce(target_files), path)
+
+    dvs_out: list[str] | None = None
+    if prev.get("dvs"):
+        remaining = spark.read.parquet(
+            *[os.path.join(path, p) for p in prev["dvs"]]
+        ).filter(~F.col("path").isin(victims))
+        new_dv_files = _stage_data_files(remaining, path)
+        if sum(e["n"] for e in new_dv_files) > 0:
+            dvs_out = [e["path"] for e in new_dv_files]
+
+    survivors = [e for e in prev["files"] if e["path"] not in vset]
+    return _commit(
+        path,
+        survivors + new_files,
+        prev["n_rows"],
+        prev["schema"],
+        version,
+        appended=[],
+        kind="compact",
+        dvs=dvs_out,
+    )
+
+
 def read_snapshot(
     spark: SparkSession,
     path: str,

@@ -1188,3 +1188,77 @@ def test_mor_merge_feeds_mv_maintenance(spark, sf_smoke, tmp_path):
         for r in final.groupBy("event_type").agg(F.count(F.lit(1)), F.sum("value")).collect()
     }
     assert got == want
+
+
+def test_optimize_rewrites_only_dead_heavy_files(spark, sf_smoke, tmp_path):
+    """optimize_snapshot must rewrite exactly the files whose dead fraction
+    crosses the threshold, keep every other entry verbatim (stats and all),
+    drop the materialized tombstones, and preserve the logical content."""
+    from fxa_amplitude_send_spark.sinks.versioned import (
+        delete_snapshot_mor,
+        optimize_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    orders = load_table(spark, sf_smoke, "orders").select("o_orderkey", "o_totalprice")
+    # range layout: the delete below lands entirely in the low-key files
+    write_snapshot(orders.repartitionByRange(8, "o_orderkey"), path)
+    lo_cut = orders.selectExpr("percentile(o_orderkey, 0.2)").head()[0]
+    delete_snapshot_mor(spark, path, f"o_orderkey <= {lo_cut}")     # v2
+    before = {e["path"]: e for e in snapshot_info(path, 2)["files"]}
+
+    v3 = optimize_snapshot(spark, path, dead_ratio=0.5)
+    assert v3 == 3
+    info = snapshot_info(path, 3)
+    kept = [e for e in info["files"] if e["path"] in before]
+    rewritten = [e for e in info["files"] if e["path"] not in before]
+    assert rewritten, "dead-heavy files must be rewritten"
+    assert 0 < len(kept) < len(before), "mostly-alive files must be kept"
+    for e in kept:
+        assert e == before[e["path"]]  # entry (incl. stats) untouched
+    # all tombstones pointed at rewritten files → vectors fully cleared
+    assert "dvs" not in info
+    survivors = orders.filter(f"o_orderkey > {lo_cut}")
+    assert _ids(read_snapshot(spark, path)) == _ids(survivors)
+    assert info["n_rows"] == survivors.count()
+    assert _ids(read_snapshot(spark, path, 1)) == _ids(orders)  # time travel
+
+
+def test_optimize_keeps_foreign_tombstones(spark, base, tmp_path):
+    """Tombstones for files NOT selected this pass must survive (and keep
+    applying) after the dv set is consolidated."""
+    from fxa_amplitude_send_spark.sinks.versioned import (
+        delete_snapshot_mor,
+        optimize_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    write_snapshot(base.filter("n_nationkey < 12").repartition(1), path)  # f1
+    append_snapshot(base.filter("n_nationkey >= 12").repartition(1), path)  # f2
+    delete_snapshot_mor(spark, path, "n_nationkey < 10")   # f1 ~83% dead
+    delete_snapshot_mor(spark, path, "n_nationkey = 20")   # f2 ~8% dead
+    v = optimize_snapshot(spark, path, dead_ratio=0.5)     # rewrites f1 only
+    info = snapshot_info(path, v)
+    assert info.get("dvs"), "f2's tombstone must survive consolidation"
+    expect = base.filter("n_nationkey >= 10 AND n_nationkey <> 20")
+    assert _ids(read_snapshot(spark, path)) == _ids(expect)
+
+
+def test_optimize_bin_packs_small_files(spark, base, tmp_path):
+    """small_bytes packing groups tiny files; a no-victim pass is a NO-OP
+    that commits nothing."""
+    from fxa_amplitude_send_spark.sinks.versioned import optimize_snapshot
+
+    path = str(tmp_path / "t")
+    write_snapshot(base.limit(3), path)
+    for i in range(4):
+        append_snapshot(base.filter(f"n_nationkey % 4 = {i}").limit(2), path)
+    n_before = len(snapshot_info(path)["files"])
+    assert n_before >= 5
+    v = optimize_snapshot(spark, path, small_bytes=10_000_000, target_files=1)
+    info = snapshot_info(path, v)
+    assert len(info["files"]) == 1
+    assert info["n_rows"] == 3 + 4 * 2
+    assert read_snapshot(spark, path).count() == 11
+    # second pass: single file, no dead rows → no victims → no new version
+    assert optimize_snapshot(spark, path, small_bytes=100) == v
