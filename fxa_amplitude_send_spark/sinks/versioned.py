@@ -253,11 +253,17 @@ def _commit(
     whose delta is not expressible as pure appends (MERGE) — the Delta-CDF
     shape. Manifests are immutable once visible: everything is staged
     before this commit writes the manifest."""
+    import time
+
     version = parent + 1
     manifest = {
         "version": version,
         "parent": parent,
         "kind": kind,
+        # wall-clock commit time: powers TIMESTAMP AS OF resolution
+        # (version_at_timestamp). Informational only for ordering — version
+        # numbers, not clocks, define the history.
+        "ts": time.time(),
         "files": files,
         "n_rows": n_rows,
         "schema": schema_ddl,
@@ -617,6 +623,34 @@ def bloom_pruned_file_count(
         and _bloom_maybe_contains(e, col, value)
     ]
     return len(kept), len(entries)
+
+
+def version_at_timestamp(path: str, ts: float) -> int:
+    """TIMESTAMP AS OF resolution: the newest retained version whose commit
+    time is <= ``ts`` (Delta's timestamp time travel contract). A timestamp
+    older than every retained commit is refused loudly — silently returning
+    the oldest version would misrepresent vacuumed history. Manifests from
+    before commit timestamps were recorded count as arbitrarily old."""
+    newest = current_version(path)
+    if newest == 0:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    best = None
+    v = newest
+    while v > 0:
+        try:
+            m = _read_manifest(path, v)
+        except FileNotFoundError:
+            break  # older versions vacuumed
+        if m.get("ts", float("-inf")) <= ts:
+            best = m["version"]
+            break
+        v = m.get("parent", v - 1)
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts} predates every retained commit at {path} "
+            "(older versions may have been vacuumed)"
+        )
+    return best
 
 
 def snapshot_info(path: str, version: int | None = None) -> dict:

@@ -1262,3 +1262,25 @@ def test_optimize_bin_packs_small_files(spark, base, tmp_path):
     assert read_snapshot(spark, path).count() == 11
     # second pass: single file, no dead rows → no victims → no new version
     assert optimize_snapshot(spark, path, small_bytes=100) == v
+
+
+def test_timestamp_as_of_resolution(spark, base, tmp_path):
+    """TIMESTAMP AS OF: a wall-clock instant between two commits resolves to
+    the earlier version; an instant before every retained commit refuses."""
+    import time
+
+    from fxa_amplitude_send_spark.sinks.versioned import version_at_timestamp
+
+    path = str(tmp_path / "t")
+    write_snapshot(base.filter("n_nationkey < 10"), path)   # v1
+    t_between = time.time()
+    time.sleep(0.02)
+    append_snapshot(base.filter("n_nationkey >= 10"), path)  # v2
+    assert version_at_timestamp(path, t_between) == 1
+    assert version_at_timestamp(path, time.time()) == 2
+    v = version_at_timestamp(path, t_between)
+    assert _ids(read_snapshot(spark, path, version=v)) == _ids(
+        base.filter("n_nationkey < 10")
+    )
+    with pytest.raises(ValueError, match="predates"):
+        version_at_timestamp(path, t_between - 1_000_000)
