@@ -1553,3 +1553,95 @@ def q_versioned_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS value_c,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, value_c,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(value_c) AS BIGINT) AS sum_value_c
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING session windows under the correctness gate: events replay
+    as a 4-file stream (maxFilesPerTrigger=1, availableNow), so per-user
+    30-minute-gap sessions must MERGE ACROSS MICRO-BATCHES — the random
+    file split interleaves each user's events across batches, exercising
+    the stateful session-merge path, not a single-batch pretend-stream
+    (>=4 batches enforced in-gate). Complete-mode memory sink hash-matched
+    against the batch gaps-and-islands oracle — the same oracle text as
+    q_session_window, proving stream/batch session equivalence end-to-end.
+    Money on the integer-cents grid.
+
+    Scale posture: session state is per-active-user and merges in the
+    state store; at 100 TB the same plan runs against a real source with
+    a watermark bounding state (tested in pytest), complete mode here only
+    because the gate needs the full final answer."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    stage = _work_root("strm_sess_src", sf_dir)
+    ev.repartition(4).write.parquet(stage)
+    schema = spark.read.parquet(stage).schema
+    sink = "strm_sess_sink_" + os.path.basename(stage).rsplit("_", 2)[0][10:]
+    try:
+        spark.catalog.dropTempView(sink)
+    except Exception:
+        pass
+    # The state-store partition count is fixed at the stream's FIRST batch
+    # from spark.sql.shuffle.partitions; under an untuned session (200) the
+    # session-merge state op pays 200 tasks x 4 batches for tiny state.
+    # Pin a sane count for the stream and restore the caller's setting.
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value_c").alias("sum_value_c"),
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    n_batches = len(q.recentProgress)
+    if n_batches < 4:
+        raise RuntimeError(
+            f"q_stream_session: expected >=4 micro-batches, got {n_batches}"
+        )
+    return spark.table(sink).select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        F.col("sum_value_c").cast("long").alias("sum_value_c"),
+    )

@@ -330,3 +330,37 @@ def test_join_mv_fact_compaction_then_vacuum_does_not_break_dim_term(
     merge_snapshot(spark, dp, moved, ["custkey"])
     refresh_join_mv(spark, mv)
     assert _as_map(read_join_mv(spark, mv)) == _recompute(spark, fp, dp)
+
+
+def test_join_mv_mor_deletes_on_both_sides(spark, fact, dim, tmp_path):
+    """Merge-on-read deletes (deletion vectors, no rewrite) on the FACT and
+    then the DIM must flow through the CDF identically to copy-on-write
+    deletes — the view stays equal to a from-scratch recompute."""
+    from fxa_amplitude_send_spark.sinks.versioned import delete_snapshot_mor
+
+    fp, dp, mv = _setup(spark, fact, dim, tmp_path)
+    delete_snapshot_mor(spark, fp, "o_totalprice > 150000")
+    refresh_join_mv(spark, mv)
+    assert _as_map(read_join_mv(spark, mv)) == _recompute(spark, fp, dp)
+    delete_snapshot_mor(spark, dp, "custkey % 5 = 2")
+    refresh_join_mv(spark, mv)
+    assert _as_map(read_join_mv(spark, mv)) == _recompute(spark, fp, dp)
+
+
+def test_join_mv_mor_merge_moves_groups(spark, fact, dim, tmp_path):
+    """A merge-on-read dim upsert that moves customers between segments
+    must relocate their joined fact rows in the view — pre-image
+    retraction off the MoR CDF alone."""
+    from fxa_amplitude_send_spark.sinks.versioned import merge_snapshot_mor
+
+    fp, dp, mv = _setup(spark, fact, dim, tmp_path)
+    moved = (
+        read_snapshot(spark, dp)
+        .filter("custkey % 7 = 3")
+        .withColumn("c_mktsegment", F.lit("MOR_MOVED"))
+    )
+    merge_snapshot_mor(spark, dp, moved, ["custkey"])
+    refresh_join_mv(spark, mv)
+    got = _as_map(read_join_mv(spark, mv))
+    assert got == _recompute(spark, fp, dp)
+    assert "MOR_MOVED" in got
