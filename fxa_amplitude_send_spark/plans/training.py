@@ -892,3 +892,174 @@ def llm_sample_weighted_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 50)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@query(
+    "llm_span_corruption",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, token, pos,
+             CAST((pos - 1) // 3 AS BIGINT) AS b
+      FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS token,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      )
+    ), marked AS (
+      SELECT doc_id, token, pos, b,
+             ((b + doc_id) % 5 = 0) AS masked,
+             (b - ((5 - doc_id % 5) % 5)) / 5 AS k
+      FROM toks
+    ), pieces AS (
+      SELECT doc_id, pos, masked, b,
+             CASE WHEN NOT masked THEN token
+                  WHEN (pos - 1) % 3 = 0 THEN '<X_' || CAST(k AS BIGINT) || '>'
+                  ELSE NULL END AS in_piece,
+             CASE WHEN masked AND (pos - 1) % 3 = 0
+                    THEN '<X_' || CAST(k AS BIGINT) || '> ' || token
+                  WHEN masked THEN token
+                  ELSE NULL END AS tgt_piece
+      FROM marked
+    )
+    SELECT doc_id,
+           string_agg(in_piece, ' ' ORDER BY pos) AS input_text,
+           string_agg(tgt_piece, ' ' ORDER BY pos) AS target_text,
+           COUNT(DISTINCT CASE WHEN masked THEN b END) AS n_spans
+    FROM pieces
+    GROUP BY doc_id
+    """,
+)
+def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style SPAN CORRUPTION objective construction: every document
+    becomes an (input, target) pair where deterministic 3-token spans
+    (~20 % of tokens: run-bucket b masked iff (b + doc_id) % 5 = 0) are
+    replaced by sentinels <X_k> in the input and emitted after their
+    sentinel in the target — the denoising objective a T5-family trainer
+    consumes, built entirely from column expressions.
+
+    Determinism discipline (module docstring): the mask is pure integer
+    arithmetic on (position, doc_id) — no rand(), no engine hash — and the
+    sentinel index k is CLOSED-FORM ((b - b0) / 5, b0 the doc's first
+    masked bucket) rather than a window rank, so both engines compute it
+    without ordering sensitivity.
+
+    Scale: split→posexplode→re-agg is one doc_id-partitioned shuffle of the
+    token stream, the same shape as llm_dedup_span; the re-assembly is an
+    array_sort over per-doc collected pieces (bounded by doc length), so
+    the operator is scan-bound at corpus scale with no driver state."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "token")
+    ).select(
+        "doc_id",
+        "token",
+        (F.col("p0") + 1).alias("pos"),
+        F.floor(F.col("p0") / 3).cast("long").alias("b"),
+    )
+    b0 = (5 - F.col("doc_id") % 5) % 5
+    marked = toks.select(
+        "doc_id",
+        "token",
+        "pos",
+        "b",
+        ((F.col("b") + F.col("doc_id")) % 5 == 0).alias("masked"),
+        ((F.col("b") - b0) / 5).cast("long").alias("k"),
+    )
+    sentinel = F.concat(F.lit("<X_"), F.col("k").cast("string"), F.lit(">"))
+    run_start = (F.col("pos") - 1) % 3 == 0
+    pieces = marked.select(
+        "doc_id",
+        "pos",
+        "masked",
+        "b",
+        F.when(~F.col("masked"), F.col("token"))
+        .when(run_start, sentinel)
+        .alias("in_piece"),
+        F.when(
+            F.col("masked") & run_start,
+            F.concat(sentinel, F.lit(" "), F.col("token")),
+        )
+        .when(F.col("masked"), F.col("token"))
+        .alias("tgt_piece"),
+    )
+
+    def _ordered_join(col: str):
+        # collect (pos, piece), sort by pos, drop nulls, join — the
+        # engine-portable twin of string_agg(... ORDER BY pos)
+        collected = F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col(col).isNotNull(), F.struct("pos", F.col(col).alias("s"))
+                )
+            )
+        )
+        joined = F.array_join(F.transform(collected, lambda x: x["s"]), " ")
+        # docs with NO pieces (e.g. zero masked spans): string_agg over no
+        # rows is NULL in SQL; array_join over [] is '' — normalize to NULL
+        return F.nullif(joined, F.lit(""))
+
+    return pieces.groupBy("doc_id").agg(
+        _ordered_join("in_piece").alias("input_text"),
+        _ordered_join("tgt_piece").alias("target_text"),
+        F.countDistinct(F.when(F.col("masked"), F.col("b"))).alias("n_spans"),
+    )
+
+
+@query(
+    "llm_shard_manifest",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             (((doc_id % 2147483648) * 2654435769) % 4294967296) % 16
+               AS shard_id
+      FROM documents
+    )
+    SELECT shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id,
+           CAST(SUM((doc_id * doc_id) % 1000000007) AS BIGINT)
+             AS content_fingerprint
+    FROM assigned
+    GROUP BY shard_id
+    """,
+)
+def llm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataloader SHARD MANIFEST: deterministically assign every document
+    to one of 16 shards by Fibonacci hashing of doc_id (the module's
+    multiplicative-hash discipline — engine-portable, append-stable: a
+    document's shard never changes when the corpus grows) and emit the
+    per-shard accounting a WebDataset-style trainer needs up front: doc
+    and token totals for step budgeting plus an order-free fingerprint
+    (sum of doc_id² mod p) that lets a resumed run verify it is reading
+    the same shard content without rehashing the text.
+
+    Scale: one narrow hash expression per row, one 16-group map-side
+    combinable aggregate — scan-bound at any corpus size, and shard counts
+    stay balanced because the golden-ratio multiplier spreads sequential
+    ids uniformly."""
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        (
+            ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435769))
+            % F.lit(4294967296)
+            % 16
+        ).alias("shard_id"),
+    )
+    return assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.sum((F.col("doc_id") * F.col("doc_id")) % F.lit(1000000007))
+        .cast("long")
+        .alias("content_fingerprint"),
+    )
