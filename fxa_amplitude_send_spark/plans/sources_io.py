@@ -1645,3 +1645,51 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("sum_value_c").cast("long").alias("sum_value_c"),
     )
+
+
+@query(
+    "q_versioned_optimize",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE NOT (event_id % 4 = 1)
+    GROUP BY event_type
+    """,
+)
+def q_versioned_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted OPTIMIZE under the correctness gate
+    (sinks/versioned.py optimize_snapshot): after a MoR delete tombstones
+    a quarter of every file, an optimize pass at dead_ratio=0.2 must
+    rewrite EVERY dead-heavy file, clear the vector set entirely
+    (enforced in-gate), and leave the logical content hash-identical to
+    the oracle's plain filter. A second pass must be a no-op (no victims,
+    no commit — enforced). Proves the rewrite-only-what-needs-it path
+    produces byte-exact content, not just plausible file counts."""
+    from ..sinks.versioned import (
+        current_version,
+        delete_snapshot_mor,
+        optimize_snapshot,
+        read_snapshot,
+        snapshot_info,
+        write_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    table = _work_root("vopt", sf_dir)
+    write_snapshot(ev.repartition(8), table)
+    delete_snapshot_mor(spark, table, "event_id % 4 = 1")   # ~25% dead/file
+    v3 = optimize_snapshot(spark, table, dead_ratio=0.2, target_files=4)
+    info = snapshot_info(table, v3)
+    if "dvs" in info:
+        raise RuntimeError("optimize left tombstones it should have materialized")
+    if optimize_snapshot(spark, table, dead_ratio=0.2) != v3:
+        raise RuntimeError("no-victim optimize must be a no-op, not a commit")
+    if current_version(table) != v3:
+        raise RuntimeError("no-op optimize still advanced the version")
+    back = read_snapshot(spark, table)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
