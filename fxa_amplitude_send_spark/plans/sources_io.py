@@ -1603,11 +1603,16 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = _work_root("strm_sess_src", sf_dir)
     ev.repartition(4).write.parquet(stage)
     schema = spark.read.parquet(stage).schema
-    sink = "strm_sess_sink_" + os.path.basename(stage).rsplit("_", 2)[0][10:]
-    try:
-        spark.catalog.dropTempView(sink)
-    except Exception:
-        pass
+    # Complete-mode output goes to PARQUET via foreachBatch overwrite (last
+    # batch wins), not a memory sink: one session row per (user, gap-island)
+    # means the full answer is corpus-sized — a memory sink holds it on the
+    # driver heap and fell over at sf1 under an untuned 1 GiB driver. Disk
+    # scales; the driver never materializes the result.
+    sink_dir = _work_root("strm_sess_sink", sf_dir)
+
+    def _overwrite(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(sink_dir)
+
     # The state-store partition count is fixed at the stream's FIRST batch
     # from spark.sql.shuffle.partitions; under an untuned session (200) the
     # session-merge state op pays 200 tasks x 4 batches for tiny state.
@@ -1624,8 +1629,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).alias("n_events"),
                 F.sum("value_c").alias("sum_value_c"),
             )
-            .writeStream.format("memory")
-            .queryName(sink)
+            .writeStream.foreachBatch(_overwrite)
             .outputMode("complete")
             .trigger(availableNow=True)
             .start()
@@ -1638,7 +1642,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             f"q_stream_session: expected >=4 micro-batches, got {n_batches}"
         )
-    return spark.table(sink).select(
+    return spark.read.parquet(sink_dir).select(
         "user_id",
         F.col("session_window.start").alias("session_start"),
         F.col("session_window.end").alias("session_end"),

@@ -585,7 +585,12 @@ def _with_positions(spark, path, manifest, paths, schema):
         ).select(
             F.col("path").alias("_vt_path"), F.col("pos").alias("_vt_pos")
         )
-        df = df.join(F.broadcast(dv), ["_vt_path", "_vt_pos"], "left_anti")
+        # No forced broadcast: Catalyst/AQE broadcasts the tombstone side
+        # when it is small (the common case) and degrades to a shuffled
+        # anti-join when a table has accumulated huge vectors — forcing
+        # the hint OOMs small drivers exactly when deletes are biggest
+        # (caught by the sf1 study).
+        df = df.join(dv, ["_vt_path", "_vt_pos"], "left_anti")
     return df
 
 
@@ -993,7 +998,14 @@ def merge_snapshot_mor(
     cur = _with_positions(spark, path, prev, paths, schema)
     c2 = cur.withColumn("_c_present", F.lit(1)).alias("c")
     u2 = updates.select(*cols).withColumn("_u_present", F.lit(1)).alias("u")
-    j2 = c2.join(u2, key_cols, "full_outer")
+    # LEFT outer FROM the updates — not the CoW merge's full outer: MoR
+    # never rebuilds unmatched current rows, so the join output is
+    # O(updates). The positioned table side carries a sort-merge hint: it
+    # is by definition the table-sized side, and parquet size ESTIMATES
+    # near the broadcast threshold let the planner try to build it on the
+    # driver — which OOM'd a 1 GiB driver at sf1. SMJ is spill-safe at any
+    # scale; the updates side stays free for AQE to broadcast when small.
+    j2 = u2.join(c2.hint("merge"), key_cols, "left_outer")
     val_cols = [x for x in cols if x not in key_cols]
     merged_val = {x: F.coalesce(F.col(f"u.{x}"), F.col(f"c.{x}")) for x in val_cols}
     changed_pred = F.lit(False)
