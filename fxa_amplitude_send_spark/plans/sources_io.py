@@ -1299,14 +1299,23 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(sink)
     except Exception:
         pass
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Stream-stream joins keep TWO state stores per shuffle partition per
+    # batch; at gate scale the per-task state machinery dominates, so pin a
+    # small count for the stream (restored after). At production scale the
+    # right number tracks key cardinality, not this constant.
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
     if len(q.recentProgress) < 2:  # cross-batch state buffering IS the point
         raise RuntimeError("q_stream_join: expected multiple micro-batches")
     return spark.table(sink)
