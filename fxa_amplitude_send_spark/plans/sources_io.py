@@ -1706,3 +1706,52 @@ def q_versioned_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "q_versioned_clone",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE NOT (event_id % 6 = 2) AND event_id % 3 <> 0
+    GROUP BY event_type
+    """,
+)
+def q_versioned_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy CLONE under the correctness gate
+    (sinks/versioned.py clone_snapshot): a table with a live deletion
+    vector is cloned — hardlinks, no data copied (enforced in-gate via
+    st_nlink) — then the CLONE takes a further MoR delete while the
+    SOURCE takes an append; the clone's read-back must reflect exactly
+    its own lineage (source delete + clone delete, NO source append),
+    hash-matched against the oracle. Proves snapshot isolation ACROSS
+    table roots: shared bytes, divergent histories."""
+    import os as _os
+
+    from ..sinks.versioned import (
+        append_snapshot,
+        clone_snapshot,
+        delete_snapshot_mor,
+        read_snapshot,
+        snapshot_info,
+        write_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    src = _work_root("vclone_src", sf_dir)
+    dst = _work_root("vclone_dst", sf_dir)
+    write_snapshot(ev.repartition(8), src)
+    delete_snapshot_mor(spark, src, "event_id % 6 = 2")
+    clone_snapshot(src, dst)
+    for e in snapshot_info(dst)["files"]:
+        if _os.stat(_os.path.join(dst, e["path"])).st_nlink < 2:
+            raise RuntimeError("clone copied data instead of linking it")
+    delete_snapshot_mor(spark, dst, "event_id % 3 = 0")   # clone-only
+    append_snapshot(ev.limit(100), src)                   # source-only
+    back = read_snapshot(spark, dst)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

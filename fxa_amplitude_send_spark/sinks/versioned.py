@@ -630,6 +630,46 @@ def bloom_pruned_file_count(
     return len(kept), len(entries)
 
 
+def clone_snapshot(src: str, dst: str, version: int | None = None) -> int:
+    """Zero-copy CLONE: publish ``src``'s snapshot (default CURRENT) as
+    version 1 of a NEW table at ``dst`` without copying a byte of data —
+    every referenced data, change and tombstone file is HARDLINKED under
+    the same table-relative path, then a fresh manifest commits at dst.
+
+    Hardlinks are the local-filesystem equivalent of Delta/Iceberg shallow
+    clones' manifest references, with strictly better invariants: each
+    table root stays fully self-contained (clone reads never reach into
+    the source's directory), the two histories diverge freely from the
+    shared bytes (appends, MoR deletes, compactions on either side are
+    invisible to the other), and vacuum on either side unlinks only its
+    own names — the shared storage is freed when the LAST referencing
+    table releases it, with no cross-table bookkeeping. An object-store
+    deployment would swap the link for a manifest-level reference and
+    inherit the usual cross-table vacuum caveat.
+
+    Stats, blooms and deletion vectors ride along unchanged (the clone's
+    view of live rows is byte-identical); the bloom POLICY file is not
+    copied — policies are per-table choices, not snapshot content."""
+    if current_version(dst) != 0:
+        raise RuntimeError(f"clone target {dst} already has committed versions")
+    v = current_version(src) if version is None else version
+    m = _read_manifest(src, v)
+    rels = [e["path"] for e in m["files"]] + list(m.get("dvs") or [])
+    for rel in rels:
+        s, d = os.path.join(src, rel), os.path.join(dst, rel)
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        os.link(s, d)
+    return _commit(
+        dst,
+        m["files"],
+        m["n_rows"],
+        m["schema"],
+        0,
+        kind="create",
+        dvs=m.get("dvs"),
+    )
+
+
 def version_at_timestamp(path: str, ts: float) -> int:
     """TIMESTAMP AS OF resolution: the newest retained version whose commit
     time is <= ``ts`` (Delta's timestamp time travel contract). A timestamp

@@ -1284,3 +1284,55 @@ def test_timestamp_as_of_resolution(spark, base, tmp_path):
     )
     with pytest.raises(ValueError, match="predates"):
         version_at_timestamp(path, t_between - 1_000_000)
+
+
+def test_clone_is_zero_copy_and_independent(spark, base, tmp_path):
+    """clone_snapshot shares bytes via hardlinks (st_nlink >= 2, no data
+    copied) yet the histories are fully independent: mutations on the
+    clone never show in the source and vice versa; vacuuming the source
+    to oblivion leaves the clone intact (links, not references)."""
+    from fxa_amplitude_send_spark.sinks.versioned import (
+        clone_snapshot,
+        delete_snapshot_mor,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_snapshot(base.repartition(4), src)
+    delete_snapshot_mor(spark, src, "n_nationkey = 7")        # src has a DV
+    v = clone_snapshot(src, dst)
+    assert v == 1
+    expect = base.filter("n_nationkey <> 7")
+    assert _ids(read_snapshot(spark, dst)) == _ids(expect)
+    # zero copy: every clone data file is a hardlink to the source byte run
+    info = snapshot_info(dst)
+    for e in info["files"]:
+        assert os.stat(os.path.join(dst, e["path"])).st_nlink >= 2
+    assert info.get("dvs"), "tombstones must ride along"
+
+    # divergence: clone mutates, source untouched (and vice versa)
+    delete_snapshot_mor(spark, dst, "n_nationkey < 3")
+    append_snapshot(base.limit(2), src)
+    assert _ids(read_snapshot(spark, dst)) == _ids(
+        base.filter("n_nationkey <> 7 AND n_nationkey >= 3")
+    )
+    assert sorted(_ids(read_snapshot(spark, src))) == sorted(
+        _ids(expect) + _ids(base.limit(2))
+    )
+
+    # source vacuumed + obliterated: the clone still reads (hardlinks)
+    import shutil
+
+    shutil.rmtree(src)
+    assert _ids(read_snapshot(spark, dst)) == _ids(
+        base.filter("n_nationkey <> 7 AND n_nationkey >= 3")
+    )
+
+
+def test_clone_refuses_nonempty_target(base, tmp_path):
+    from fxa_amplitude_send_spark.sinks.versioned import clone_snapshot
+
+    src, dst = str(tmp_path / "s"), str(tmp_path / "d")
+    write_snapshot(base, src)
+    write_snapshot(base.limit(1), dst)
+    with pytest.raises(RuntimeError, match="already has committed"):
+        clone_snapshot(src, dst)
