@@ -670,6 +670,59 @@ def clone_snapshot(src: str, dst: str, version: int | None = None) -> int:
     )
 
 
+def restore_snapshot(path: str, to_version: int) -> int:
+    """RESTORE: publish a NEW version whose content is exactly
+    ``to_version``'s — rollback as a forward commit, never history
+    rewriting (the bad intermediate versions stay time-travelable for the
+    post-mortem; Delta RESTORE has the same shape). Zero data movement:
+    the new manifest re-references the old version's files and tombstones.
+
+    The commit kind is 'replace': a restore's delta against its parent is
+    not expressible as appends, so incremental consumers (MV refresh, CDC
+    readers) refuse it loudly and direct the caller to rebuild — silently
+    folding a restore as inserts would double-count everything it kept."""
+    cur = current_version(path)
+    if cur == 0:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    m = _read_manifest(path, to_version)  # raises if vacuumed/never existed
+    return _commit(
+        path,
+        m["files"],
+        m["n_rows"],
+        m["schema"],
+        cur,
+        appended=[],
+        kind="replace",
+        dvs=m.get("dvs"),
+    )
+
+
+def table_history(path: str) -> list[dict]:
+    """DESCRIBE HISTORY: newest-first [{version, kind, ts, n_rows,
+    n_files, txn_id}] for every retained version — the operational
+    audit surface (what happened, when, how big) without opening a single
+    data file. Vacuumed versions are absent by construction."""
+    out = []
+    v = current_version(path)
+    while v > 0:
+        try:
+            m = _read_manifest(path, v)
+        except FileNotFoundError:
+            break
+        out.append(
+            {
+                "version": m["version"],
+                "kind": m.get("kind", "append"),
+                "ts": m.get("ts"),
+                "n_rows": m["n_rows"],
+                "n_files": len(m["files"]),
+                "txn_id": m.get("txn_id"),
+            }
+        )
+        v = m.get("parent", v - 1)
+    return out
+
+
 def version_at_timestamp(path: str, ts: float) -> int:
     """TIMESTAMP AS OF resolution: the newest retained version whose commit
     time is <= ``ts`` (Delta's timestamp time travel contract). A timestamp

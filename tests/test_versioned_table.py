@@ -1336,3 +1336,45 @@ def test_clone_refuses_nonempty_target(base, tmp_path):
     write_snapshot(base.limit(1), dst)
     with pytest.raises(RuntimeError, match="already has committed"):
         clone_snapshot(src, dst)
+
+
+def test_restore_is_forward_rollback(spark, base, tmp_path):
+    """RESTORE re-publishes an old version as a NEW commit: content equals
+    the target, the bad intermediate stays time-travelable, and
+    incremental consumers refuse the replace-kind commit loudly."""
+    from fxa_amplitude_send_spark.sinks.versioned import (
+        read_change_feed,
+        restore_snapshot,
+        table_history,
+    )
+
+    path = str(tmp_path / "t")
+    write_snapshot(base.filter("n_nationkey < 10"), path)   # v1: good
+    append_snapshot(base.filter("n_nationkey >= 10"), path)  # v2: bad batch
+    v3 = restore_snapshot(path, 1)
+    assert v3 == 3
+    assert _ids(read_snapshot(spark, path)) == _ids(base.filter("n_nationkey < 10"))
+    assert _ids(read_snapshot(spark, path, 2)) == _ids(base)  # post-mortem
+    hist = table_history(path)
+    assert [h["version"] for h in hist] == [3, 2, 1]
+    assert hist[0]["kind"] == "replace"
+    assert hist[0]["n_rows"] == 10
+    with pytest.raises(RuntimeError, match="REPLACE"):
+        read_change_feed(spark, path, since_version=2)
+
+
+def test_restore_carries_deletion_vectors(spark, base, tmp_path):
+    """Restoring to a vectored version must re-reference its tombstones."""
+    from fxa_amplitude_send_spark.sinks.versioned import (
+        delete_snapshot_mor,
+        restore_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    write_snapshot(base, path)                                # v1
+    delete_snapshot_mor(spark, path, "n_nationkey % 2 = 0")  # v2
+    write_snapshot(base.limit(3), path)                       # v3: replace
+    restore_snapshot(path, 2)                                 # v4
+    assert _ids(read_snapshot(spark, path)) == _ids(
+        base.filter("n_nationkey % 2 = 1")
+    )
