@@ -1755,3 +1755,42 @@ def q_versioned_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "q_versioned_restore",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events WHERE event_id % 2 = 0
+    GROUP BY event_type
+    """,
+)
+def q_versioned_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE under the correctness gate (sinks/versioned.py
+    restore_snapshot): a bad batch lands (odd event_ids), RESTORE rolls
+    the table back to version 1 as a forward commit — zero data movement,
+    the bad version still time-travelable (enforced in-gate) — and the
+    restored CURRENT must hash-match the oracle's recomputation of the
+    original state from raw parquet."""
+    from ..sinks.versioned import (
+        append_snapshot,
+        read_snapshot,
+        restore_snapshot,
+        snapshot_info,
+        write_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    table = _work_root("vrestore", sf_dir)
+    write_snapshot(ev.filter(F.col("event_id") % 2 == 0), table)   # v1
+    append_snapshot(ev.filter(F.col("event_id") % 2 == 1), table)  # v2: bad
+    v3 = restore_snapshot(table, 1)
+    if snapshot_info(table, 2)["n_rows"] <= snapshot_info(table, v3)["n_rows"]:
+        raise RuntimeError("the bad version must remain time-travelable")
+    back = read_snapshot(spark, table)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
