@@ -1,0 +1,114 @@
+"""Distributed k-means (Lloyd's algorithm) over an embedding column.
+
+Spark-first shape for iterative clustering at corpus scale:
+
+- **Assignment is a pure column expression.** The k current centroids are
+  driver-side literals folded into ONE projection: per row, k squared-L2
+  distances via ``F.aggregate(F.zip_with(...))`` (JVM codegen, no Python),
+  argmin via ``array_position(array_min)``. No join, no shuffle for the
+  assign step — the centroid state is O(k·d) and rides in the plan.
+- **The update step is one mergeable aggregate per round**:
+  posexplode(embedding) → groupBy(cluster, dim) → (sum, count) → k·d cells
+  collected to the driver (k=8, d=64 → 512 scalars). This is the same
+  bounded-driver-state discipline as the trained classifier
+  (operators/classifier.py) and PCA (operators/decomposition.py): rounds
+  × one Spark job, driver state O(k·d), data never collected.
+- **Deterministic init**: the k vectors with the smallest Fibonacci hash of
+  vec_id (the bottom-k-by-hash uniform-sample trick, plans/training.py) —
+  reproducible run-to-run and engine-to-engine, unlike random init.
+
+At 100 TB the assign+aggregate pass is scan-bound per round; empty
+clusters keep their previous centroid (the standard Lloyd fallback).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_KMEANS_MULT = 2246822519  # reuse the stratified-family odd multiplier
+_MOD = 4294967296
+_PREMOD = 2147483648
+
+
+def _dist_sq(vec_col, centroid: list[float]):
+    """Squared L2 distance between an array column and a literal centroid,
+    evaluated JVM-side: zip_with difference, aggregate of squares."""
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col.cast("array<double>"), lit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign_cols(vec_col, centroids: list[list[float]]):
+    """(cluster, dist_sq) columns for the nearest of ``centroids``.
+    Ties break to the lowest cluster id (array_position returns the first
+    match), keeping assignment deterministic."""
+    dists = F.array(*[_dist_sq(vec_col, c) for c in centroids])
+    best = F.array_min(dists)
+    # array_position is 1-based; cluster ids are 0-based
+    return (F.array_position(dists, best) - 1).cast("int"), best
+
+
+def kmeans_train(
+    emb: DataFrame,
+    k: int = 8,
+    rounds: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[float]]:
+    """Train k-means; returns (centroids, per-round inertia history).
+
+    Each round costs exactly TWO Spark jobs (inertia scalar + moment
+    aggregate); the inertia history is the convergence audit trail —
+    Lloyd's guarantees it non-increasing, which the tests assert."""
+    seeds = (
+        emb.select(
+            vec_col,
+            (
+                (F.col(id_col).cast("long") % F.lit(_PREMOD)) * F.lit(_KMEANS_MULT)
+                % F.lit(_MOD)
+            ).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(k)
+        .collect()
+    )
+    centroids = [list(map(float, r[vec_col])) for r in seeds]
+    history: list[float] = []
+    for _ in range(rounds):
+        cluster, dist = _assign_cols(F.col(vec_col), centroids)
+        assigned = emb.select(
+            cluster.alias("cluster"), dist.alias("d2"), F.col(vec_col).alias("v")
+        )
+        inertia = assigned.agg(F.sum("d2")).head()[0]
+        history.append(float(inertia))
+        moments = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_c = [list(c) for c in centroids]  # empty clusters keep position
+        by_cluster: dict[int, dict[int, tuple[float, int]]] = {}
+        for r in moments:
+            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = (r["s"], r["n"])
+        for cid, dims in by_cluster.items():
+            new_c[cid] = [dims[d][0] / dims[d][1] for d in sorted(dims)]
+        centroids = new_c
+    return centroids, history
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Final assignment under trained centroids: (id, cluster, dist_sq)."""
+    cluster, dist = _assign_cols(F.col(vec_col), centroids)
+    return emb.select(
+        F.col(id_col), cluster.alias("cluster"), dist.alias("dist_sq")
+    )

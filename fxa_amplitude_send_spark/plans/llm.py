@@ -1872,3 +1872,32 @@ def llm_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "batch INT, n_admitted BIGINT, n_table_final BIGINT, n_crafted_admitted BIGINT",
     )
+
+
+@query("llm_kmeans")
+def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained k-means clustering (operators/clustering.py): 5 Lloyd
+    rounds over the embedding corpus, deterministic bottom-k-by-hash
+    init, assignment as a pure column expression (k literal centroids
+    folded into one JVM projection — no join, no Python), update as one
+    mergeable (cluster, dim) moment aggregate per round with O(k·d)
+    driver state. Returns per-cluster sizes + mean distance; rows-only
+    under the driver (float means are not bit-portable across engines —
+    the numpy-twin equivalence and monotone-inertia proofs live in
+    tests/test_clustering.py). In-gate enforcement: inertia must be
+    non-increasing across rounds, the Lloyd invariant."""
+    from ..operators.clustering import kmeans_assign, kmeans_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, history = kmeans_train(emb, k=8, rounds=5)
+    if any(b > a + 1e-6 for a, b in zip(history, history[1:])):
+        raise RuntimeError(f"Lloyd inertia must be non-increasing: {history}")
+    out = kmeans_assign(emb, centroids)
+    return (
+        out.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("dist_sq"), 4).alias("avg_dist_sq"),
+        )
+        .orderBy("cluster")
+    )
