@@ -35,3 +35,24 @@ def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     """Run a SQL string against the registered views."""
     register_views(spark, sf_dir)
     return spark.sql(sql)
+
+
+def register_versioned_view(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    version: int | None = None,
+    timestamp: float | None = None,
+) -> None:
+    """Expose a versioned table (sinks/versioned.py) as a SQL temp view —
+    the plain-SQL door to time travel: pass ``version`` (VERSION AS OF) or
+    ``timestamp`` (TIMESTAMP AS OF, resolved via commit times); default is
+    CURRENT. Deletion vectors, schema evolution and manifest pruning all
+    apply — the view IS read_snapshot's DataFrame, so Catalyst sees the
+    same JVM-native parquet scan (no Python in the read path)."""
+    from .sinks.versioned import read_snapshot, version_at_timestamp
+
+    if version is not None and timestamp is not None:
+        raise ValueError("pass version OR timestamp, not both")
+    v = version_at_timestamp(path, timestamp) if timestamp is not None else version
+    read_snapshot(spark, path, version=v).createOrReplaceTempView(name)

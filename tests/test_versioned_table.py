@@ -1378,3 +1378,26 @@ def test_restore_carries_deletion_vectors(spark, base, tmp_path):
     assert _ids(read_snapshot(spark, path)) == _ids(
         base.filter("n_nationkey % 2 = 1")
     )
+
+
+def test_register_versioned_view_sql_time_travel(spark, base, tmp_path):
+    """SQL door to time travel: VERSION AS OF and TIMESTAMP AS OF views
+    answer plain SQL, with deletion vectors applied."""
+    import time
+
+    from fxa_amplitude_send_spark.sinks.versioned import delete_snapshot_mor
+    from fxa_amplitude_send_spark.sql_api import register_versioned_view
+
+    path = str(tmp_path / "t")
+    write_snapshot(base, path)                               # v1
+    t1 = time.time()
+    time.sleep(0.02)
+    delete_snapshot_mor(spark, path, "n_nationkey >= 20")   # v2
+    register_versioned_view(spark, "nations_now", path)
+    register_versioned_view(spark, "nations_v1", path, version=1)
+    register_versioned_view(spark, "nations_t1", path, timestamp=t1)
+    assert spark.sql("SELECT COUNT(*) FROM nations_now").head()[0] == 20
+    assert spark.sql("SELECT COUNT(*) FROM nations_v1").head()[0] == 25
+    assert spark.sql("SELECT COUNT(*) FROM nations_t1").head()[0] == 25
+    with pytest.raises(ValueError, match="not both"):
+        register_versioned_view(spark, "x", path, version=1, timestamp=t1)
