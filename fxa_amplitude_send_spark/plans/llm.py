@@ -1901,3 +1901,149 @@ def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@query(
+    "llm_pipeline_e2e",
+    oracle="""
+    WITH gated AS (
+      SELECT doc_id, lang, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             sha256(text) AS fp
+      FROM documents
+      WHERE n_chars >= 100 AND len(string_split(text, ' ')) >= 20
+    ), survivors AS (
+      SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY fp
+    ), deduped AS (
+      SELECT g.doc_id, g.lang, g.text, g.n_tokens
+      FROM gated g JOIN survivors s ON g.doc_id = s.doc_id
+    ), toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '),
+                                 x -> length(x) > 0) AS t
+      FROM deduped
+    ), grams AS (
+      SELECT doc_id,
+             array_to_string(list_slice(t, i, i + 7), ' ') AS g
+      FROM (SELECT doc_id, t,
+                   unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS i
+            FROM toks)
+    ), eval_grams AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+    ), contaminated AS (
+      SELECT DISTINCT c.doc_id
+      FROM grams c JOIN eval_grams e ON c.g = e.g
+      WHERE c.doc_id % 97 <> 0
+    ), clean AS (
+      SELECT d.doc_id, d.lang, d.n_tokens
+      FROM deduped d
+      WHERE d.doc_id % 97 <> 0
+        AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), sampled AS (
+      SELECT doc_id, lang, n_tokens
+      FROM clean
+      WHERE ((doc_id % 2147483648) * 2246822519) % 4294967296 % 1000
+            < CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 800 ELSE 1000 END
+    ), cum AS (
+      SELECT lang, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM sampled
+    )
+    SELECT lang,
+           CAST(FLOOR(cum_before / 512.0) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM cum
+    GROUP BY lang, pack_id
+    """,
+)
+def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP training-data composite: five pipeline stages chained
+    into one declarative plan and hash-matched end-to-end — quality gate
+    (length floors) → exact dedup (sha256, keep-min) → decontamination
+    (drop corpus docs sharing any 8-gram with the doc_id%97 eval split) →
+    stratified language rebalance (Fibonacci-hash thresholds) → sequence
+    packing (512-token budget per lang). Each stage is individually
+    oracled elsewhere (llm_corpus_curate / llm_decontaminate /
+    llm_sample_stratified / llm_seq_pack); this query proves they COMPOSE
+    — the property a real pipeline actually depends on.
+
+    Scale shape: the gate + hash + sample stages are scan-local column
+    expressions; dedup shuffles 32-byte fingerprints; decontamination is
+    one inverted-index equi-join on gram text (shuffle O(grams), the same
+    plan as llm_decontaminate); packing is one window over the sampled
+    survivors partitioned by lang. No stage materializes an intermediate
+    — Catalyst pipelines the whole chain into one DAG."""
+    docs = load_table(spark, sf_dir, "documents")
+    gated = docs.filter(
+        (F.col("n_chars") >= 100) & (F.size(F.split("text", " ")) >= 20)
+    ).select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.sha2("text", 256).alias("fp"),
+    )
+    survivors = gated.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = gated.join(survivors, "doc_id", "left_semi")
+
+    toks = deduped.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: F.length(x) > 0).alias("t"),
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("t") - 7, F.lit(0))
+                ),
+                lambda i: F.array_join(F.slice("t", i, 8), " "),
+            )
+        ).alias("g"),
+    )
+    eval_grams = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    contaminated = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(eval_grams, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = (
+        deduped.filter(F.col("doc_id") % 97 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+    h = ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2246822519)) % F.lit(
+        4294967296
+    ) % 1000
+    rate = (
+        F.when(F.col("lang") == "en", 300)
+        .when(F.col("lang") == "de", 800)
+        .otherwise(1000)
+    )
+    sampled = clean.filter(h < rate)
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = sampled.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return cum.groupBy(
+        "lang", F.floor(F.col("cum_before") / 512.0).cast("bigint").alias("pack_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
