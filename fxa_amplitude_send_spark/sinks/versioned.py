@@ -570,6 +570,12 @@ def _with_positions(spark, path, manifest, paths, schema):
     table's data root, even if the table path itself contains '/data/'."""
     from pyspark.sql import functions as F
 
+    reserved = {"_vt_path", "_vt_pos"} & {f.name for f in schema.fields}
+    if reserved:
+        raise ValueError(
+            f"columns {sorted(reserved)} are reserved for deletion-vector "
+            "row identity on merge-on-read tables; rename them"
+        )
     df = spark.read.schema(schema).parquet(*paths).select(
         "*",
         F.concat(

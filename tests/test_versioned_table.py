@@ -1401,3 +1401,12 @@ def test_register_versioned_view_sql_time_travel(spark, base, tmp_path):
     assert spark.sql("SELECT COUNT(*) FROM nations_t1").head()[0] == 25
     with pytest.raises(ValueError, match="not both"):
         register_versioned_view(spark, "x", path, version=1, timestamp=t1)
+
+
+def test_mor_reserved_column_names_refused(spark, base, tmp_path):
+    from fxa_amplitude_send_spark.sinks.versioned import delete_snapshot_mor
+
+    path = str(tmp_path / "t")
+    write_snapshot(base.withColumnRenamed("n_name", "_vt_pos"), path)
+    with pytest.raises(ValueError, match="reserved"):
+        delete_snapshot_mor(spark, path, "n_nationkey = 1")
