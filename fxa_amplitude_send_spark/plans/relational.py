@@ -1019,9 +1019,7 @@ def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_case_when",
-    oracle="""
+_CASE_WHEN_SQL = """
     SELECT l_orderkey, l_linenumber,
            CASE WHEN l_quantity >= 40 THEN 'bulk'
                 WHEN l_quantity >= 15 THEN 'mid'
@@ -1030,23 +1028,16 @@ def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                              WHEN 'R' THEN 'returned'
                              ELSE 'none' END AS flag_label
     FROM lineitem
-    """,
-)
+"""
+
+
+@query("q_case_when", oracle=_CASE_WHEN_SQL)
 def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Searched + simple CASE expressions."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.when(F.col("l_quantity") >= 40, "bulk")
-        .when(F.col("l_quantity") >= 15, "mid")
-        .otherwise("small")
-        .alias("qty_band"),
-        F.when(F.col("l_returnflag") == "A", "accepted")
-        .when(F.col("l_returnflag") == "R", "returned")
-        .otherwise("none")
-        .alias("flag_label"),
-    )
+    """Searched + simple CASE expressions. Rides the SQL-TEXT door: the
+    identical string is the engine query AND the DuckDB oracle."""
+    from ..sql_api import run_sql
+
+    return run_sql(spark, sf_dir, _CASE_WHEN_SQL)
 
 
 @query(
@@ -1286,28 +1277,22 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_having",
-    oracle="""
+_HAVING_SQL = """
     SELECT o_custkey, COUNT(*) AS n_orders,
            ROUND(SUM(o_totalprice), 2) AS total_spent
     FROM orders
     GROUP BY o_custkey
     HAVING COUNT(*) >= 12 AND SUM(o_totalprice) > 1000000
-    """,
-)
+"""
+
+
+@query("q_having", oracle=_HAVING_SQL)
 def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Group + HAVING (post-aggregation filter)."""
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_custkey")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum("o_totalprice").alias("_total"),
-        )
-        .filter((F.col("n_orders") >= 12) & (F.col("_total") > 1000000))
-        .select("o_custkey", "n_orders", F.round("_total", 2).alias("total_spent"))
-    )
+    """Group + HAVING (post-aggregation filter). Rides the SQL-TEXT door:
+    the identical string is the engine query AND the DuckDB oracle."""
+    from ..sql_api import run_sql
+
+    return run_sql(spark, sf_dir, _HAVING_SQL)
 
 
 @query(
