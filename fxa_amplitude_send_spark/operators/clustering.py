@@ -61,9 +61,13 @@ def kmeans_train(
 ) -> tuple[list[list[float]], list[float]]:
     """Train k-means; returns (centroids, per-round inertia history).
 
-    Each round costs exactly TWO Spark jobs (inertia scalar + moment
-    aggregate); the inertia history is the convergence audit trail —
-    Lloyd's guarantees it non-increasing, which the tests assert."""
+    Each round costs exactly ONE Spark job: the (cluster, dim) moment
+    aggregate also carries sum(dist²) per cell, so the round's inertia is
+    recovered as Σ cells / d (each row's distance is replicated across its
+    d exploded dims — division by the constant d is exact in binary for
+    power-of-two d and a ~1-ULP rescale otherwise). The inertia history is
+    the convergence audit trail — Lloyd's guarantees it non-increasing,
+    which the tests assert."""
     seeds = (
         emb.select(
             vec_col,
@@ -77,20 +81,24 @@ def kmeans_train(
         .collect()
     )
     centroids = [list(map(float, r[vec_col])) for r in seeds]
+    d_dims = len(centroids[0])
     history: list[float] = []
     for _ in range(rounds):
         cluster, dist = _assign_cols(F.col(vec_col), centroids)
         assigned = emb.select(
             cluster.alias("cluster"), dist.alias("d2"), F.col(vec_col).alias("v")
         )
-        inertia = assigned.agg(F.sum("d2")).head()[0]
-        history.append(float(inertia))
         moments = (
-            assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
+            assigned.select("cluster", "d2", F.posexplode("v").alias("dim", "x"))
             .groupBy("cluster", "dim")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.sum("x").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum("d2").alias("s2"),
+            )
             .collect()
         )
+        history.append(float(sum(r["s2"] for r in moments)) / d_dims)
         new_c = [list(c) for c in centroids]  # empty clusters keep position
         by_cluster: dict[int, dict[int, tuple[float, int]]] = {}
         for r in moments:

@@ -1876,7 +1876,7 @@ def llm_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("llm_kmeans")
 def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trained k-means clustering (operators/clustering.py): 5 Lloyd
+    """Trained k-means clustering (operators/clustering.py): 3 Lloyd
     rounds over the embedding corpus, deterministic bottom-k-by-hash
     init, assignment as a pure column expression (k literal centroids
     folded into one JVM projection — no join, no Python), update as one
@@ -1889,7 +1889,7 @@ def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import kmeans_assign, kmeans_train
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids, history = kmeans_train(emb, k=8, rounds=5)
+    centroids, history = kmeans_train(emb, k=8, rounds=3)
     if any(b > a + 1e-6 for a, b in zip(history, history[1:])):
         raise RuntimeError(f"Lloyd inertia must be non-increasing: {history}")
     out = kmeans_assign(emb, centroids)

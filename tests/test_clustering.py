@@ -43,7 +43,7 @@ def test_kmeans_matches_numpy_twin(spark, emb):
 
     C_sp, hist_sp = kmeans_train(emb, k=8, rounds=4)
     assert np.allclose(np.array(C_sp), C_np, atol=1e-6)
-    assert np.allclose(np.array(hist_sp), np.array(hist_np), rtol=1e-9)
+    assert np.allclose(np.array(hist_sp), np.array(hist_np), rtol=1e-7)
 
     # final assignment under the FINAL centroids (the training-loop `a_np`
     # is the pre-update assignment of the last round)
