@@ -1794,3 +1794,57 @@ def q_versioned_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "q_versioned_evolve",
+    oracle="""
+    WITH unioned AS (
+      SELECT event_id, value, NULL AS event_type
+      FROM events WHERE event_id % 2 = 0
+      UNION ALL
+      SELECT event_id, value, event_type
+      FROM events WHERE event_id % 2 = 1
+    )
+    SELECT COALESCE(event_type, '<pre-evolution>') AS event_type,
+           COUNT(*) AS n,
+           COUNT(event_type) AS n_typed,
+           ROUND(SUM(value), 2) AS total_value
+    FROM unioned
+    GROUP BY 1
+    """,
+)
+def q_versioned_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION under the correctness gate
+    (sinks/versioned.py append_snapshot_evolve): version 1 is written
+    WITHOUT event_type; an evolving append introduces the column, and the
+    unified read must null-backfill the pre-evolution rows exactly — the
+    oracle recomputes the same union from raw parquet. Every reader sees
+    ONE manifest schema per version (no footer-sampling inference), so
+    the evolved shape is consistent across snapshot, change feed and
+    stream."""
+    from ..sinks.versioned import (
+        append_snapshot_evolve,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    table = _work_root("vevolve", sf_dir)
+    write_snapshot(
+        ev.filter(F.col("event_id") % 2 == 0).select("event_id", "value"), table
+    )
+    append_snapshot_evolve(
+        ev.filter(F.col("event_id") % 2 == 1).select(
+            "event_id", "value", "event_type"
+        ),
+        table,
+    )
+    back = read_snapshot(spark, table)
+    return back.groupBy(
+        F.coalesce("event_type", F.lit("<pre-evolution>")).alias("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("event_type").alias("n_typed"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
