@@ -1410,3 +1410,36 @@ def test_mor_reserved_column_names_refused(spark, base, tmp_path):
     write_snapshot(base.withColumnRenamed("n_name", "_vt_pos"), path)
     with pytest.raises(ValueError, match="reserved"):
         delete_snapshot_mor(spark, path, "n_nationkey = 1")
+
+
+def test_stream_cdf_delivers_mor_deletes(spark, base, tmp_path):
+    """The streaming change feed must carry MoR-delete pre-images exactly
+    like CoW ones — a streaming consumer cannot tell which delete ran."""
+    from fxa_amplitude_send_spark.sinks.versioned import delete_snapshot_mor
+    from fxa_amplitude_send_spark.sources.versioned_stream import (
+        VersionedTableDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableDataSource)
+    path = str(tmp_path / "t")
+    write_snapshot(base, path)                                # v1
+    delete_snapshot_mor(spark, path, "n_nationkey >= 20")    # v2
+    out = (
+        spark.readStream.format("versioned_table")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mor_cdf_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("mor_cdf_sink").collect()
+    deletes = sorted(r.n_nationkey for r in rows if r._change_type == "delete")
+    inserts = sorted(r.n_nationkey for r in rows if r._change_type == "insert")
+    assert deletes == [20, 21, 22, 23, 24]
+    assert inserts == _ids(base)
