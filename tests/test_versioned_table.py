@@ -1443,3 +1443,73 @@ def test_stream_cdf_delivers_mor_deletes(spark, base, tmp_path):
     inserts = sorted(r.n_nationkey for r in rows if r._change_type == "insert")
     assert deletes == [20, 21, 22, 23, 24]
     assert inserts == _ids(base)
+
+
+def test_racing_mor_deleters_one_wins(spark, base, tmp_path):
+    """Two MoR deletes racing from the same parent: O_EXCL serializes them —
+    exactly one v2 exists, the loser errors with a clean conflict, and a
+    retry against the new parent lands as v3 with BOTH deletes applied."""
+    from fxa_amplitude_send_spark.sinks.versioned import (
+        _manifest_path,
+        delete_snapshot_mor,
+    )
+
+    path = str(tmp_path / "t")
+    write_snapshot(base, path)
+    # simulate the race: another writer already committed v2
+    delete_snapshot_mor(spark, path, "n_nationkey = 1")  # "other writer"
+    import json as _json
+
+    import fxa_amplitude_send_spark.sinks.versioned as V
+
+    real = V.current_version
+    try:
+        V.current_version = lambda p: 1  # this writer still sees parent v1
+        with pytest.raises(RuntimeError, match="concurrent"):
+            delete_snapshot_mor(spark, path, "n_nationkey = 2")
+    finally:
+        V.current_version = real
+    # clean retry against the new parent
+    delete_snapshot_mor(spark, path, "n_nationkey = 2")
+    assert _ids(read_snapshot(spark, path)) == _ids(
+        base.filter("n_nationkey NOT IN (1, 2)")
+    )
+
+
+def test_bloom_never_false_negative(spark, sf_smoke, tmp_path):
+    """Property: the bloom skip must NEVER drop a file containing the probe
+    (false positives waste a read; a false negative loses rows). Checked
+    for every present key in a scattered layout."""
+    from fxa_amplitude_send_spark.sinks.versioned import (
+        bloom_pruned_file_count,
+        set_bloom_policy,
+        snapshot_info,
+    )
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t")
+    set_bloom_policy(path, ["o_orderkey"], bits=8192, k=5)
+    orders = load_table(spark, sf_smoke, "orders").select("o_orderkey").limit(400)
+    write_snapshot(orders.repartition(6), path)
+    # ground truth: which file actually holds each key
+    holds = {}
+    for e in snapshot_info(path)["files"]:
+        for v in pq.read_table(
+            os.path.join(path, e["path"])
+        ).column("o_orderkey").to_pylist():
+            holds.setdefault(v, set()).add(e["path"])
+    from fxa_amplitude_send_spark.sinks.versioned import (
+        _bloom_maybe_contains,
+        _read_manifest,
+        current_version,
+    )
+
+    m = _read_manifest(path, current_version(path))
+    for key, files in holds.items():
+        for e in m["files"]:
+            if e["path"] in files:
+                assert _bloom_maybe_contains(e, "o_orderkey", key), (
+                    f"false negative: {key} in {e['path']}"
+                )
+        scanned, total = bloom_pruned_file_count(path, "o_orderkey", key)
+        assert scanned >= 1
