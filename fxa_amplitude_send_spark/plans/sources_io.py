@@ -1848,3 +1848,49 @@ def q_versioned_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("event_type").alias("n_typed"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "q_versioned_erasure",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE user_id NOT IN (SELECT DISTINCT user_id FROM events
+                          WHERE user_id % 37 = 5)
+    GROUP BY event_type
+    """,
+)
+def q_versioned_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure under the correctness gate
+    (sinks/versioned.py delete_keys_mor): a key list of user_ids (every
+    user with user_id % 37 = 5) is erased via merge-on-read tombstones —
+    the gate RAISES if any data file was rewritten — and the surviving
+    table must hash-match the oracle's NOT IN recomputation. The CDF
+    carries every erased row as a delete pre-image, so downstream MVs
+    retract exactly (pytest)."""
+    from ..sinks.versioned import (
+        delete_keys_mor,
+        read_snapshot,
+        snapshot_info,
+        write_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    table = _work_root("verasure", sf_dir)
+    write_snapshot(ev.repartition(8), table)
+    v1_files = [e["path"] for e in snapshot_info(table, 1)["files"]]
+    erase = ev.filter(F.col("user_id") % 37 == 5).select("user_id")
+    delete_keys_mor(spark, table, erase, ["user_id"])
+    info = snapshot_info(table)
+    if [e["path"] for e in info["files"]] != v1_files:
+        raise RuntimeError("erasure rewrote data files — must be O(deleted)")
+    back = read_snapshot(spark, table)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

@@ -1063,6 +1063,60 @@ def merge_snapshot(
     )
 
 
+def delete_keys_mor(
+    spark: SparkSession, path: str, keys: DataFrame, key_cols: list[str]
+) -> int:
+    """Key-set DELETE with merge-on-read mechanics — the right-to-erasure
+    shape ("remove these user ids everywhere"): rows whose key appears in
+    ``keys`` are tombstoned via deletion vectors, O(deleted) writes against
+    a table of any size. The join is a left-semi against the key set
+    (broadcast when small — the common case for erasure requests; AQE
+    degrades to shuffle for huge lists), positions come from the scan's
+    own row_index, and the CDF carries the deleted rows as pre-images so
+    downstream MVs retract exactly.
+
+    Note physical bytes persist until every referencing snapshot ages out
+    and vacuum runs (same contract as any versioned store — Delta/Iceberg
+    erasure runbooks pair the logical delete with a retention-bounded
+    vacuum, and so does this one)."""
+    version = current_version(path)
+    if version == 0:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    prev = _read_manifest(path, version)
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(prev["schema"]))
+    missing = [k for k in key_cols if k not in {f.name for f in schema.fields}]
+    if missing:
+        raise ValueError(f"key columns {missing} not in table schema")
+    paths = [os.path.join(path, e["path"]) for e in prev["files"]]
+    live = _with_positions(spark, path, prev, paths, schema)
+    matches = live.join(keys.select(*key_cols).distinct(), key_cols, "left_semi")
+
+    dv_rows = matches.select(
+        F.col("_vt_path").alias("path"), F.col("_vt_pos").alias("pos")
+    )
+    deleted = matches.drop("_vt_path", "_vt_pos").withColumn(
+        "_change_type", F.lit("delete")
+    )
+    dv_files = _stage_data_files(dv_rows, path)
+    change_files = _stage_data_files(deleted, path)
+    n_deleted = sum(e["n"] for e in dv_files)
+    return _commit(
+        path,
+        prev["files"],
+        prev["n_rows"] - n_deleted,
+        prev["schema"],
+        version,
+        appended=[],
+        changes=change_files,
+        kind="delete",
+        dvs=(prev.get("dvs") or []) + [e["path"] for e in dv_files],
+    )
+
+
 def merge_snapshot_mor(
     spark: SparkSession, path: str, updates: DataFrame, key_cols: list[str]
 ) -> int:

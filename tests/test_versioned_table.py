@@ -1513,3 +1513,39 @@ def test_bloom_never_false_negative(spark, sf_smoke, tmp_path):
                 )
         scanned, total = bloom_pruned_file_count(path, "o_orderkey", key)
         assert scanned >= 1
+
+
+def test_delete_keys_mor_feeds_mv_retraction(spark, sf_smoke, tmp_path):
+    """Key-set erasure must retract exactly through the MV change feed,
+    and refuse unknown key columns loudly."""
+    from fxa_amplitude_send_spark.sinks.materialized_view import (
+        create_mv,
+        read_mv,
+        refresh_mv,
+    )
+    from fxa_amplitude_send_spark.sinks.versioned import delete_keys_mor
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    bp, mp = str(tmp_path / "b"), str(tmp_path / "m")
+    write_snapshot(ev, bp)
+    create_mv(spark, bp, mp, keys=["event_type"], sums=["value"])
+    erase = ev.filter("user_id % 10 = 3").select("user_id")
+    delete_keys_mor(spark, bp, erase, ["user_id"])
+    refresh_mv(spark, mp)
+    survivors = ev.filter("user_id % 10 <> 3")
+    got = {
+        r.event_type: (r.mv_count, round(r.sum_value, 6))
+        for r in read_mv(spark, mp).collect()
+    }
+    want = {
+        r.event_type: (r[1], round(r[2], 6))
+        for r in survivors.groupBy("event_type")
+        .agg(F.count(F.lit(1)), F.sum("value"))
+        .collect()
+    }
+    assert got == want
+    assert _ids(read_snapshot(spark, bp)) == _ids(survivors)
+    with pytest.raises(ValueError, match="not in table schema"):
+        delete_keys_mor(spark, bp, erase.withColumnRenamed("user_id", "uid"), ["uid"])
