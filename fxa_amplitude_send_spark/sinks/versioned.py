@@ -729,6 +729,51 @@ def table_history(path: str) -> list[dict]:
     return out
 
 
+def metadata_table(spark: SparkSession, path: str, kind: str) -> DataFrame:
+    """Queryable METADATA TABLES (Iceberg's ``table$history`` /
+    ``table$files`` parity): ``kind='history'`` returns one row per
+    retained version (version, kind, ts, n_rows, n_files, txn_id);
+    ``kind='files'`` returns one row per CURRENT data file (path, n_rows,
+    has_bloom, plus per-column min/max as a map) — the operational
+    questions ("what happened", "where are the bytes", "how tight are the
+    stats") as plain DataFrames, answered from manifests alone without
+    opening a single data file."""
+    if kind == "history":
+        rows = [
+            (
+                h["version"],
+                h["kind"],
+                float(h["ts"]) if h["ts"] is not None else None,
+                h["n_rows"],
+                h["n_files"],
+                h["txn_id"],
+            )
+            for h in table_history(path)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "version INT, kind STRING, ts DOUBLE, n_rows LONG, "
+            "n_files INT, txn_id STRING",
+        )
+    if kind == "files":
+        m = _read_manifest(path, current_version(path))
+        rows = [
+            (
+                e["path"],
+                e.get("n"),
+                "bloom" in e,
+                {c: [str(v[0]), str(v[1])] for c, v in e.get("stats", {}).items()},
+            )
+            for e in m["files"]
+        ]
+        return spark.createDataFrame(
+            rows,
+            "path STRING, n_rows LONG, has_bloom BOOLEAN, "
+            "stats MAP<STRING, ARRAY<STRING>>",
+        )
+    raise ValueError(f"unknown metadata table {kind!r}: use 'history' or 'files'")
+
+
 def version_at_timestamp(path: str, ts: float) -> int:
     """TIMESTAMP AS OF resolution: the newest retained version whose commit
     time is <= ``ts`` (Delta's timestamp time travel contract). A timestamp

@@ -1549,3 +1549,26 @@ def test_delete_keys_mor_feeds_mv_retraction(spark, sf_smoke, tmp_path):
     assert _ids(read_snapshot(spark, bp)) == _ids(survivors)
     with pytest.raises(ValueError, match="not in table schema"):
         delete_keys_mor(spark, bp, erase.withColumnRenamed("user_id", "uid"), ["uid"])
+
+
+def test_metadata_tables(spark, base, tmp_path):
+    """history/files metadata tables answer operational SQL from manifests
+    alone — no data file opened."""
+    from fxa_amplitude_send_spark.sinks.versioned import (
+        delete_snapshot_mor,
+        metadata_table,
+    )
+
+    path = str(tmp_path / "t")
+    write_snapshot(base.repartition(3), path)
+    delete_snapshot_mor(spark, path, "n_nationkey = 0")
+    hist = metadata_table(spark, path, "history")
+    assert [r.kind for r in hist.orderBy("version").collect()] == [
+        "create", "delete"
+    ]
+    files = metadata_table(spark, path, "files")
+    rows = files.collect()
+    assert len(rows) == 3 and all(r.n_rows and not r.has_bloom for r in rows)
+    assert all("n_nationkey" in r.stats for r in rows)
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        metadata_table(spark, path, "partitions")
