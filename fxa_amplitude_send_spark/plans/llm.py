@@ -446,7 +446,11 @@ def llm_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
       FROM embeddings WHERE vec_id >= 8
     ), assigned AS (
-      SELECT vec_id, v, centroid_id FROM (
+      SELECT vec_id, v, centroid_id,
+             CAST((ROW_NUMBER() OVER (
+               PARTITION BY centroid_id ORDER BY vec_id) - 1) // 256 AS BIGINT)
+               AS sub
+      FROM (
         SELECT e.vec_id, e.v, c.centroid_id,
                ROW_NUMBER() OVER (
                  PARTITION BY e.vec_id
@@ -456,7 +460,8 @@ def llm_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), dropped AS (
       SELECT DISTINCT b.vec_id
       FROM assigned a JOIN assigned b
-        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        ON a.centroid_id = b.centroid_id AND a.sub = b.sub
+       AND a.vec_id < b.vec_id
       WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.3
     )
     SELECT s.vec_id, s.centroid_id, d.vec_id IS NULL AS is_kept
@@ -470,9 +475,15 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector that has an earlier (smaller vec_id) cluster-mate at cosine >=
     tau — the deterministic keep-first variant of keep-one-per-dup-set.
     Cluster blocking is the whole trick: pair cost falls from O(n^2) to
-    O(sum of cluster sizes squared), and at corpus scale K is chosen
-    ~sqrt(n) (with hot-cluster sub-bucketing) so each cluster's all-pairs
-    stays executor-sized. Physical shape: broadcast centroids + map-side
+    O(sum of pair-block sizes squared). Clusters themselves grow with the
+    corpus under fixed centroids, so each cluster is further split into
+    rank-ordered SUB-BUCKETS of <=256 vectors and pairs compare only
+    within a (cluster, sub-bucket) block — total pair work is <=128 n,
+    LINEAR in corpus size (the sf1 slope study measured the unguarded
+    version at 33x/decade = quadratic). The guard trades recall (dups
+    straddling a sub-bucket boundary survive) exactly like SemDeDup's own
+    per-cluster capping; production systems instead scale K via learned
+    k-means (llm_kmeans) + IVF assignment (llm_sim_ivf) — both built here. Physical shape: broadcast centroids + map-side
     scoring + per-vector argmax window (one n*K shuffle), one equi
     self-join on the cluster id (never a cartesian), assignment
     materialized once (localCheckpoint) because three plan legs reuse it.
@@ -517,6 +528,18 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             as_double_array(F.col("embedding")).alias("_v"),
             l2_norm_col(F.col("embedding")).alias("_n"),
         )
+        .withColumn(
+            "sub",
+            F.floor(
+                (
+                    F.row_number().over(
+                        Window.partitionBy("centroid_id").orderBy("vec_id")
+                    )
+                    - 1
+                )
+                / 256
+            ).cast("long"),
+        )
         .localCheckpoint(eager=True)  # reused by both pair legs + output
     )
     a = assigned.select(
@@ -524,12 +547,14 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_v").alias("a_vec"),
         F.col("_n").alias("a_norm"),
         "centroid_id",
+        "sub",
     )
     b = assigned.select(
         F.col("vec_id").alias("b_id"),
         F.col("_v").alias("b_vec"),
         F.col("_n").alias("b_norm"),
         "centroid_id",
+        "sub",
     )
     pair_dot = F.aggregate(
         F.zip_with("a_vec", "b_vec", lambda x, y: x * y),
@@ -537,7 +562,7 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     dropped = (
-        a.join(b, "centroid_id")
+        a.join(b, ["centroid_id", "sub"])
         .filter(F.col("a_id") < F.col("b_id"))
         .filter(
             F.round(pair_dot / (F.col("a_norm") * F.col("b_norm")), 6)

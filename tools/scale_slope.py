@@ -51,8 +51,8 @@ def _load_latest(*names):
 
 
 def main() -> None:
-    sim01 = _load_latest("driver_sim_sf0.1_r6.json", "driver_sim_sf0.1_r5.json")
-    sim1 = _load_latest("driver_sim_sf1_r6.json", "driver_sim_sf1_r5.json")
+    sim01 = _load_latest("driver_sim_sf0.1_r6f.json", "driver_sim_sf0.1_r6.json", "driver_sim_sf0.1_r5.json")
+    sim1 = _load_latest("driver_sim_sf1_r6f.json", "driver_sim_sf1_r6.json", "driver_sim_sf1_r5.json")
     sim10 = _load("driver_sim_sf10_money_r6.json")
     sim100 = _load("driver_sim_sf100_money_r6.json")
     b01 = _load("bench_sf0.1_slowest.json").get("queries", {})
