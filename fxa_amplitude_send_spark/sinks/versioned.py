@@ -653,13 +653,17 @@ def clone_snapshot(src: str, dst: str, version: int | None = None) -> int:
     deployment would swap the link for a manifest-level reference and
     inherit the usual cross-table vacuum caveat.
 
-    Stats, blooms and deletion vectors ride along unchanged (the clone's
-    view of live rows is byte-identical); the bloom POLICY file is not
-    copied — policies are per-table choices, not snapshot content."""
+    Stats, blooms, deletion vectors AND CHECK constraints ride along
+    unchanged (constraints are table SEMANTICS — a clone that silently
+    dropped them would accept writes the source refuses); the bloom
+    POLICY file is not copied — a layout tuning choice, not content."""
     if current_version(dst) != 0:
         raise RuntimeError(f"clone target {dst} already has committed versions")
     v = current_version(src) if version is None else version
     m = _read_manifest(src, v)
+    src_checks = _load_checks(src)
+    if src_checks:
+        _save_checks(dst, src_checks)
     rels = [e["path"] for e in m["files"]] + list(m.get("dvs") or [])
     for rel in rels:
         s, d = os.path.join(src, rel), os.path.join(dst, rel)
@@ -686,7 +690,12 @@ def restore_snapshot(path: str, to_version: int) -> int:
     The commit kind is 'replace': a restore's delta against its parent is
     not expressible as appends, so incremental consumers (MV refresh, CDC
     readers) refuse it loudly and direct the caller to rebuild — silently
-    folding a restore as inserts would double-count everything it kept."""
+    folding a restore as inserts would double-count everything it kept.
+
+    Caveat (matches Delta RESTORE): CHECK constraints added AFTER
+    ``to_version`` are not re-validated against the restored content —
+    validation is a commit-time gate on staged rows, and a restore stages
+    nothing. Run add_check_constraint again to re-validate the table."""
     cur = current_version(path)
     if cur == 0:
         raise FileNotFoundError(f"no committed snapshot at {path}")

@@ -1572,3 +1572,22 @@ def test_metadata_tables(spark, base, tmp_path):
     assert all("n_nationkey" in r.stats for r in rows)
     with pytest.raises(ValueError, match="unknown metadata table"):
         metadata_table(spark, path, "partitions")
+
+
+def test_clone_carries_check_constraints(spark, base, tmp_path):
+    """A clone must enforce the source's CHECK constraints — silently
+    dropping them would let the clone accept writes the source refuses."""
+    from fxa_amplitude_send_spark.sinks.versioned import (
+        add_check_constraint,
+        clone_snapshot,
+    )
+
+    src, dst = str(tmp_path / "s"), str(tmp_path / "d")
+    write_snapshot(base, src)
+    add_check_constraint(spark, src, "key_nonneg", "n_nationkey >= 0")
+    clone_snapshot(src, dst)
+    bad = spark.createDataFrame([(-1, "BAD")], ["n_nationkey", "n_name"]).select(
+        F.col("n_nationkey").cast(dict(base.dtypes)["n_nationkey"]), "n_name"
+    )
+    with pytest.raises(ValueError, match="key_nonneg"):
+        append_snapshot(bad, dst)
