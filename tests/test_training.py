@@ -253,3 +253,34 @@ def test_weighted_sample_is_length_biased_and_deterministic(spark, sf_smoke):
         .collect()[0][0]
     )
     assert a["n_chars"].mean() > corpus_mean
+
+
+def test_span_corruption_is_invertible(spark, sf_smoke):
+    """The denoising objective must be LOSSLESS: substituting each target
+    span back into its input sentinel reconstructs every document exactly
+    — token-for-token, including masked runs at document edges and docs
+    with zero masked spans."""
+    import re
+
+    from fxa_amplitude_send_spark.plans.training import llm_span_corruption
+    from fxa_amplitude_send_spark.sources import load_table
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_smoke, "documents").collect()
+    }
+    out = llm_span_corruption(spark, sf_smoke).collect()
+    assert len(out) == len(docs)
+    for r in out:
+        spans = {}
+        if r.target_text is not None:
+            # target = "<X_0> tok tok <X_1> tok ..." — split on sentinels
+            parts = re.split(r"<X_(\d+)> ?", r.target_text)
+            # parts = ["", k0, span0, k1, span1, ...]
+            for k, span in zip(parts[1::2], parts[2::2]):
+                spans[int(k)] = span.rstrip()
+        rebuilt = re.sub(
+            r"<X_(\d+)>", lambda m: spans[int(m.group(1))], r.input_text
+        )
+        assert rebuilt == docs[r.doc_id], f"doc {r.doc_id} not reconstructed"
+        assert r.n_spans == len(spans)
