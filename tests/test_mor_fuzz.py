@@ -113,3 +113,69 @@ def test_mor_operation_sequence_fuzz(spark, sf_smoke, tmp_path, seed):
     # time-travel immutability across the whole interleaving
     for v, snap in history.items():
         assert _snap(read_snapshot(spark, path, version=v)) == snap
+
+
+@pytest.mark.parametrize("seed", [11, 43])
+def test_clone_lineage_fuzz(spark, sf_smoke, tmp_path, seed):
+    """Clone mid-sequence, then drive DIFFERENT random op tails on source
+    and clone: each lineage must track its own model exactly — shared
+    bytes, zero cross-talk."""
+    rng = random.Random(seed)
+    ev = (
+        load_table(spark, sf_smoke, "events")
+        .select("event_id", "event_type", "value")
+        .limit(300)
+    )
+    pool = [(r.event_id, r.event_type, round(r.value, 6)) for r in ev.collect()]
+    from fxa_amplitude_send_spark.sinks.versioned import (
+        clone_snapshot,
+        write_snapshot,
+    )
+
+    src = str(tmp_path / "src")
+    first = pool[:120]
+    model = {i: (t, v) for i, t, v in first}
+    write_snapshot(
+        spark.createDataFrame(first, ["event_id", "event_type", "value"]), src
+    )
+    delete_snapshot_mor(spark, src, "event_id % 4 = 1")
+    model = {i: tv for i, tv in model.items() if i % 4 != 1}
+
+    dst = str(tmp_path / "dst")
+    clone_snapshot(src, dst)
+    models = {src: dict(model), dst: dict(model)}
+
+    for step in range(8):
+        path = rng.choice([src, dst])
+        m = models[path]
+        op = rng.choice(["append", "mor_delete", "mor_merge"])
+        if op == "append":
+            batch = [p for p in rng.sample(pool, k=20) if p[0] not in m][:10]
+            if not batch:
+                continue
+            append_snapshot(
+                spark.createDataFrame(batch, ["event_id", "event_type", "value"]),
+                path,
+            )
+            m.update({i: (t, v) for i, t, v in batch})
+        elif op == "mor_delete":
+            mod = rng.choice([5, 7])
+            r = rng.randrange(mod)
+            delete_snapshot_mor(spark, path, f"event_id % {mod} = {r}")
+            models[path] = {i: tv for i, tv in m.items() if i % mod != r}
+        else:
+            if not m:
+                continue
+            keys = rng.sample(sorted(m), k=min(8, len(m)))
+            upd = [(i, f"lineage{step}", round(m[i][1] + 1.0, 6)) for i in keys]
+            merge_snapshot_mor(
+                spark,
+                path,
+                spark.createDataFrame(upd, ["event_id", "event_type", "value"]),
+                ["event_id"],
+            )
+            for i, t, v in upd:
+                m[i] = (t, v)
+        # BOTH lineages checked after every op — cross-talk would show here
+        for p2 in (src, dst):
+            assert _snap(read_snapshot(spark, p2)) == models[p2], (p2, step)
