@@ -551,3 +551,48 @@ def test_sql_text_q14_single_scan_grid_ratio(spark, sf_smoke):
         re.findall(r"^\(\d+\) Scan parquet.*lineitem", plan, re.M)
     ) or plan.count("lineitem.parquet")
     assert n_lineitem_scans <= 1, f"{n_lineitem_scans} lineitem scans"
+
+
+def test_pipeline_e2e_plan_posture(spark, sf_smoke):
+    """The flagship composite must stay one declarative DAG: length gates
+    pushed to the scan, no cartesian product anywhere in the five chained
+    stages, and zero row-at-a-time Python."""
+    plan = physical_plan(QUERIES["llm_pipeline_e2e"](spark, sf_smoke))
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(n_chars,100)" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_span_corruption_pure_expressions(spark, sf_smoke):
+    """Objective construction is column expressions only — no Python UDF,
+    no cartesian, exactly one shuffle (the per-doc re-aggregation)."""
+    plan = physical_plan(QUERIES["llm_span_corruption"](spark, sf_smoke))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # two physical shuffles: the doc_id re-agg + count-distinct expand
+    assert plan.count(") Exchange") <= 2
+
+
+def test_mor_read_plan_is_anti_join_with_pushdown(spark, sf_smoke, tmp_path):
+    """The deletion-vector read path must keep the JVM-native posture:
+    user filters pushed THROUGH the DV machinery to the parquet scan,
+    tombstones applied as one hash anti-join (broadcast or shuffled —
+    never a nested loop), no Python anywhere."""
+    from fxa_amplitude_send_spark.sinks.versioned import (
+        delete_snapshot_mor,
+        read_snapshot,
+        write_snapshot,
+    )
+    from fxa_amplitude_send_spark.sources import load_table
+
+    p = str(tmp_path / "t")
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "value")
+    write_snapshot(ev.repartition(4), p)
+    delete_snapshot_mor(spark, p, "event_id % 5 = 0")
+    df = read_snapshot(spark, p).filter("value > 90").select("event_id")
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan
+    assert "GreaterThan(value,90.0)" in plan  # pushed through the DV join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
