@@ -1063,3 +1063,61 @@ def llm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("content_fingerprint"),
     )
+
+
+@query(
+    "llm_length_buckets",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(CASE
+               WHEN len(string_split(text, ' ')) <= 16 THEN 16
+               WHEN len(string_split(text, ' ')) <= 32 THEN 32
+               WHEN len(string_split(text, ' ')) <= 64 THEN 64
+               WHEN len(string_split(text, ' ')) <= 128 THEN 128
+               ELSE 256 END AS BIGINT) AS bucket
+      FROM documents
+    )
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS real_tokens,
+           CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+           CAST(COUNT(*) * bucket - SUM(n_tokens) AS BIGINT) AS padding_waste,
+           MIN(n_tokens) AS min_tokens,
+           MAX(n_tokens) AS max_tokens
+    FROM sized
+    GROUP BY bucket
+    """,
+)
+def llm_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed BATCH packing accounting: documents land in
+    power-of-two token buckets (16/32/64/128/256 — each batch pads to its
+    bucket size), and the query reports per-bucket real vs padded token
+    totals and the padding waste — the number a finetuning pipeline uses
+    to choose bucket boundaries (vs llm_seq_pack's concatenate-then-chunk,
+    which trades padding for cross-doc attention masking).
+
+    Scale: one CASE expression per row + a 5-group map-side-combinable
+    aggregate — scan-bound at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    bucket = (
+        F.when(n_tok <= 16, 16)
+        .when(n_tok <= 32, 32)
+        .when(n_tok <= 64, 64)
+        .when(n_tok <= 128, 128)
+        .otherwise(256)
+        .cast("bigint")
+    )
+    sized = docs.select("doc_id", n_tok.alias("n_tokens"), bucket.alias("bucket"))
+    return sized.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("real_tokens"),
+        (F.count(F.lit(1)) * F.col("bucket")).cast("bigint").alias("padded_tokens"),
+        (F.count(F.lit(1)) * F.col("bucket") - F.sum("n_tokens"))
+        .cast("bigint")
+        .alias("padding_waste"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
