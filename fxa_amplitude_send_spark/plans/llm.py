@@ -2072,3 +2072,60 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@query(
+    "llm_dedup_prefix",
+    oracle="""
+    WITH pfx AS (
+      SELECT doc_id,
+             array_to_string(
+               list_slice(list_filter(string_split(text, ' '),
+                                      x -> length(x) > 0), 1, 8), ' ')
+               AS prefix
+      FROM documents
+    ), grouped AS (
+      SELECT prefix, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
+      FROM pfx GROUP BY prefix
+    )
+    SELECT p.doc_id, g.n_docs AS prefix_group_size,
+           p.doc_id = g.keeper AS is_kept
+    FROM pfx p JOIN grouped g ON p.prefix = g.prefix
+    WHERE g.n_docs > 1
+    """,
+)
+def llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFIX dedup — the boilerplate-header case exact and span dedup both
+    miss: documents sharing their first 8 tokens (scraped page chrome,
+    template intros) group together and only the smallest doc_id survives.
+    Web-corpus pipelines run this between exact dedup (whole-text hash is
+    defeated by differing tails) and near-dup LSH (wasteful when the
+    duplication is a known fixed-position prefix).
+
+    Scale: one narrow prefix projection + a group-by on the prefix string
+    (shuffle keyed on ~8-token strings; hash the prefix for long ones) —
+    the same shape as llm_dedup_exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    pfx = docs.select(
+        "doc_id",
+        F.array_join(
+            F.slice(
+                F.filter(F.split("text", " "), lambda x: F.length(x) > 0),
+                1,
+                8,
+            ),
+            " ",
+        ).alias("prefix"),
+    )
+    grouped = pfx.groupBy("prefix").agg(
+        F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        pfx.join(grouped, "prefix")
+        .filter(F.col("n_docs") > 1)
+        .select(
+            "doc_id",
+            F.col("n_docs").alias("prefix_group_size"),
+            (F.col("doc_id") == F.col("keeper")).alias("is_kept"),
+        )
+    )
