@@ -1894,3 +1894,71 @@ def q_versioned_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, CAST(SUM(value_c) AS BIGINT) AS sum_value_c
+    FROM (
+      SELECT DISTINCT event_id, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS value_c
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING cross-batch dedup under the correctness gate: the events
+    table is staged TWICE (every row duplicated across different files)
+    and replayed file-by-file; dropDuplicates state must suppress the
+    re-deliveries ACROSS micro-batches (>=4 enforced), so the append-mode
+    sink holds exactly one row per event_id — hash-matched against the
+    batch DISTINCT oracle. This is the engine-side twin of the reference's
+    insert_id idempotence (utils.js:74) executed as streaming state, and
+    complements q_stream_tumbling (aggregate state) and q_stream_session
+    (merging state) with the dedup-state shape."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    stage = _work_root("strm_dedup_src", sf_dir)
+    ev.repartition(2).write.parquet(stage)
+    ev.repartition(2).write.mode("append").parquet(stage)  # exact duplicates
+    schema = spark.read.parquet(stage).schema
+
+    sink_dir = _work_root("strm_dedup_sink", sf_dir)
+
+    def _append(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(sink_dir)
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .dropDuplicates(["event_id"])
+            .writeStream.foreachBatch(_append)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    if len(q.recentProgress) < 4:
+        raise RuntimeError(
+            f"q_stream_dedup: expected >=4 micro-batches, got "
+            f"{len(q.recentProgress)}"
+        )
+    return (
+        spark.read.parquet(sink_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value_c").cast("long").alias("sum_value_c"),
+        )
+    )
