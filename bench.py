@@ -79,6 +79,17 @@ def main() -> None:
     wall = round(time.perf_counter() - wall_start, 4)
     errors = sorted(n for n, t in timings.items() if t < 0)
 
+    # Split means: integration gates (multi-commit lakehouse lifecycles,
+    # streaming replays — machinery-dominated) vs the core analytic surface.
+    # The blended mean drifts purely by composition as gates are added;
+    # these two stay comparable across rounds (round-6 verdict item 3).
+    from fxa_amplitude_send_spark.plans.registry import is_gate
+
+    core = [t for n, t in timings.items() if t >= 0 and not is_gate(n)]
+    gate = [t for n, t in timings.items() if t >= 0 and is_gate(n)]
+    core_mean = round(sum(core) / len(core), 4) if core else None
+    gate_mean = round(sum(gate) / len(gate), 4) if gate else None
+
     full = {
         "metric": "total_query_seconds",
         "value": total,
@@ -89,6 +100,10 @@ def main() -> None:
         "errors": errors,
         "method": "best_of_2_noop_sink",
         "wall_seconds": wall,
+        "core_mean_sec": core_mean,
+        "core_n": len(core),
+        "gate_mean_sec": gate_mean,
+        "gate_n": len(gate),
     }
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT", os.path.join(REPO, "bench_results.json")
@@ -139,10 +154,12 @@ def main() -> None:
         os.makedirs(os.path.join(REPO, "evidence"), exist_ok=True)
         names = sorted({n for _, q in cols for n in q})
         with open(os.path.join(REPO, "evidence", "bench_trend.csv"), "w") as fh:
-            fh.write("query," + ",".join(c for c, _ in cols) + "\n")
+            fh.write("query,kind," + ",".join(c for c, _ in cols) + "\n")
             for n in names:
                 fh.write(
                     n
+                    + ","
+                    + ("gate" if is_gate(n) else "core")
                     + ","
                     + ",".join("" if n not in q else str(q[n]) for _, q in cols)
                     + "\n"

@@ -62,17 +62,26 @@ def decode_pubsub(df: DataFrame, data_col: str = "data", base64_encoded: bool = 
 def _once(col: Column) -> Column:
     """Evaluate-once barrier for an expensive expression.
 
-    ``rand() >= -1`` is always true, so the value is unchanged — but the
-    nondeterministic marker stops the optimizer from (a) collapsing the
-    projection into neighbors and (b) substituting the expression into every
-    downstream reference when filters are pushed past it. This matters
-    because JSON parsing (``from_json``/``get_json_object``) is
-    CodegenFallback in Spark: operators containing it run INTERPRETED, with
-    no whole-stage codegen and therefore no subexpression elimination —
+    ``shuffle(array(col))[0]`` is the identity (permuting a 1-element array),
+    but ``shuffle`` is nondeterministic, which stops the optimizer from
+    (a) collapsing the projection into neighbors and (b) substituting the
+    expression into every downstream reference when filters are pushed past
+    it. This matters because JSON parsing (``from_json``/``get_json_object``)
+    is CodegenFallback in Spark: operators containing it run INTERPRETED,
+    with no whole-stage codegen and therefore no subexpression elimination —
     an inlined parse really is re-executed per occurrence (measured: the
     validity filter alone re-parsed each payload ~12× at sf0.1, ~4× the
-    whole pipeline's cost)."""
-    return F.when(F.rand(7) >= -1.0, col)
+    whole pipeline's cost).
+
+    The previous barrier, ``F.when(F.rand(7) >= -1.0, col)``, is DEAD on
+    Spark 4.1: the optimizer's literal-range analysis folds
+    ``rand() >= -1.0`` to true and the wrapper vanishes, after which filter
+    pushdown inlines the whole parse tree into the scan predicate (measured:
+    37 from_json + 49 get_json_object occurrences in the flagship plan,
+    +0.7 s at sf0.1). ``shuffle`` has no such fold and survives optimization
+    (asserted by tests/test_event_pipeline.py::test_once_barrier_survives).
+    """
+    return F.shuffle(F.array(col))[0]
 
 
 def parse_envelope(df: DataFrame, payload_col: str = "payload") -> DataFrame:

@@ -45,3 +45,18 @@ def all_oracles() -> dict[str, str]:
 
 def get_query(name: str) -> QueryFn:
     return _QUERIES[name]
+
+
+#: Integration-gate queries: multi-commit lakehouse lifecycles and
+#: multi-micro-batch streaming replays whose measured time is dominated by
+#: correctness MACHINERY (a dozen Spark jobs of commits/replays per run),
+#: not by the plan under test. bench.py reports their mean separately from
+#: the core analytic mean so round-over-round comparisons stay
+#: apples-to-apples as the gate count grows (round-6 verdict item 3).
+_GATE_PREFIXES = ("q_stream_", "q_mv_", "q_versioned_")
+_GATE_EXTRAS = frozenset({"q_cdf_read", "q_check_constraints", "llm_ingest_neardup"})
+
+
+def is_gate(name: str) -> bool:
+    """True if ``name`` is an integration-gate query (machinery-dominated)."""
+    return name.startswith(_GATE_PREFIXES) or name in _GATE_EXTRAS

@@ -266,3 +266,45 @@ def test_garbage_payloads_dropped_not_crashed(spark):
     df2 = spark.createDataFrame([(g,) for g in mixed], "payload string")
     out2 = event_pipeline(df2, KEY).collect()
     assert {r.emit_rank for r in out2} == {0, 1}  # identify + httpapi
+
+
+def test_once_barrier_survives_optimizer(spark):
+    """The evaluate-once barrier must survive Catalyst.
+
+    Regression: ``F.when(F.rand(7) >= -1.0, col)`` was folded away by Spark
+    4.1's literal-range analysis, after which filter pushdown inlined the
+    whole parse tree into the scan predicate (37 from_json + 49
+    get_json_object in the flagship plan, +0.7 s at sf0.1). The barrier is
+    correct only if each parse appears EXACTLY ONCE in the optimized plan
+    even with the validity filter on top.
+    """
+    from fxa_amplitude_send_spark.operators.event_pipeline import (
+        validity_predicate,
+    )
+
+    df = payload_df(spark, BASE_EVENT)
+    valid = parse_envelope(df).filter(validity_predicate())
+    plan = valid._jdf.queryExecution().optimizedPlan().toString()
+    # 4 from_json (_opdata, _text, _nums, user_properties) + 1 get_json_object
+    # (_fields); any substitution multiplies these.
+    assert plan.count("from_json") == 4, plan
+    assert plan.count("get_json_object") == 1, plan
+
+
+def test_once_barrier_is_identity(spark):
+    """shuffle(array(col))[0] must be the identity for every type it wraps
+    (string, struct, map, null)."""
+    from pyspark.sql import functions as F
+
+    from fxa_amplitude_send_spark.operators.event_pipeline import _once
+
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2)], "s string, i int"
+    ).select(
+        _once(F.col("s")).alias("s"),
+        _once(F.struct("i", "s")).alias("st"),
+        _once(F.create_map(F.lit("k"), F.col("s"))).alias("m"),
+    )
+    rows = sorted(df.collect(), key=lambda r: r.st.i)
+    assert rows[0].s == "a" and rows[0].st.s == "a" and rows[0].m == {"k": "a"}
+    assert rows[1].s is None and rows[1].m == {"k": None}
