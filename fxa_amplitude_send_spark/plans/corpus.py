@@ -238,6 +238,97 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixed merge table for the oracle-checked encode gate, in application
+#: order. Every rule has left != right (as strings), which makes the greedy
+#: non-overlapping merge CONFLUENT: occurrences of the pattern can never
+#: overlap, so the merge set is unique and the engine's single left-greedy
+#: fold (operators/bpe.py _merge_fold) equals replace-until-fixpoint — the
+#: form a SQL oracle can express. (With left == right, odd symbol runs >= 5
+#: make single-pass and fixpoint diverge, so such rules are excluded here;
+#: the LEARNED-merge path llm_bpe_encode stays rows-only for that reason.)
+FIXED_MERGES: list[tuple[str, str, int]] = [
+    ("v", "a", 0),
+    ("va", "l", 0),
+    ("e", "</w>", 0),
+    ("val", "u", 0),
+    ("valu", "e</w>", 0),
+    ("t", "h", 0),
+    ("th", "e</w>", 0),
+    ("a", "n", 0),
+    ("s", "c", 0),
+    ("sc", "an", 0),
+]
+
+
+def _fixed_merge_rules_sql() -> str:
+    """VALUES rows (i, pat, rep) for the DuckDB twin: pattern '|L|R|' ->
+    '|LR|' over the '|'-delimited symbol string."""
+    rows = []
+    for i, (left, right, _) in enumerate(FIXED_MERGES, start=1):
+        pat = f"|{left}|{right}|".replace("'", "''")
+        rep = f"|{left}{right}|".replace("'", "''")
+        rows.append(f"({i}, '{pat}', '{rep}')")
+    return ", ".join(rows)
+
+
+@query(
+    "llm_bpe_encode_fixed",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE length(word) > 0
+    ), vocab AS (
+      SELECT DISTINCT word FROM toks
+    ), rules(i, pat, rep) AS (
+      VALUES {{rules}}
+    ), enc AS (
+      SELECT word,
+             '|' || array_to_string(string_split(word, ''), '|') || '|</w>|' AS s,
+             1 AS i
+      FROM vocab
+      UNION ALL
+      SELECT word,
+             CASE WHEN replace(s, r.pat, r.rep) <> s
+                  THEN replace(s, r.pat, r.rep) ELSE s END,
+             CASE WHEN replace(s, r.pat, r.rep) <> s THEN enc.i
+                  ELSE enc.i + 1 END
+      FROM enc JOIN rules r ON r.i = enc.i
+    ), final AS (
+      SELECT word,
+             CAST(length(s) - length(replace(s, '|', '')) - 1 AS BIGINT) AS n_sub
+      FROM enc WHERE i = {{nrules}} + 1
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens_ws,
+           CAST(SUM(f.n_sub) AS BIGINT) AS n_tokens_bpe
+    FROM toks t JOIN final f ON t.word = f.word
+    GROUP BY t.doc_id
+    """.replace("{rules}", _fixed_merge_rules_sql()).replace(
+        "{nrules}", str(len(FIXED_MERGES))
+    ),
+)
+def llm_bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE under the hash-exact oracle gate: apply the FIXED merge
+    table above (the subword path, not training) with the engine's real
+    vocabulary-sized fold chain (operators/bpe.py encode_token_counts —
+    one fold per distinct word, broadcast back to the token stream), and
+    hash-match a DuckDB recursive-CTE twin that replays the same greedy
+    merges as replace-until-fixpoint per rule over a '|'-delimited symbol
+    string. Promoted per round-6 verdict item 6: the ENCODE operator is
+    deterministic given the merges, so it belongs under the oracle;
+    llm_bpe_encode (learned merges) stays rows-only only because a static
+    oracle cannot retrain the corpus-dependent merge list."""
+    from ..operators.bpe import encode_token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return encode_token_counts(docs, FIXED_MERGES).select(
+        "doc_id",
+        F.col("n_tokens_ws").cast("long").alias("n_tokens_ws"),
+        F.col("n_tokens_bpe").cast("long").alias("n_tokens_bpe"),
+    )
+
+
 @query("llm_bpe_encode")
 def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode the corpus with the learned BPE merges and count tokens per

@@ -1598,13 +1598,40 @@ def q_cogroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sample")  # rows-only: sampling is engine-specific even when seeded
+@query(
+    "q_sample",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                     || CAST(l_linenumber AS VARCHAR)), 1, 2) <= '19'
+    """,
+)
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sample — deterministic within Spark (seed fixed) but
-    not across engines, hence rows-only. The constant-fraction scan is the
-    standard first step of any profiling pass at 100 TB."""
+    """Hash-deterministic ~10% sample: keep rows whose md5(key) falls in the
+    bottom 26/256 of the first-byte space ('00'..'19' hex, 26/256 ≈ 10.2 %).
+    Unlike ``df.sample(fraction, seed)`` — whose output depends on the
+    engine's RNG *and the partitioning*, so it changes under repartition,
+    AQE, or a different executor count — a hash sample is a pure row
+    predicate: reproducible across engines, reruns, and any 100 TB layout,
+    and it pushes down to the scan like any other filter. This is the
+    sampling pattern a production profiling pass should use; the engine's
+    native seeded Bernoulli (``.sample()``) remains available but is
+    engine-specific by construction. Promoted from rows-only to
+    oracle-checked in round 7 (verdict item 6)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).select(
+    bucket = F.substring(
+        F.md5(
+            F.concat(
+                F.col("l_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ),
+        1,
+        2,
+    )
+    return li.filter(bucket <= "19").select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
 
@@ -2531,38 +2558,84 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 (national market share): 8-way join with region gating the
     customer nation and a second nation lookup naming the supplier side;
-    conditional share = SUM(CASE)/SUM."""
-    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
-    l = _t(spark, sf_dir, "lineitem")
-    s = _t(spark, sf_dir, "supplier")
-    o = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate").between("1995-01-01", "1996-12-31 23:59:59")
+    conditional share = SUM(CASE)/SUM.
+
+    Shuffle-byte discipline (round-7, after the sf100 spill-regime study in
+    evidence/SCALE.md): the lineitem⋈orders join is the query's largest
+    shuffle, so both of its inputs are REDUCED FIRST —
+
+    * orders is semi-join-reduced by the AMERICA customer set BEFORE the big
+      join (region ⋈ nation broadcast onto customer, then orders ⋈ that key
+      set): the window filter keeps ~30 % of orders and AMERICA keeps ~20 %
+      of customers, so ~6 % of orders enter the orderkey shuffle instead of
+      30 % — the same join work the original plan did AFTER the monster
+      join, moved where it pays.
+    * every shuffled row is pre-projected to the minimum: orders →
+      (o_orderkey, o_year int) with year() computed map-side; lineitem →
+      (l_orderkey, nation, volume) with the price×(1−disc) product folded
+      to ONE double before the exchange; part enters as a keys-only LEFT
+      SEMI build (p_partkey is unique, so semi ≡ inner here).
+
+    no broadcast hint on supplier or part: both grow linearly with SF
+    (sf × 10k / 20k rows), so a hard hint would OOM executors at the 100 TB
+    design point. AQE's size-based choice broadcasts them only while small.
+    """
+    p_keys = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
     )
-    c = _t(spark, sf_dir, "customer")
-    n1 = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
     )
     n2 = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
     )
-    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
-    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        p.join(l, F.col("p_partkey") == F.col("l_partkey"))
-        # no broadcast hint on supplier: it grows linearly with SF (sf x 10k
-        # rows), so a hard hint would OOM executors at the 100 TB design
-        # point. AQE's size-based choice broadcasts it only while it's small.
-        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
-        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
-        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .select("s_suppkey", "nation")
+    )
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    c_am = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(
+                n1.join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+            ),
+            F.col("c_nationkey") == F.col("n1_key"),
+        )
+        .select("c_custkey")
+    )
+    o_am = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").between("1995-01-01", "1996-12-31 23:59:59"))
+        .select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+        .join(c_am, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_year")
+    )
+    return (
+        l.join(p_keys, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("l_orderkey", "nation", "volume")
+        .join(o_am, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_year")
         .agg(
             F.round(
-                F.sum(F.when(F.col("nation") == "NATION_1", volume).otherwise(0.0))
-                / F.sum(volume),
+                F.sum(
+                    F.when(F.col("nation") == "NATION_1", F.col("volume")).otherwise(
+                        0.0
+                    )
+                )
+                / F.sum("volume"),
                 6,
             ).alias("mkt_share")
         )
@@ -3172,24 +3245,41 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     before its join (predicate pushdown), nation broadcasts (constant 25
     rows), the three fact-side joins shuffle on their keys — no hints, AQE
     picks build sides by runtime size."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
-    s = _t(spark, sf_dir, "supplier")
-    o = _t(spark, sf_dir, "orders")
-    n = _t(spark, sf_dir, "nation")
     rev_grid = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
         (1 - F.col("l_discount")) * 100
     ).cast("long")
-    return (
-        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
-        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+    # Shuffle-byte discipline (round-7, evidence/SCALE.md): the revenue
+    # product folds to ONE long map-side (replacing two shuffled doubles),
+    # part enters keys-only as a LEFT SEMI build (p_partkey unique, semi ≡
+    # inner), nation broadcasts onto supplier BEFORE the fact join so the
+    # fact rows carry n_name through one exchange fewer, and orders
+    # pre-projects to (o_orderkey, o_year int) with year() computed
+    # map-side. No broadcast hint on part/supplier — they grow with SF.
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", rev_grid.alias("rev_grid")
+    )
+    p_keys = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    n = _t(spark, sf_dir, "nation")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy(
-            F.col("n_name").alias("nation"),
-            F.year("o_orderdate").cast("long").alias("o_year"),
-        )
-        .agg((F.sum(rev_grid).cast("double") / 10000).alias("sum_profit"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    return (
+        li.join(p_keys, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("l_orderkey", "nation", "rev_grid")
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("nation", "o_year")
+        .agg((F.sum("rev_grid").cast("double") / 10000).alias("sum_profit"))
     )
 
 
@@ -4094,36 +4184,58 @@ def q_tpch_q9_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partkey, suppkey) pair; lineitem pairs outside the derived
     4-suppliers-per-part layout drop out (documented divergence from
     dbgen, identical on both engines)."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
-    s = _t(spark, sf_dir, "supplier")
-    o = _t(spark, sf_dir, "orders")
-    n = _t(spark, sf_dir, "nation")
-    ps = _partsupp(spark, sf_dir)
     rev_grid = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
         (1 - F.col("l_discount")) * 100
     ).cast("long")
-    cost_grid = F.col("ps_costcents") * F.round(F.col("l_quantity") * 100).cast(
-        "long"
+    # Same shuffle-byte discipline as q_tpch_q9 (round-7, evidence/SCALE.md):
+    # rev/qty fold to single longs map-side, part enters keys-only LEFT SEMI,
+    # nation broadcasts onto supplier pre-fact, orders pre-projects to
+    # (o_orderkey, o_year). The partsupp join keeps (l_partkey, l_suppkey)
+    # until its pair-key shuffle, then the row narrows to
+    # (l_orderkey, nation, rev_grid, cost_grid) for the orderkey exchange.
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        "l_orderkey",
+        rev_grid.alias("rev_grid"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
     )
+    p_keys = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    n = _t(spark, sf_dir, "nation")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    ps = _partsupp(spark, sf_dir).select("ps_partkey", "ps_suppkey", "ps_costcents")
     return (
-        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p_keys, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(
             ps,
             (F.col("ps_partkey") == F.col("l_partkey"))
             & (F.col("ps_suppkey") == F.col("l_suppkey")),
         )
-        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy(
-            F.col("n_name").alias("nation"),
-            F.year("o_orderdate").cast("long").alias("o_year"),
+        .select(
+            "l_orderkey",
+            "nation",
+            "rev_grid",
+            (F.col("ps_costcents") * F.col("qty_c")).alias("cost_grid"),
         )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("nation", "o_year")
         .agg(
             (
-                F.sum(rev_grid).cast("double") / 10000
-                - F.sum(cost_grid).cast("double") / 10000
+                F.sum("rev_grid").cast("double") / 10000
+                - F.sum("cost_grid").cast("double") / 10000
             ).alias("sum_profit")
         )
     )

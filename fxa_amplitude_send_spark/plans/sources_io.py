@@ -1962,3 +1962,95 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value_c").cast("long").alias("sum_value_c"),
         )
     )
+
+
+@query(
+    "q_stream_mv",
+    oracle="""
+    SELECT event_type, COUNT(*) AS mv_count,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_stream_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING materialized-view maintenance under the correctness gate:
+    events replay as a 4-file stream; each micro-batch is APPENDED to a
+    versioned table (sinks/versioned.py) and the dependent COUNT/SUM view
+    is refreshed INSIDE the same foreachBatch (sinks/materialized_view.py
+    refresh_mv) — the CDF-driven incremental fold runs once per batch, so
+    the view is maintained change-by-change, never rebuilt. The final view
+    must hash-match the from-scratch aggregate of ALL events (>=4 batches
+    enforced in-gate). This is the send-then-ack commit discipline of the
+    reference (synchronous-pull.js:88-92) applied to view maintenance:
+    the MV only ever folds COMMITTED table versions, so a crash between
+    append and refresh just leaves a pending window for the next refresh.
+
+    Scale posture: each refresh is O(batch change rows) — the fold joins
+    the per-batch partial aggregate against the view, never rescans the
+    base; at 100 TB the same foreachBatch body runs on a real stream with
+    the table partitioned by arrival date. Money on the integer-cents
+    grid."""
+    from ..sinks.materialized_view import create_mv, read_mv, refresh_mv
+    from ..sinks.versioned import append_snapshot, current_version
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    stage = _work_root("strm_mv_src", sf_dir)
+    ev.repartition(4).write.parquet(stage)
+    schema = spark.read.parquet(stage).schema
+
+    table = _work_root("strm_mv_base", sf_dir)
+    mv = _work_root("strm_mv_view", sf_dir)
+
+    def _ingest(batch_df, batch_id):
+        # append-then-refresh: the refresh reads only the committed change
+        # window (CDF), exactly once per micro-batch
+        append_snapshot(batch_df, table)
+        if current_version(mv) == 0:
+            create_mv(
+                batch_df.sparkSession, table, mv,
+                keys=["event_type"], sums=["value_c"],
+            )
+        else:
+            refresh_mv(batch_df.sparkSession, mv)
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(_ingest)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    n_batches = len(q.recentProgress)
+    if n_batches < 4:
+        raise RuntimeError(
+            f"q_stream_mv: expected >=4 micro-batches, got {n_batches}"
+        )
+    # the view must already be synced to the table's CURRENT version —
+    # a final catch-up refresh here would hide a broken per-batch fold
+    from ..sinks.materialized_view import _load_meta
+
+    meta = _load_meta(mv)
+    if meta["base_version_synced"] != current_version(table):
+        raise RuntimeError(
+            "q_stream_mv: view not synced at stream end "
+            f"(synced={meta['base_version_synced']}, "
+            f"current={current_version(table)})"
+        )
+    return read_mv(spark, mv).select(
+        "event_type",
+        "mv_count",
+        F.col("sum_value_c").cast("long").alias("sum_value_c"),
+    )

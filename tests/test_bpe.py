@@ -97,3 +97,52 @@ def test_bpe_query_registered_and_deterministic(spark, sf_smoke):
     # merged token is the concatenation; counts strictly positive and
     # non-increasing is NOT guaranteed by BPE, but positivity is.
     assert all(r["merged"] == r["left"] + r["right"] and r["pair_count"] > 0 for r in m)
+
+
+def test_fixed_merges_confluent_by_construction():
+    """llm_bpe_encode_fixed's oracle replays the greedy fold as
+    replace-until-fixpoint, which equals the engine's single left-greedy
+    pass ONLY when no rule has left == right (self-overlapping patterns
+    make odd symbol runs >= 5 order-ambiguous). Guard the invariant."""
+    from fxa_amplitude_send_spark.plans.corpus import FIXED_MERGES
+
+    assert all(left != right for left, right, _ in FIXED_MERGES)
+
+
+def test_fixed_encode_fold_equals_fixpoint(spark):
+    """The engine fold and the oracle's replace-until-fixpoint must agree
+    word-for-word on adversarial inputs (boundary-shared occurrences,
+    chained rules, rule products feeding later rules)."""
+    from pyspark.sql import functions as F
+
+    from fxa_amplitude_send_spark.operators.bpe import (
+        _merge_fold,
+        initial_symbols,
+    )
+    from fxa_amplitude_send_spark.plans.corpus import FIXED_MERGES
+
+    words = [
+        "value", "valuevalue", "the", "than", "scan", "scanscan",
+        "vava", "vavava", "aaaa", "thth", "anan", "valval", "a", "v",
+    ]
+
+    def fixpoint(word: str) -> int:
+        s = "|" + "|".join(list(word)) + "|</w>|"
+        for left, right, _ in FIXED_MERGES:
+            pat, rep = f"|{left}|{right}|", f"|{left}{right}|"
+            while True:
+                s2 = s.replace(pat, rep)
+                if s2 == s:
+                    break
+                s = s2
+        return s.count("|") - 1
+
+    df = spark.createDataFrame([(w, 1) for w in words], "word string, cnt int")
+    syms = F.col("syms")
+    for left, right, _ in FIXED_MERGES:
+        syms = _merge_fold(syms, left, right)
+    got = {
+        r["word"]: r["n"]
+        for r in initial_symbols(df).select("word", F.size(syms).alias("n")).collect()
+    }
+    assert got == {w: fixpoint(w) for w in words}
