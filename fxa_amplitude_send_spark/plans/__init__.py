@@ -17,5 +17,6 @@ from . import graph  # noqa: E402,F401
 from . import temporal  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
 from . import corpus  # noqa: E402,F401
+from . import geo  # noqa: E402,F401
 
 __all__ = ["all_oracles", "all_queries", "get_query", "query"]

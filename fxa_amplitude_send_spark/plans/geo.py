@@ -1,0 +1,176 @@
+"""Geospatial gate queries over operators/geo.py.
+
+The tables carry no coordinates, so each entity gets a DETERMINISTIC
+synthetic position derived from its key via the portable 52-bit md5 fold
+(q_theta_sketch's trick: Spark ``conv(substr(md5(k),1,13),16,10)`` and a
+DuckDB hex-digit fold produce the same BIGINT), mapped into integer
+micro-degrees. Both engines derive identical coordinates from first
+principles, so the whole pipeline — derivation, grid bucketing, exact
+BIGINT distance predicate — is hash-gated end to end.
+
+The gate metric is squared planar distance (BIGINT-exact); the spherical
+haversine lives in operators/geo.py under pytest. Longitude wraparound at
+the antimeridian is deliberately NOT modeled in the planar gate metric —
+both engines apply the same predicate, and the production haversine path
+documents the wrap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+_LAT_SPAN = 120_000_001   # micro-degrees in [-60e6, 60e6]
+_LON_SPAN = 360_000_001   # micro-degrees in [-180e6, 180e6]
+
+
+def _micro(col: Column, salt: str, span: int) -> Column:
+    """Deterministic micro-degree coordinate from a key: 52 exact md5 bits
+    folded mod span, centered. Matches _micro_sql digit-for-digit."""
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), col.cast("string"))), 1, 13
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+    )
+    return (h % F.lit(span)) - F.lit(span // 2)
+
+
+def _micro_sql(key: str, salt: str, span: int) -> str:
+    fold = (
+        "list_reduce(list_transform(range(1, 14), j -> CAST(strpos("
+        f"'0123456789abcdef', substr(md5('{salt}:' || CAST({key} AS VARCHAR)),"
+        " CAST(j AS INTEGER), 1)) - 1 AS BIGINT)), (acc, d) -> acc * 16 + d)"
+    )
+    return f"({fold} % {span} - {span // 2})"
+
+
+def _customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        _micro(F.col("c_custkey"), "lat", _LAT_SPAN).alias("lat"),
+        _micro(F.col("c_custkey"), "lon", _LON_SPAN).alias("lon"),
+    )
+
+
+def _suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        _micro(F.col("s_suppkey"), "slat", _LAT_SPAN).alias("slat"),
+        _micro(F.col("s_suppkey"), "slon", _LON_SPAN).alias("slon"),
+    )
+
+
+_GEO_CTE = f"""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey,
+             {_micro_sql('c_custkey', 'lat', _LAT_SPAN)} AS lat,
+             {_micro_sql('c_custkey', 'lon', _LON_SPAN)} AS lon
+      FROM customer
+    ), s AS (
+      SELECT s_suppkey,
+             {_micro_sql('s_suppkey', 'slat', _LAT_SPAN)} AS lat,
+             {_micro_sql('s_suppkey', 'slon', _LON_SPAN)} AS lon
+      FROM supplier
+    )
+"""
+
+
+@query(
+    "q_geo_join",
+    oracle=_GEO_CTE
+    + """
+    , pairs AS (
+      SELECT c.c_nationkey, s.s_suppkey,
+             (c.lat - s.lat) * (c.lat - s.lat)
+             + (c.lon - s.lon) * (c.lon - s.lon) AS dist2
+      FROM c, s
+      WHERE (c.lat - s.lat) * (c.lat - s.lat)
+            + (c.lon - s.lon) * (c.lon - s.lon)
+            <= CAST(3000000 AS BIGINT) * 3000000
+    )
+    SELECT c_nationkey, COUNT(*) AS n_pairs,
+           COUNT(DISTINCT s_suppkey) AS n_suppliers,
+           MIN(dist2) AS min_dist2
+    FROM pairs GROUP BY c_nationkey
+    """,
+)
+def q_geo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance join under the correctness gate (operators/geo.py
+    grid_distance_join): every (customer, supplier) pair within 3° planar
+    radius, grid-bucketed — the supplier side explodes into its 3×3 cell
+    neighborhood and equi-joins the customer side's cell, so the oracle's
+    quadratic cross-join predicate becomes a co-located shuffle join with
+    O(local density) comparisons. Aggregated per customer nation on exact
+    BIGINTs.
+
+    Scale posture: at 100 TB the cell key is the shuffle key — density,
+    not table size, bounds per-task work; the 9× explode rides the small
+    side. The ORACLE is the quadratic formulation (DuckDB cross join);
+    the engine plan never is — same discipline as the dedup family."""
+    from ..operators.geo import grid_distance_join
+
+    r = 3_000_000
+    pairs = grid_distance_join(
+        _customers(spark, sf_dir), _suppliers(spark, sf_dir), r,
+        b_lat="slat", b_lon="slon",
+    )
+    return pairs.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("s_suppkey").alias("n_suppliers"),
+        F.min("dist2").alias("min_dist2"),
+    )
+
+
+@query(
+    "q_geo_nearest",
+    oracle=_GEO_CTE
+    + """
+    , pairs AS (
+      SELECT c.c_custkey, s.s_suppkey,
+             (c.lat - s.lat) * (c.lat - s.lat)
+             + (c.lon - s.lon) * (c.lon - s.lon) AS dist2
+      FROM c, s
+      WHERE (c.lat - s.lat) * (c.lat - s.lat)
+            + (c.lon - s.lon) * (c.lon - s.lon)
+            <= CAST(10000000 AS BIGINT) * 10000000
+    ), ranked AS (
+      SELECT c_custkey, s_suppkey, dist2,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_custkey ORDER BY dist2, s_suppkey
+             ) AS rn
+      FROM pairs
+    )
+    SELECT c_custkey, s_suppkey, dist2 FROM ranked WHERE rn = 1
+    """,
+)
+def q_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor-within-radius under the correctness gate
+    (operators/geo.py nearest_within): each customer's closest supplier
+    inside 10° planar radius, ties broken on the smaller supplier key so
+    the answer is total-order deterministic. Engine plan: grid candidate
+    join + ONE row_number window partitioned by customer; the oracle ranks
+    the quadratic pair set. Customers with no supplier in range are absent
+    from both sides by construction."""
+    from ..operators.geo import nearest_within
+
+    out = nearest_within(
+        _customers(spark, sf_dir),
+        _suppliers(spark, sf_dir),
+        10_000_000,
+        a_key="c_custkey",
+        b_key="s_suppkey",
+        b_lat="slat",
+        b_lon="slon",
+    )
+    return out.select("c_custkey", "s_suppkey", "dist2")

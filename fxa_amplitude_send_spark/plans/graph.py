@@ -344,3 +344,71 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tris.select(F.col("c").alias("node")))
     )
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@query(
+    "q_graph_sssp",
+    oracle=f"""
+    WITH RECURSIVE trade AS ({_EDGE_SQL}),
+    ranked AS (
+      SELECT src, dst,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+      FROM trade WHERE src <> dst
+    ),
+    edges AS (SELECT src, dst FROM ranked WHERE rn <= 3),
+    walk(n, hops) AS (
+      SELECT CAST('NATION_0' AS VARCHAR), 0
+      UNION
+      SELECT e.dst, w.hops + 1
+      FROM walk w JOIN edges e ON e.src = w.n
+      WHERE w.hops < 25
+    )
+    SELECT n AS nation, MIN(hops) AS hops FROM walk GROUP BY n
+    """,
+)
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths (BFS hop count) from NATION_0 over the
+    top-3-partners trade graph — the iterative frontier-expansion pattern
+    PageRank's fixed unroll cannot express, because the round count is
+    DATA-DEPENDENT (loop until the frontier is empty). Each round is one
+    equi-join (frontier ⋈ edges on src) + an anti-join against settled
+    nodes; rounds are bounded by the graph's diameter, so the driver loop
+    runs O(diameter) actions, NOT O(nodes) — the same discipline as
+    llm_dedup_cc's pointer jumping (O(log d) rounds), which proved the
+    shape at sf10. The top-3 sparsification (row_number per src, ties on
+    dst name) makes the hop structure non-trivial: the dense trade graph
+    is 1-hop-everywhere.
+
+    The oracle replays BFS as a DuckDB recursive CTE with UNION-distinct
+    termination on the (node, hops) lattice. Unreachable nations are
+    absent from both sides by construction."""
+    from pyspark.sql import Window
+
+    e0 = _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    w3 = Window.partitionBy("src").orderBy(F.col("w").desc(), F.col("dst"))
+    edges = (
+        e0.withColumn("rn", F.row_number().over(w3))
+        .filter(F.col("rn") <= 3)
+        .select("src", "dst")
+        .coalesce(1)  # ≤ 3·nations rows: one task per iteration stage
+        .cache()
+    )
+    edges.count()  # materialize once; every round reuses the cached graph
+
+    settled = spark.createDataFrame([("NATION_0", 0)], "nation string, hops int")
+    frontier = settled
+    for hop in range(1, 26):  # diameter bound; exits on empty frontier
+        nxt = (
+            F.broadcast(frontier)
+            .join(edges, frontier.nation == edges.src)
+            .select(F.col("dst").alias("nation"))
+            .distinct()
+            .join(settled, "nation", "left_anti")
+            .select("nation", F.lit(hop).alias("hops"))
+            .localCheckpoint(eager=True)  # cut the lineage per round
+        )
+        if nxt.isEmpty():
+            break
+        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return settled

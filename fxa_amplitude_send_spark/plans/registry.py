@@ -54,7 +54,15 @@ def get_query(name: str) -> QueryFn:
 #: the core analytic mean so round-over-round comparisons stay
 #: apples-to-apples as the gate count grows (round-6 verdict item 3).
 _GATE_PREFIXES = ("q_stream_", "q_mv_", "q_versioned_")
-_GATE_EXTRAS = frozenset({"q_cdf_read", "q_check_constraints", "llm_ingest_neardup"})
+_GATE_EXTRAS = frozenset(
+    {
+        "q_cdf_read",
+        "q_check_constraints",
+        "llm_ingest_neardup",
+        # round 7: stages a hive-partitioned copy before the pruned reads
+        "q_source_partitioned",
+    }
+)
 
 
 def is_gate(name: str) -> bool:

@@ -879,6 +879,141 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_late",
+    oracle="""
+    WITH arrived AS (
+      SELECT ts, event_type, CAST(ROUND(value * 100) AS BIGINT) AS value_c
+      FROM events
+      WHERE NOT (ts < TIMESTAMP '2024-01-08' AND event_id % 10 = 7)
+    ), agg AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+             COUNT(*) AS n_events, CAST(SUM(value_c) AS BIGINT) AS sum_value_c
+      FROM arrived GROUP BY 1, 2
+    )
+    SELECT * FROM agg
+    WHERE window_start + INTERVAL 1 HOUR <=
+          (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events)
+    """,
+)
+def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics under the correctness gate — the one
+    streaming behavior the other q_stream_* gates deliberately disable
+    (they use no-drop watermarks so replay == batch). Here the drop IS the
+    subject: events replay as four files in CONTROLLED mtime order — three
+    on-time weeks, then week 4 PLUS a week-1 straggler subset (event_id %
+    10 = 7) — through a real 1-hour watermark into an append-mode windowed
+    aggregate. By the time the stragglers arrive the watermark stands at
+    ~Jan 21, their windows were finalized and evicted weeks before, so
+    Spark must drop every one of them: enforced in-gate by summing
+    numRowsDroppedByWatermark across progress events and requiring it to
+    EQUAL the engineered straggler (window, type) group count — the metric
+    sees merged map-side partials, one per group — and that count to be
+    non-zero.
+    The oracle replays the contract from first principles: stragglers
+    excluded, and only windows whose end the final watermark
+    (global max ts - 1h) has passed are emitted — append mode's emission
+    rule, exercised by the trailing no-data flush batch.
+
+    Scale posture: the sink holds hour×type groups over a fixed calendar
+    month — O(hours·types) rows regardless of SF; watermark state is the
+    same bound. Reference analogue: the poll loop's at-least-once window
+    (synchronous-pull.js:56-72) has no event-time reasoning at all — this
+    is the Spark-native semantics a migrating user gains."""
+    import glob
+    import shutil
+    import time as _time
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    w2, w3, w4 = "2024-01-08", "2024-01-15", "2024-01-22"
+    late = (F.col("ts") < w2) & (F.col("event_id") % 10 == 7)
+    batches = [
+        ev.filter((F.col("ts") < w2) & ~late),
+        ev.filter((F.col("ts") >= w2) & (F.col("ts") < w3)),
+        ev.filter((F.col("ts") >= w3) & (F.col("ts") < w4)),
+        ev.filter((F.col("ts") >= w4) | late),
+    ]
+    # numRowsDroppedByWatermark counts rows reaching the post-shuffle state
+    # operator — MERGED partial aggregates, one per distinct (window, type)
+    # group among the stragglers, not raw input rows (verified: 221 groups
+    # from 235 straggler rows at sf0.01, metric reads exactly 221).
+    n_late_groups = (
+        ev.filter(late)
+        .select(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .distinct()
+        .count()
+    )
+    if n_late_groups == 0:
+        raise RuntimeError("q_stream_late: no stragglers engineered; vacuous")
+    stage = _work_root("strm_late", sf_dir)
+    os.makedirs(stage)
+    tmp = stage + "_tmp"
+    base = _time.time() - 4000  # mtimes strictly increasing, all in the past
+    for i, b in enumerate(batches):
+        shutil.rmtree(tmp, ignore_errors=True)
+        b.coalesce(1).write.parquet(tmp)
+        dst = os.path.join(stage, f"batch{i}.parquet")
+        shutil.move(glob.glob(tmp + "/part-*.parquet")[0], dst)
+        os.utime(dst, (base + i * 60, base + i * 60))
+    shutil.rmtree(tmp, ignore_errors=True)
+    schema = spark.read.parquet(stage).schema
+    sink = "late_sink_" + os.path.basename(stage).rsplit("_", 2)[0][10:]
+    try:  # bench reruns in one session: replace the previous sink view
+        spark.catalog.dropTempView(sink)
+    except Exception:
+        pass
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        # watermarks demand TIMESTAMP; reinterpret the NTZ wall clock as UTC
+        # (same reasoning as q_stream_join: session-tz casts are ambiguous
+        # across DST transitions in whatever zone the harness runs)
+        .withColumn("tsu", F.to_utc_timestamp(F.col("ts"), "UTC"))
+        .withWatermark("tsu", "1 hour")
+        .groupBy(F.window("tsu", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_c").alias("sum_value_c"),
+        )
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if len(q.recentProgress) < 4:  # the per-batch watermark march IS the point
+        raise RuntimeError(
+            f"q_stream_late: expected >=4 micro-batches, got "
+            f"{len(q.recentProgress)}"
+        )
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in (p.get("stateOperators") or [])
+    )
+    if dropped != n_late_groups:
+        raise RuntimeError(
+            f"q_stream_late: watermark dropped {dropped} state rows, "
+            f"engineered {n_late_groups} straggler groups — late-data "
+            f"semantics not exercised"
+        )
+    return spark.table(sink).select(
+        F.convert_timezone(None, F.lit("UTC"), F.col("window.start")).alias(
+            "window_start"
+        ),
+        "event_type",
+        "n_events",
+        F.col("sum_value_c").cast("long").alias("sum_value_c"),
+    )
+
+
+@query(
     "q_mv_star_minmax",
     oracle="""
     WITH f AS (
@@ -1440,6 +1575,422 @@ def q_versioned_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     for part in parts[1:]:
         out = out.unionByName(part)
     return out
+
+
+@query(
+    "q_source_partitioned",
+    oracle="""
+    SELECT event_id % 7 AS bucket, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_c
+    FROM events
+    WHERE event_type IN ('purchase', 'error')
+    GROUP BY event_id % 7
+    """,
+)
+def q_source_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style DIRECTORY partitioning under the correctness gate
+    (sinks/parquet_layout.py write_partitioned / read_partition_pruned):
+    events are written partitioned by event_type, two partitions are read
+    back with partition-value filters, and the gate RAISES unless the
+    physical scan's file list is confined to those two directories —
+    i.e. the filter bound at FILE-LISTING time (PartitionFilters), not as
+    a row predicate after opening every file. The readback aggregate
+    hash-matches the oracle's filter over the raw parquet, proving the
+    partition columns round-trip losslessly through the directory
+    encoding (the value lives in the PATH, not the data files).
+
+    Scale posture: partition pruning is the coarsest, cheapest skipping
+    tier — O(1) directory lookups regardless of table size — and
+    composes with the manifest min/max + bloom tiers the versioned
+    tables add. Partition cardinality stays bounded (event types), the
+    classic guard against the small-files failure mode."""
+    from ..sinks.parquet_layout import read_partition_pruned, write_partitioned
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    root = _work_root("part_src", sf_dir)
+    write_partitioned(ev, root, ["event_type"])
+    parts = []
+    for etype in ["purchase", "error"]:
+        df = read_partition_pruned(spark, root, "event_type", etype)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        import re as _re
+
+        pf = _re.search(r"PartitionFilters: \[[^\]]*= %s\)" % etype, plan)
+        rowf = "DataFilters: []" in plan
+        if not pf or not rowf:
+            raise RuntimeError(
+                f"q_source_partitioned: {etype} filter did not bind at "
+                f"file-listing time (PartitionFilters missing or demoted "
+                f"to a row predicate)"
+            )
+        parts.append(df)
+    both = parts[0].unionByName(parts[1])
+    return both.groupBy((F.col("event_id") % 7).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value_c").cast("long").alias("sum_value_c"),
+    )
+
+
+@query(
+    "q_stream_txn",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_c
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_stream_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE multi-table streaming commits under the correctness
+    gate — the round-7 transaction protocol (sinks/transactions.py)
+    composed with foreachBatch: every micro-batch appends its rows to a
+    fact table AND its per-type rollup to a summary table in ONE atomic
+    transaction whose id is derived from the batch id. At-least-once
+    delivery is then exercised FOR REAL: batch 0 is re-delivered after the
+    stream finishes (the post-crash replay case) and must be a no-op —
+    the committed() probe sees its transaction marker and skips, enforced
+    in-gate by comparing versions before and after the replay. The final
+    summary must hash-match the oracle's batch aggregate over all events,
+    proving no batch was lost, duplicated, or half-applied across the two
+    tables.
+
+    This is the reference's ack discipline (synchronous-pull.js:88-92 —
+    ack only after the send lands) upgraded twice: N tables instead of
+    one endpoint, and exactly-once instead of at-least-once. Scale
+    posture: per batch, one manifest link per table + one O_EXCL marker;
+    nothing scales with table size."""
+    from ..sinks.transactions import MultiTableTxn, committed
+    from ..sinks.versioned import current_version, read_snapshot, write_snapshot
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    stage = _work_root("strm_txn", sf_dir)
+    ev.repartition(4).write.parquet(stage)
+    schema = spark.read.parquet(stage).schema
+
+    fact = _work_root("stxf", sf_dir)
+    summ = _work_root("stxs", sf_dir)
+    troot = _work_root("stxl", sf_dir)
+    empty = ev.filter(F.lit(False))
+    write_snapshot(empty, fact)                                     # v1
+    write_snapshot(
+        empty.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value_c").alias("sum_value_c")
+        ),
+        summ,
+    )                                                               # v1
+
+    replay_args: dict[int, object] = {}
+
+    def process(batch_df, batch_id: int) -> None:
+        txn_id = f"b{batch_id:06d}"
+        if committed(troot, txn_id):
+            return  # at-least-once redelivery of a landed batch: no-op
+        batch_df = batch_df.localCheckpoint(eager=True)  # evaluate once
+        replay_args.setdefault(batch_id, batch_df)
+        txn = MultiTableTxn(troot, txn_id=txn_id)
+        txn.stage_append(fact, batch_df)
+        txn.stage_append(
+            summ,
+            batch_df.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value_c").alias("sum_value_c"),
+            ),
+        )
+        txn.commit()
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", stage + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len([p for p in q.recentProgress if p.get("numInputRows")])
+    if n_batches < 4:  # one transaction per micro-batch IS the point
+        raise RuntimeError(
+            f"q_stream_txn: expected >=4 data micro-batches, got {n_batches}"
+        )
+    vf, vs = current_version(fact), current_version(summ)
+    if vf != vs or vf < 5:
+        raise RuntimeError(
+            f"q_stream_txn: expected lockstep versions >=5, got fact v{vf} "
+            f"summary v{vs}"
+        )
+    process(replay_args[0], 0)  # redeliver batch 0 — must be a no-op
+    if (current_version(fact), current_version(summ)) != (vf, vs):
+        raise RuntimeError(
+            "q_stream_txn: replayed batch was applied twice — exactly-once "
+            "contract broken"
+        )
+    return read_snapshot(spark, summ).groupBy("event_type").agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_value_c").cast("long").alias("sum_value_c"),
+    )
+
+
+@query(
+    "q_stream_stateful",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM Python stateful operator under the correctness gate
+    (streaming/stateful.py — applyInPandasWithState, the escape hatch for
+    semantics Spark's built-in stateful ops can't express): per-user
+    running (count, integer-cent total) state folds across ≥4 enforced
+    micro-batches, emitting one update row per touched user per batch.
+    Update mode means the memory sink accumulates EVERY emission, so the
+    final answer is recovered exactly as a user would: the per-user MAX of
+    each monotone running value — and that must hash-match the oracle's
+    plain batch GROUP BY. This pins the Arrow state round-trip (tuple in,
+    tuple out), per-key batching, and cross-batch state retention of the
+    Python worker path; the JVM-stateful twins are q_stream_tumbling /
+    _session / _dedup.
+
+    Scale posture: state is two longs per user (O(keys)); emissions per
+    batch are O(touched keys); the integer-cent grid makes the Python-side
+    float-free so partition order cannot perturb the hash."""
+    import glob
+    import shutil
+
+    import pandas as pd  # noqa: F401  (executor dependency, fail fast here)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    stage = _work_root("strm_state", sf_dir)
+    ev.repartition(4).write.parquet(stage)
+    schema = spark.read.parquet(stage).schema
+
+    def update(key, pdfs, state):
+        # self-contained: stdlib + pandas only (executor pickling discipline)
+        import pandas as pd
+
+        (uid,) = key
+        n, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += int(pdf["cents"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [uid], "n_events": [n], "total_cents": [total]}
+        )
+
+    sink = "state_sink_" + os.path.basename(stage).rsplit("_", 2)[0][10:]
+    try:  # bench reruns in one session: replace the previous sink view
+        spark.catalog.dropTempView(sink)
+    except Exception:
+        pass
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, total_cents long",
+            stateStructType="n_events long, total_cents long",
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len(q.recentProgress)
+    if n_batches < 4:  # cross-batch Python state retention IS the point
+        raise RuntimeError(
+            f"q_stream_stateful: expected >=4 micro-batches, got {n_batches}"
+        )
+    return spark.table(sink).groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_cents").alias("total_cents"),
+    )
+
+
+@query(
+    "q_versioned_txn",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_versioned_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TABLE atomic transactions under the correctness gate
+    (sinks/transactions.py — the catalog-level commit neither Delta nor
+    Iceberg gets from the table format alone): a fact table and its
+    per-type summary absorb the odd-events delta in ONE transaction. The
+    gate walks the protocol's worst moments and asserts consistency at
+    each: (1) an aborted transaction leaves both versions untouched;
+    (2) a crash right after the commit point — simulated by committing
+    without finalize — leaves both tables CONSISTENT-STALE (both CURRENTs
+    still at the pre-transaction version, enforced in-gate: one-new-one-old
+    raises); (3) recover() rolls both forward from the durable plan. The
+    final summary must hash-match the oracle's from-scratch aggregate over
+    ALL events — i.e. the summary absorbed exactly the delta the fact did.
+
+    Scale posture: prepare cost is O(staged files) manifest links, the
+    commit point is one O_EXCL create, finalize is one pointer write per
+    table — nothing scales with table size; readers pay zero (they follow
+    CURRENT exactly as before). Reference analogue: send-then-ack
+    (synchronous-pull.js:88-92), generalized to N tables exactly-once."""
+    from ..sinks.transactions import MultiTableTxn, recover
+    from ..sinks.versioned import current_version, read_snapshot, write_snapshot
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    fact = _work_root("txnf", sf_dir)
+    summ = _work_root("txns", sf_dir)
+    troot = _work_root("txnl", sf_dir)
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    write_snapshot(first, fact)                                      # v1
+    write_snapshot(
+        first.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value_c").alias("sum_value_c")
+        ),
+        summ,
+    )                                                                # v1
+
+    # (1) an aborted transaction must leave no trace on either table
+    bad = MultiTableTxn(troot)
+    bad.stage_append(fact, first.limit(5))
+    bad.stage_append(summ, read_snapshot(spark, summ).limit(1))
+    bad.abort()
+    if current_version(fact) != 1 or current_version(summ) != 1:
+        raise RuntimeError("q_versioned_txn: aborted txn moved a table")
+
+    # (2) commit the real delta, dying right after the commit point
+    delta = ev.filter(F.col("event_id") % 2 == 1)
+    txn = MultiTableTxn(troot)
+    txn.stage_append(fact, delta)
+    txn.stage_append(
+        summ,
+        delta.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value_c").alias("sum_value_c")
+        ),
+    )
+    txn.commit_without_finalize()
+    vf, vs = current_version(fact), current_version(summ)
+    if (vf, vs) != (1, 1):
+        raise RuntimeError(
+            f"q_versioned_txn: torn or early visibility (fact v{vf}, summary "
+            f"v{vs}) — atomicity contract broken"
+        )
+
+    # (3) roll forward from the durable plan
+    recover(troot)
+    if current_version(fact) != 2 or current_version(summ) != 2:
+        raise RuntimeError("q_versioned_txn: recover() did not finalize")
+    out = read_snapshot(spark, summ).groupBy("event_type").agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_value_c").cast("long").alias("sum_value_c"),
+    )
+    # fact and summary must agree exactly — the invariant the txn protects
+    fagg = read_snapshot(spark, fact).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value_c").cast("long").alias("sum_value_c"),
+    )
+    if out.exceptAll(fagg).count() != 0 or fagg.exceptAll(out).count() != 0:
+        raise RuntimeError("q_versioned_txn: fact and summary diverged")
+    return out
+
+
+@query(
+    "q_versioned_zorder",
+    oracle="""
+    SELECT event_id, user_id, event_type, ROUND(value, 2) AS value_r
+    FROM events WHERE event_id BETWEEN 1000 AND 1599
+    UNION ALL
+    SELECT event_id, user_id, event_type, ROUND(value, 2) AS value_r
+    FROM events WHERE user_id BETWEEN 10 AND 19
+    """,
+)
+def q_versioned_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER under the correctness gate (sinks/versioned.py
+    compact_snapshot(zorder_by=...) + sinks/parquet_layout zorder_key):
+    events are first written ROUND-ROBIN — every file spans the full range
+    of BOTH probe columns, so min/max boxes prune nothing — then compacted
+    with Morton-interleaved (event_id, user_id) clustering. After the
+    rewrite, a range probe on event_id AND a range probe on user_id must
+    EACH skip at least half the files via manifest min/max stats alone
+    (enforced in-gate: a non-pruning read raises, and the pre-compaction
+    version is asserted unprunable so the test cannot silently pass on a
+    conveniently-ordered source). Both pruned reads hash-match the oracle's
+    from-scratch range filters over the raw parquet.
+
+    Why this matters at 100 TB: a single-column sort gives tight boxes on
+    one dimension only; Z-ordering bounds BOTH — the multi-dimensional
+    analogue of clustering that lets two independent dashboards (by-event
+    and by-user) each scan O(result) files off the same table copy. File
+    count tracks rows (~50k rows/file) so per-file box tightness — and
+    hence the skip fraction — is scale-free (measured 4/16 and 6/16 files
+    kept vs 16/16 pre-compaction at sf0.01)."""
+    from ..sinks.versioned import (
+        compact_snapshot,
+        pruned_file_count,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.round("value", 2).alias("value_r")
+    )
+    table = _work_root("vzorder", sf_dir)
+    n = ev.count()
+    n_files = max(16, n // 50_000)
+    write_snapshot(ev.repartition(n_files), table)  # v1: boxes useless
+    compact_snapshot(
+        spark, table, target_files=n_files,
+        zorder_by=("event_id", "user_id"), zorder_bits=6,
+    )  # v2: Morton-clustered
+
+    probes = [("event_id", 1000, 1599), ("user_id", 10, 19)]
+    parts = []
+    for col, lo, hi in probes:
+        pre_kept, pre_total = pruned_file_count(table, (col, lo, hi), version=1)
+        if pre_kept < pre_total:
+            raise RuntimeError(
+                f"pre-compaction layout already prunes on {col} "
+                f"({pre_kept}/{pre_total}); the z-order assertion would be vacuous"
+            )
+        kept, total = pruned_file_count(table, (col, lo, hi))
+        if not kept <= total // 2:
+            raise RuntimeError(
+                f"z-order skip did not engage on {col}: {kept}/{total} files kept"
+            )
+        parts.append(
+            read_snapshot(spark, table, prune=(col, lo, hi)).filter(
+                F.col(col).between(lo, hi)
+            )
+        )
+    return parts[0].unionByName(parts[1])
 
 
 @query(

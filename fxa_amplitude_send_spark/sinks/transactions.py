@@ -1,0 +1,334 @@
+"""Multi-table ATOMIC transactions over versioned tables.
+
+Neither Delta nor Iceberg gives cross-table atomicity from the table format
+alone — it takes a catalog-level commit (Nessie, Unity). This module is that
+catalog piece for `sinks/versioned.py` tables, built from the same two
+primitives the single-table commit already trusts: immutable manifests
+linked with O_EXCL, and a monotone CURRENT pointer.
+
+Protocol (Percolator-style prepare / commit-point / roll-forward):
+
+1. PREPARE — for every participating table (in sorted-path order, so two
+   overlapping transactions conflict deterministically instead of
+   deadlocking), link the next version's manifest WITHOUT advancing
+   CURRENT. The manifest carries a ``txn`` stanza naming the transaction
+   and the full version plan. Readers resolve snapshots through CURRENT,
+   so a prepared-but-uncommitted manifest is invisible — a squatter on the
+   version slot, nothing more.
+2. COMMIT POINT — one O_CREAT|O_EXCL marker file in the transaction log.
+   Before the marker exists the transaction is in-doubt and abortable;
+   after, it is durably committed even if this process dies right now.
+3. FINALIZE — advance each table's CURRENT to the planned version (the
+   same monotone catch-up loop _commit uses). Crash mid-finalize leaves
+   tables CONSISTENT-STALE (their CURRENT lags; no reader ever sees half a
+   transaction), and anyone calling ``recover()`` / ``resolve_table()``
+   rolls the pointer forward from the durable marker.
+
+Commit and abort contend for ONE ``.resolved`` marker per transaction
+(O_EXCL link; the file's content is the outcome), so a racing owner-commit
+and operator force-abort settle to exactly one answer — never both. An
+aborted transaction's squatting manifests are unlinked; its staged data
+files are orphans for vacuum.
+
+Reference analogue: the reference acks a Pub/Sub batch only after the HTTP
+send succeeds (synchronous-pull.js:88-92) — a two-system commit discipline
+with at-least-once semantics. This is the exactly-once, N-table version.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .versioned import (
+    _CURRENT,
+    _MANIFEST_DIR,
+    _atomic_write,
+    _count_staged,
+    _manifest_path,
+    _read_manifest,
+    _stage_data_files,
+    _verify_staged_checks,
+    current_version,
+)
+
+
+class TxnConflict(RuntimeError):
+    """Another writer took a version slot this transaction needed."""
+
+
+def _marker(txn_root: str, txn_id: str) -> str:
+    return os.path.join(txn_root, f"{txn_id}.resolved")
+
+
+def _resolve(txn_root: str, txn_id: str, outcome: str) -> str:
+    """Settle the transaction exactly once: ONE marker file per
+    transaction, created with O_EXCL, its CONTENT the outcome — so a
+    racing owner-commit and force-abort are arbitrated by the filesystem
+    (two marker FILES, 'commit' beats a later 'abort' only by luck, would
+    be a decide-after-check race). Returns the outcome that actually won."""
+    target = _marker(txn_root, txn_id)
+    tmp = target + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(outcome)
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        pass
+    finally:
+        os.remove(tmp)
+    with open(target, encoding="utf-8") as fh:
+        return fh.read().strip()
+
+
+def txn_state(txn_root: str, txn_id: str) -> str:
+    """'committed' | 'aborted' | 'in-doubt'."""
+    target = _marker(txn_root, txn_id)
+    if not os.path.exists(target):
+        return "in-doubt"
+    with open(target, encoding="utf-8") as fh:
+        return "committed" if fh.read().strip() == "commit" else "aborted"
+
+
+def _advance_current(table: str, version: int) -> None:
+    """Monotone CURRENT catch-up — same loop as versioned._commit."""
+    while True:
+        cur = current_version(table)
+        if cur >= version:
+            break
+        _atomic_write(os.path.join(table, _MANIFEST_DIR, _CURRENT), str(version))
+        if current_version(table) >= version:
+            break
+
+
+def resolve_table(txn_root: str, table: str) -> int:
+    """Roll the table's CURRENT forward past any resolved squatting
+    manifests: committed transactions finalize, aborted ones unlink their
+    squatter. Returns the resolved current version. Raises TxnConflict on
+    an in-doubt squatter — only its owner (or a force-abort) may decide it."""
+    while True:
+        cur = current_version(table)
+        nxt = _manifest_path(table, cur + 1)
+        if not os.path.exists(nxt):
+            return cur
+        with open(nxt, encoding="utf-8") as fh:
+            man = json.load(fh)
+        txn = man.get("txn")
+        if txn is None:
+            # a normal commit whose writer died between manifest-link and
+            # pointer write: the manifest IS the commit — catch up.
+            _advance_current(table, cur + 1)
+            continue
+        state = txn_state(txn_root, txn["id"])
+        if state == "committed":
+            _advance_current(table, cur + 1)
+        elif state == "aborted":
+            try:
+                os.remove(nxt)
+            except FileNotFoundError:
+                pass
+        else:
+            raise TxnConflict(
+                f"table {table} blocked by in-doubt transaction {txn['id']} "
+                f"at version {cur + 1}; abort it or let its owner finish"
+            )
+
+
+def recover(txn_root: str) -> dict[str, str]:
+    """Resolve every transaction in the log: finalize committed ones
+    (idempotent roll-forward from the durable plan), clean aborted ones'
+    squatters, leave in-doubt ones untouched. Returns {txn_id: state}.
+    Safe to run from any process at any time — this is what turns a
+    mid-finalize crash into mere staleness."""
+    out: dict[str, str] = {}
+    if not os.path.isdir(txn_root):
+        return out
+    for name in sorted(os.listdir(txn_root)):
+        if not name.endswith(".json"):
+            continue
+        txn_id = name[: -len(".json")]
+        state = txn_state(txn_root, txn_id)
+        out[txn_id] = state
+        with open(os.path.join(txn_root, name), encoding="utf-8") as fh:
+            plan = json.load(fh)
+        if state == "committed":
+            for table, version in plan["tables"].items():
+                _advance_current(table, version)
+        elif state == "aborted":
+            for table, version in plan["tables"].items():
+                mp = _manifest_path(table, version)
+                if os.path.exists(mp):
+                    with open(mp, encoding="utf-8") as fh:
+                        man = json.load(fh)
+                    if (man.get("txn") or {}).get("id") == txn_id:
+                        try:
+                            os.remove(mp)
+                        except FileNotFoundError:
+                            pass
+    return out
+
+
+def committed(txn_root: str, txn_id: str) -> bool:
+    """True iff the transaction durably committed — the idempotence probe
+    for at-least-once batch delivery (a foreachBatch replay of a batch
+    whose transaction already committed must be a NO-OP, turning Spark's
+    at-least-once replay into exactly-once table state; same discipline as
+    versioned.append_snapshot_idempotent, generalized to N tables)."""
+    return txn_state(txn_root, txn_id) == "committed"
+
+
+def force_abort_txn(txn_root: str, txn_id: str, tables: list[str]) -> bool:
+    """Operator escape hatch for a transaction whose owner died in-doubt
+    (prepared, never reached the commit point): settle it aborted and free
+    the version slots it squats on. Refused — returns False — if the
+    transaction already committed (the marker race is decided by O_EXCL,
+    so a racing owner commit and force-abort cannot both win)."""
+    if _resolve(txn_root, txn_id, "abort") != "abort":
+        return False  # the owner's commit won the marker race
+    for t in tables:
+        mp = _manifest_path(t, current_version(t) + 1)
+        if os.path.exists(mp):
+            with open(mp, encoding="utf-8") as fh:
+                man = json.load(fh)
+            if (man.get("txn") or {}).get("id") == txn_id:
+                try:
+                    os.remove(mp)
+                except FileNotFoundError:
+                    pass
+    return True
+
+
+class MultiTableTxn:
+    """Stage appends to several versioned tables; commit them atomically.
+
+    >>> txn = MultiTableTxn(txn_root)
+    >>> txn.stage_append(fact_path, fact_delta)
+    >>> txn.stage_append(summary_path, summary_delta)
+    >>> versions = txn.commit()          # all-or-nothing
+
+    Staging writes data files immediately (they are invisible orphans until
+    commit; an abort leaves them to vacuum). ``commit()`` runs
+    prepare → marker → finalize; any prepare conflict auto-aborts and
+    raises TxnConflict with no visible effect on any table."""
+
+    def __init__(self, txn_root: str, txn_id: str | None = None) -> None:
+        os.makedirs(txn_root, exist_ok=True)
+        self.txn_root = txn_root
+        self.txn_id = txn_id or f"txn-{uuid.uuid4().hex}"
+        self._staged: dict[str, list[dict]] = {}
+        self._spark: SparkSession | None = None
+        self._done = False
+
+    # -- staging ----------------------------------------------------------
+    def stage_append(self, table: str, df: DataFrame) -> None:
+        """Stage an append to ``table`` (which must already exist — a
+        transaction coordinates EXISTING tables; create them first)."""
+        if self._done:
+            raise RuntimeError(f"transaction {self.txn_id} already resolved")
+        if current_version(table) == 0:
+            raise FileNotFoundError(f"no committed snapshot at {table}")
+        files = _stage_data_files(df, table)
+        _verify_staged_checks(df.sparkSession, table, files)
+        self._spark = df.sparkSession
+        self._staged.setdefault(table, []).extend(files)
+
+    # -- resolution -------------------------------------------------------
+    def commit(self) -> dict[str, int]:
+        if self._done:
+            raise RuntimeError(f"transaction {self.txn_id} already resolved")
+        if not self._staged:
+            raise RuntimeError("nothing staged")
+        tables = sorted(self._staged)
+        # version plan: resolve each table past settled squatters first
+        plan: dict[str, int] = {}
+        for t in tables:
+            plan[t] = resolve_table(self.txn_root, t) + 1
+        linked: list[str] = []
+        try:
+            for t in tables:
+                prev = _read_manifest(t, plan[t] - 1)
+                new_files = self._staged[t]
+                n_new = _count_staged(self._spark, t, new_files)
+                manifest = {
+                    "version": plan[t],
+                    "parent": plan[t] - 1,
+                    "kind": "append",
+                    "ts": __import__("time").time(),
+                    "files": prev["files"] + new_files,
+                    "n_rows": prev["n_rows"] + n_new,
+                    "schema": prev["schema"],
+                    "appended": [e["path"] for e in new_files],
+                    "txn": {"id": self.txn_id, "tables": plan},
+                }
+                if prev.get("dvs"):
+                    manifest["dvs"] = prev["dvs"]
+                mpath = _manifest_path(t, plan[t])
+                tmp = mpath + f".tmp-{uuid.uuid4().hex}"
+                with open(tmp, "w", encoding="utf-8") as fh:
+                    fh.write(json.dumps(manifest, indent=1))
+                try:
+                    os.link(tmp, mpath)
+                except FileExistsError:
+                    raise TxnConflict(
+                        f"version {plan[t]} of {t} taken by a concurrent writer"
+                    ) from None
+                finally:
+                    os.remove(tmp)
+                linked.append(mpath)
+        except TxnConflict:
+            # in-doubt and provably uncommitted (no marker): settle as
+            # aborted FIRST, then clean our squatters
+            _resolve(self.txn_root, self.txn_id, "abort")
+            for mp in linked:
+                try:
+                    os.remove(mp)
+                except FileNotFoundError:
+                    pass
+            self._done = True
+            raise
+        # durable plan, then the commit point
+        _atomic_write(
+            os.path.join(self.txn_root, f"{self.txn_id}.json"),
+            json.dumps({"tables": plan}, indent=1),
+        )
+        if _resolve(self.txn_root, self.txn_id, "commit") != "commit":
+            # a force-abort beat us to the marker; our squatters are gone
+            self._done = True
+            raise TxnConflict(f"transaction {self.txn_id} was force-aborted")
+        self._done = True
+        self._finalize(plan)
+        return plan
+
+    def _finalize(self, plan: dict[str, int]) -> None:
+        for t, v in plan.items():
+            _advance_current(t, v)
+
+    def commit_without_finalize(self) -> dict[str, int]:
+        """TEST SEAM: run prepare + commit point, skip finalize — the
+        'process died right after the marker' state. Every reader still
+        sees consistent pre-transaction snapshots; recover() completes it."""
+        finalize, self._finalize = self._finalize, lambda plan: None
+        try:
+            return self.commit()
+        finally:
+            self._finalize = finalize
+
+    def abort(self) -> None:
+        """Settle as aborted (refused once committed) and unlink squatters."""
+        if _resolve(self.txn_root, self.txn_id, "abort") != "abort":
+            raise RuntimeError(f"transaction {self.txn_id} already committed")
+        for t in self._staged:
+            cur = current_version(t)
+            mp = _manifest_path(t, cur + 1)
+            if os.path.exists(mp):
+                with open(mp, encoding="utf-8") as fh:
+                    man = json.load(fh)
+                if (man.get("txn") or {}).get("id") == self.txn_id:
+                    try:
+                        os.remove(mp)
+                    except FileNotFoundError:
+                        pass
+        self._done = True

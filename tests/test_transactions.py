@@ -1,0 +1,260 @@
+"""Multi-table atomic transactions (sinks/transactions.py): all-or-nothing
+visibility across N versioned tables, crash coherence at every protocol
+step, and single-winner arbitration between commit and force-abort.
+
+Reference parity anchor: the reference's send-then-ack discipline
+(synchronous-pull.js:88-92) is the two-system special case; these tests pin
+the N-table generalization."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from fxa_amplitude_send_spark.sinks.transactions import (
+    MultiTableTxn,
+    TxnConflict,
+    force_abort_txn,
+    recover,
+    resolve_table,
+    txn_state,
+)
+from fxa_amplitude_send_spark.sinks.versioned import (
+    append_snapshot,
+    current_version,
+    read_snapshot,
+    write_snapshot,
+)
+
+
+def _mk_tables(spark, tmp_path, n=2):
+    paths = []
+    for i in range(n):
+        p = str(tmp_path / f"t{i}")
+        write_snapshot(
+            spark.createDataFrame([Row(k=1, v=10 * (i + 1))]), p
+        )
+        paths.append(p)
+    return paths
+
+
+def test_commit_is_atomic_and_visible(spark, tmp_path):
+    a, b = _mk_tables(spark, tmp_path)
+    troot = str(tmp_path / "txlog")
+    txn = MultiTableTxn(troot)
+    txn.stage_append(a, spark.createDataFrame([Row(k=2, v=20)]))
+    txn.stage_append(b, spark.createDataFrame([Row(k=2, v=40)]))
+    plan = txn.commit()
+    assert plan == {a: 2, b: 2}
+    assert current_version(a) == 2 and current_version(b) == 2
+    assert read_snapshot(spark, a).count() == 2
+    assert read_snapshot(spark, b).count() == 2
+    assert txn_state(troot, txn.txn_id) == "committed"
+
+
+def test_crash_after_marker_is_stale_not_torn(spark, tmp_path):
+    """Death right after the commit point: both tables still read their OLD
+    snapshots (consistent-stale — never one-new-one-old), and recover()
+    finishes the job from the durable plan."""
+    a, b = _mk_tables(spark, tmp_path)
+    troot = str(tmp_path / "txlog")
+    txn = MultiTableTxn(troot)
+    txn.stage_append(a, spark.createDataFrame([Row(k=2, v=21)]))
+    txn.stage_append(b, spark.createDataFrame([Row(k=2, v=41)]))
+    txn.commit_without_finalize()
+    # plain readers: consistent pre-transaction state on BOTH tables
+    assert current_version(a) == 1 and current_version(b) == 1
+    assert read_snapshot(spark, a).count() == 1
+    assert txn_state(troot, txn.txn_id) == "committed"
+    states = recover(troot)
+    assert states[txn.txn_id] == "committed"
+    assert current_version(a) == 2 and current_version(b) == 2
+    assert read_snapshot(spark, b).count() == 2
+    # recover is idempotent
+    recover(troot)
+    assert current_version(a) == 2
+
+
+def test_resolve_table_rolls_single_table_forward(spark, tmp_path):
+    a, b = _mk_tables(spark, tmp_path)
+    troot = str(tmp_path / "txlog")
+    txn = MultiTableTxn(troot)
+    txn.stage_append(a, spark.createDataFrame([Row(k=3, v=22)]))
+    txn.stage_append(b, spark.createDataFrame([Row(k=3, v=42)]))
+    txn.commit_without_finalize()
+    assert resolve_table(troot, a) == 2
+    assert current_version(a) == 2
+    assert current_version(b) == 1  # untouched until ITS resolution
+    assert resolve_table(troot, b) == 2
+
+
+def test_abort_leaves_no_trace(spark, tmp_path):
+    a, b = _mk_tables(spark, tmp_path)
+    troot = str(tmp_path / "txlog")
+    txn = MultiTableTxn(troot)
+    txn.stage_append(a, spark.createDataFrame([Row(k=9, v=99)]))
+    txn.stage_append(b, spark.createDataFrame([Row(k=9, v=99)]))
+    txn.abort()
+    assert txn_state(troot, txn.txn_id) == "aborted"
+    assert current_version(a) == 1 and current_version(b) == 1
+    # slots are free again: a plain append works at version 2
+    append_snapshot(spark.createDataFrame([Row(k=5, v=50)]), a)
+    assert current_version(a) == 2
+    with pytest.raises(RuntimeError):
+        txn.commit()
+
+
+def test_in_doubt_blocks_then_force_abort_frees(spark, tmp_path):
+    """A prepared transaction whose owner vanished BEFORE the commit point:
+    resolve_table refuses to guess; force_abort settles it, frees the
+    slots, and the owner's late commit attempt must lose."""
+    troot = str(tmp_path / "txlog")
+    (tmp_path / "fresh").mkdir()
+    c, d = _mk_tables(spark, tmp_path / "fresh", n=2)
+    txn2 = MultiTableTxn(troot)
+    txn2.stage_append(c, spark.createDataFrame([Row(k=2, v=1)]))
+    txn2.stage_append(d, spark.createDataFrame([Row(k=2, v=2)]))
+    import fxa_amplitude_send_spark.sinks.transactions as tx
+
+    orig = tx._resolve
+    tx._resolve = lambda *a_, **k_: (_ for _ in ()).throw(SystemExit)
+    try:
+        with pytest.raises(SystemExit):
+            txn2.commit()
+    finally:
+        tx._resolve = orig
+    assert txn_state(troot, txn2.txn_id) == "in-doubt"
+    with pytest.raises(TxnConflict):
+        resolve_table(troot, c)
+    assert force_abort_txn(troot, txn2.txn_id, [c, d]) is True
+    assert resolve_table(troot, c) == 1
+    append_snapshot(spark.createDataFrame([Row(k=5, v=5)]), c)
+    assert current_version(c) == 2
+
+
+def test_force_abort_loses_to_committed_txn(spark, tmp_path):
+    a, b = _mk_tables(spark, tmp_path)
+    troot = str(tmp_path / "txlog")
+    txn = MultiTableTxn(troot)
+    txn.stage_append(a, spark.createDataFrame([Row(k=2, v=2)]))
+    txn.stage_append(b, spark.createDataFrame([Row(k=2, v=2)]))
+    txn.commit()
+    assert force_abort_txn(troot, txn.txn_id, [a, b]) is False
+    assert current_version(a) == 2  # nothing clawed back
+
+
+def test_prepare_conflict_autoaborts_cleanly(spark, tmp_path):
+    """A concurrent writer takes table b's slot between plan and link: the
+    transaction aborts itself, and table a — whose manifest WAS linked —
+    is left exactly as before."""
+    a, b = _mk_tables(spark, tmp_path)
+    troot = str(tmp_path / "txlog")
+    txn = MultiTableTxn(troot)
+    txn.stage_append(a, spark.createDataFrame([Row(k=2, v=2)]))
+    txn.stage_append(b, spark.createDataFrame([Row(k=2, v=2)]))
+
+    # a concurrent plain append wins b's slot AFTER the plan is resolved
+    # but before the manifest link — the narrowest race window
+    import fxa_amplitude_send_spark.sinks.transactions as tx
+
+    orig_resolve = tx.resolve_table
+
+    def racy(troot_, table):
+        v = orig_resolve(troot_, table)
+        if table == b:
+            append_snapshot(spark.createDataFrame([Row(k=7, v=7)]), b)
+        return v
+
+    tx.resolve_table = racy
+    try:
+        with pytest.raises(TxnConflict):
+            txn.commit()
+    finally:
+        tx.resolve_table = orig_resolve
+    assert txn_state(troot, txn.txn_id) == "aborted"
+    assert current_version(a) == 1
+    assert read_snapshot(spark, a).count() == 1
+    # a's slot is usable again
+    append_snapshot(spark.createDataFrame([Row(k=8, v=8)]), a)
+    assert read_snapshot(spark, a).count() == 2
+
+
+def test_committed_probe_gives_exactly_once_replay(spark, tmp_path):
+    """At-least-once redelivery: re-running a batch whose transaction id
+    already committed must be skippable via committed() — the N-table
+    analogue of append_snapshot_idempotent."""
+    from fxa_amplitude_send_spark.sinks.transactions import committed
+
+    a, b = _mk_tables(spark, tmp_path)
+    troot = str(tmp_path / "txlog")
+    df = spark.createDataFrame([Row(k=2, v=20)])
+
+    def deliver(batch_id):
+        txn_id = f"b{batch_id}"
+        if committed(troot, txn_id):
+            return False
+        txn = MultiTableTxn(troot, txn_id=txn_id)
+        txn.stage_append(a, df)
+        txn.stage_append(b, df)
+        txn.commit()
+        return True
+
+    assert deliver(0) is True
+    assert current_version(a) == 2
+    assert deliver(0) is False  # replay: no-op
+    assert current_version(a) == 2 and current_version(b) == 2
+    assert read_snapshot(spark, a).count() == 2
+
+
+def test_fact_and_summary_stay_consistent(spark, tmp_path, sf_smoke):
+    """The motivating pattern: fact + derived summary move in lockstep. At
+    every observable point, summary totals == fact totals."""
+    ev = (
+        spark.read.parquet(os.path.join(sf_smoke, "events.parquet"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("value_c"),
+        )
+    )
+    fact = str(tmp_path / "fact")
+    summ = str(tmp_path / "summary")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    write_snapshot(first, fact)
+    write_snapshot(
+        first.groupBy("event_type").agg(F.sum("value_c").alias("s")), summ
+    )
+    troot = str(tmp_path / "txlog")
+    delta = ev.filter(F.col("event_id") % 2 == 1)
+    txn = MultiTableTxn(troot)
+    txn.stage_append(fact, delta)
+    txn.stage_append(
+        summ, delta.groupBy("event_type").agg(F.sum("value_c").alias("s"))
+    )
+    txn.commit_without_finalize()
+
+    def consistent():
+        f = read_snapshot(spark, fact).groupBy("event_type").agg(
+            F.sum("value_c").alias("s")
+        )
+        s = read_snapshot(spark, summ).groupBy("event_type").agg(
+            F.sum("s").alias("s")
+        )
+        return (
+            f.join(s, "event_type", "full")
+            .filter(~f["s"].eqNullSafe(s["s"]))
+            .count()
+            == 0
+        )
+
+    assert consistent()  # pre-recovery: both stale
+    recover(troot)
+    assert consistent()  # post-recovery: both new
+    full = ev.groupBy("event_type").agg(F.sum("value_c").alias("s"))
+    got = read_snapshot(spark, summ).groupBy("event_type").agg(
+        F.sum("s").alias("s")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, full.collect()))
