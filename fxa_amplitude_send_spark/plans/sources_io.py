@@ -1925,11 +1925,18 @@ def q_versioned_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_versioned_zorder",
     oracle="""
+    WITH b AS (
+      SELECT MAX(event_id) // 10 AS lo_e,
+             MAX(event_id) // 10 + (MAX(event_id) * 6) // 100 AS hi_e,
+             MAX(user_id) // 10 AS lo_u,
+             MAX(user_id) // 10 + (MAX(user_id) * 6) // 100 AS hi_u
+      FROM events
+    )
     SELECT event_id, user_id, event_type, ROUND(value, 2) AS value_r
-    FROM events WHERE event_id BETWEEN 1000 AND 1599
+    FROM events, b WHERE event_id BETWEEN lo_e AND hi_e
     UNION ALL
     SELECT event_id, user_id, event_type, ROUND(value, 2) AS value_r
-    FROM events WHERE user_id BETWEEN 10 AND 19
+    FROM events, b WHERE user_id BETWEEN lo_u AND hi_u
     """,
 )
 def q_versioned_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1963,7 +1970,9 @@ def q_versioned_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", F.round("value", 2).alias("value_r")
     )
     table = _work_root("vzorder", sf_dir)
-    n = ev.count()
+    n, max_e, max_u = ev.agg(
+        F.count(F.lit(1)), F.max("event_id"), F.max("user_id")
+    ).first()
     n_files = max(16, n // 50_000)
     write_snapshot(ev.repartition(n_files), table)  # v1: boxes useless
     compact_snapshot(
@@ -1971,7 +1980,13 @@ def q_versioned_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         zorder_by=("event_id", "user_id"), zorder_bits=6,
     )  # v2: Morton-clustered
 
-    probes = [("event_id", 1000, 1599), ("user_id", 10, 19)]
+    # probe ranges DERIVED from the key domains (~10%..16%), pure integer
+    # arithmetic mirrored in the oracle's // expressions — a fixed literal
+    # range would be empty at sf0.001 and vanishing at sf100
+    probes = [
+        ("event_id", max_e // 10, max_e // 10 + (max_e * 6) // 100),
+        ("user_id", max_u // 10, max_u // 10 + (max_u * 6) // 100),
+    ]
     parts = []
     for col, lo, hi in probes:
         pre_kept, pre_total = pruned_file_count(table, (col, lo, hi), version=1)
