@@ -324,6 +324,314 @@ def llm_dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- portable MinHash-LSH: the full near-dup pipeline under the hash gate ---
+#
+# The production path (llm_dedup_near/_clusters) hashes with xxhash64, which
+# has no DuckDB twin, so it can only be gated rows-only with pytest P/R
+# floors. This variant swaps ONLY the hash primitive for the portable 52-bit
+# md5 fold (q_theta_sketch's trick) reduced mod the Mersenne prime 2^31-1 so
+# every product a*h + b stays < 2^62 (no BIGINT overflow in either engine),
+# and verifies candidates with EXACT set Jaccard on an integer predicate
+# (10*|A∩B| >= 7*|A∪B|) — zero floats anywhere. The plan SHAPE is identical
+# to production (per-row signature agg, band equi-join, candidate-only verify
+# join), so the oracle hash-MATCH certifies the LSH pipeline end to end:
+# banding, bucket join, pair dedup, and the verify join all agree with a
+# from-first-principles SQL twin.
+
+_MH_P = 2_147_483_647  # Mersenne prime 2^31-1
+_MH_K, _MH_BANDS = 16, 4
+
+
+def _mh_params() -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(20260816)
+    return [
+        (rng.randrange(1, _MH_P), rng.randrange(_MH_P)) for _ in range(_MH_K)
+    ]
+
+
+def _mh_oracle() -> str:
+    rows = _MH_K // _MH_BANDS
+    fold = (
+        "(list_reduce(list_transform(range(1, 14), j -> CAST(strpos("
+        "'0123456789abcdef', substr(md5('mh:' || tok), CAST(j AS INTEGER), 1))"
+        f" - 1 AS BIGINT)), (acc, d) -> acc * 16 + d) % {_MH_P})"
+    )
+    mins = ",\n           ".join(
+        f"MIN(({a} * hv + {b}) % {_MH_P}) AS s{i}"
+        for i, (a, b) in enumerate(_mh_params())
+    )
+    bands = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, {band} AS band, {key} AS bkey FROM sig".format(
+            band=i,
+            key=" || ',' || ".join(
+                f"CAST(s{i * rows + j} AS VARCHAR)" for j in range(rows)
+            ),
+        )
+        for i in range(_MH_BANDS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+        FROM documents WHERE doc_id < 500
+      ) WHERE tok <> ''
+    ), h AS (
+      SELECT doc_id, {fold} AS hv FROM tok
+    ), sig AS (
+      SELECT doc_id,
+           {mins}
+      FROM h GROUP BY doc_id
+    ), band AS (
+{bands}
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM band l JOIN band r
+        ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+    ), cnt AS (
+      SELECT doc_id, COUNT(*) AS c FROM tok GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS inter_cnt
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.doc_a
+      JOIN tok tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, i.inter_cnt,
+           ca.c + cb.c - i.inter_cnt AS union_cnt
+    FROM inter i
+    JOIN cnt ca ON ca.doc_id = i.doc_a
+    JOIN cnt cb ON cb.doc_id = i.doc_b
+    WHERE 10 * i.inter_cnt >= 7 * (ca.c + cb.c - i.inter_cnt)
+    """
+
+
+@query("llm_dedup_near_portable", oracle=_mh_oracle())
+def llm_dedup_near_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=16) + LSH(4 bands) + exact-Jaccard verify, hash-gated end
+    to end via portable md5-fold hashing (see the block comment above).
+    Same bounded slice as llm_dedup_near; the production xxhash64 path
+    stays the scale default (md5 is ~4x the cycles), this twin certifies
+    the pipeline's SEMANTICS cross-engine. Candidates come only from band
+    buckets (equi-join, never all-pairs); the verify join touches candidate
+    pairs' tokens only."""
+    rows = _MH_K // _MH_BANDS
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", "text")
+    )
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.col("text"), r"\s+"))
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    hv = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mh:"), F.col("tok"))), 1, 13),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(_MH_P)
+    )
+    hashed = tok.select("doc_id", hv.alias("hv"))
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("hv") + F.lit(b)) % F.lit(_MH_P)).alias(
+                f"s{i}"
+            )
+            for i, (a, b) in enumerate(_mh_params())
+        ]
+    )
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"s{i * rows + j}").cast("string")
+                            for j in range(rows)
+                        ],
+                    )
+                    for i in range(_MH_BANDS)
+                ]
+            )
+        ).alias("band", "bkey"),
+    )
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    cnt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    inter = (
+        cand.join(tok.alias("ta"), F.col("ta.doc_id") == F.col("doc_a"))
+        .join(
+            tok.alias("tb"),
+            (F.col("tb.doc_id") == F.col("doc_b"))
+            & (F.col("tb.tok") == F.col("ta.tok")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter_cnt"))
+    )
+    return (
+        inter.join(cnt.alias("ca"), F.col("ca.doc_id") == F.col("doc_a"))
+        .join(cnt.alias("cb"), F.col("cb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_cnt",
+            (F.col("ca.c") + F.col("cb.c") - F.col("inter_cnt")).alias(
+                "union_cnt"
+            ),
+        )
+        .filter(
+            F.lit(10) * F.col("inter_cnt")
+            >= F.lit(7) * F.col("union_cnt")
+        )
+    )
+
+
+_SH_BITS, _SH_CHUNKS, _SH_MAXHAM = 32, 4, 3
+
+
+def _sh_oracle() -> str:
+    cw = _SH_BITS // _SH_CHUNKS
+    return f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+        FROM documents WHERE doc_id < 500
+      ) WHERE tok <> ''
+    ), h AS (
+      SELECT doc_id,
+             list_reduce(list_transform(range(1, 14), j -> CAST(strpos(
+               '0123456789abcdef', substr(md5('sh:' || tok),
+               CAST(j AS INTEGER), 1)) - 1 AS BIGINT)),
+               (acc, d) -> acc * 16 + d) AS hv
+      FROM tok
+    ), votes AS (
+      SELECT doc_id, j,
+             CASE WHEN SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END)
+                  >= 0 THEN 1 ELSE 0 END AS b
+      FROM h, (SELECT unnest(range(0, {_SH_BITS})) AS j)
+      GROUP BY doc_id, j
+    ), fp AS (
+      SELECT doc_id, SUM(b * (CAST(1 AS BIGINT) << CAST(j AS INTEGER))) AS f
+      FROM votes GROUP BY doc_id
+    ), chunks AS (
+      SELECT doc_id, f, i, (f >> CAST({cw} * i AS INTEGER)) & {2**cw - 1} AS ck
+      FROM fp, (SELECT unnest(range(0, {_SH_CHUNKS})) AS i)
+    )
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+           bit_count(xor(l.f, r.f)) AS hamming
+    FROM chunks l JOIN chunks r
+      ON l.i = r.i AND l.ck = r.ck AND l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.f, r.f)) <= {_SH_MAXHAM}
+    """
+
+
+@query("llm_dedup_simhash_portable", oracle=_sh_oracle())
+def llm_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) near-dup pairs, hash-gated end to end: token hashes
+    are the portable 52-bit md5 fold, each token votes ±1 per bit, the
+    fingerprint is the per-bit sign (tie → 1), candidates come from an
+    equi-join on 4 disjoint 8-bit chunks — pigeonhole-COMPLETE for
+    hamming <= 3 (4 chunks, 3 flipped bits: one chunk must be intact, so
+    every qualifying pair shares >= 1 bucket; no recall loss, unlike
+    probabilistic LSH) — and the verify is integer bit_count(xor). The
+    production 64-bit xxhash path (llm_dedup_simhash) stays the scale
+    default; this twin certifies chunk banding + hamming verify
+    cross-engine. Same bounded slice as the other pair gates."""
+    cw = _SH_BITS // _SH_CHUNKS
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", "text")
+    )
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.col("text"), r"\s+"))
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.lit("sh:"), F.col("tok"))), 1, 13), 16, 10
+    ).cast("long")
+    votes = (
+        tok.select("doc_id", hv.alias("hv"))
+        .select(
+            "doc_id",
+            "hv",
+            F.explode(F.sequence(F.lit(0), F.lit(_SH_BITS - 1))).alias("j"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(
+            F.when(
+                F.sum(
+                    # shift amount is a column: the SQL form of shiftright
+                    # accepts expressions where the Python API wants an int
+                    F.when(
+                        F.expr("shiftright(hv, j)").bitwiseAND(F.lit(1)) == 1,
+                        1,
+                    ).otherwise(-1)
+                )
+                >= 0,
+                1,
+            )
+            .otherwise(0)
+            .alias("b")
+        )
+    )
+    fp = votes.groupBy("doc_id").agg(
+        F.sum(F.expr("cast(b as bigint) * shiftleft(cast(1 as bigint), j)"))
+        .alias("f")
+    )
+    chunks = fp.select(
+        "doc_id",
+        "f",
+        F.explode(F.sequence(F.lit(0), F.lit(_SH_CHUNKS - 1))).alias("i"),
+    ).withColumn(
+        "ck",
+        F.expr(f"shiftright(f, i * {cw})").bitwiseAND(F.lit(2**cw - 1)),
+    )
+    ham = F.bit_count(F.col("l.f").bitwiseXOR(F.col("r.f")))
+    return (
+        chunks.alias("l")
+        .join(
+            chunks.alias("r"),
+            (F.col("l.i") == F.col("r.i"))
+            & (F.col("l.ck") == F.col("r.ck"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .filter(ham <= _SH_MAXHAM)
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )
+
+
 @query("llm_dedup_simhash")  # rows-only: fingerprint bit layout is ours
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 fingerprints + hamming<=3 pairs via the 4-chunk pigeonhole
