@@ -1923,6 +1923,85 @@ def q_versioned_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_versioned_txn_read",
+    oracle="""
+    SELECT tbl, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_c
+    FROM (
+      SELECT 'fact' AS tbl, event_type, value FROM events
+      WHERE event_id % 3 < 2
+      UNION ALL
+      SELECT 'dim' AS tbl, event_type, value FROM events
+      WHERE event_id % 3 <> 1
+    ) GROUP BY tbl, event_type
+    """,
+)
+def q_versioned_txn_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """READ-SIDE cross-table consistency under the correctness gate
+    (sinks/transactions.py consistent_snapshot): finalize advances one
+    CURRENT pointer at a time, so after a mid-finalize crash a naive
+    reader joining fact and dim sees HALF a transaction — fact with the
+    delta, dim without. The gate manufactures exactly that torn state
+    (commit without finalize, then roll only the fact forward; the tear
+    is asserted real in-gate), then consistent_snapshot must pin both
+    tables at the transaction's planned versions — performing the
+    Percolator-style reader roll-forward — and re-pinning must be stable.
+    The tagged union over the pinned reads hash-matches an oracle holding
+    BOTH tables' deltas: the reader saw all of the transaction, not half.
+
+    Scale posture: the vector costs O(tables) pointer reads per pass
+    (fixpoint ~2 passes when quiescent) — independent of table size,
+    transaction history, and file count."""
+    from ..sinks.transactions import (
+        MultiTableTxn,
+        consistent_snapshot,
+        resolve_table,
+    )
+    from ..sinks.versioned import current_version, read_snapshot, write_snapshot
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    fact = _work_root("txncf", sf_dir)
+    dim = _work_root("txncd", sf_dir)
+    troot = _work_root("txncl", sf_dir)
+    base = ev.filter(F.col("event_id") % 3 == 0)
+    write_snapshot(base, fact)                                       # v1
+    write_snapshot(base, dim)                                        # v1
+
+    txn = MultiTableTxn(troot)
+    txn.stage_append(fact, ev.filter(F.col("event_id") % 3 == 1))
+    txn.stage_append(dim, ev.filter(F.col("event_id") % 3 == 2))
+    plan = txn.commit_without_finalize()   # crash right after the marker
+    resolve_table(troot, fact)             # ...mid-finalize: fact advanced
+    vf, vd = current_version(fact), current_version(dim)
+    if (vf, vd) != (2, 1):
+        raise RuntimeError(
+            f"q_versioned_txn_read: expected the torn state (fact v2, dim "
+            f"v1) the API exists to fix, got fact v{vf}, dim v{vd}"
+        )
+    vec = consistent_snapshot(troot, [fact, dim])
+    if vec != plan:
+        raise RuntimeError(
+            f"q_versioned_txn_read: vector {vec} != txn plan {plan}"
+        )
+    if consistent_snapshot(troot, [fact, dim]) != vec:
+        raise RuntimeError("q_versioned_txn_read: re-pin was not stable")
+    f = read_snapshot(spark, fact, version=vec[fact])
+    d = read_snapshot(spark, dim, version=vec[dim])
+    tagged = f.withColumn("tbl", F.lit("fact")).unionByName(
+        d.withColumn("tbl", F.lit("dim"))
+    )
+    return tagged.groupBy("tbl", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value_c").cast("long").alias("sum_value_c"),
+    )
+
+
+@query(
     "q_versioned_zorder",
     oracle="""
     WITH b AS (
@@ -2355,6 +2434,68 @@ def q_versioned_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     v3 = restore_snapshot(table, 1)
     if snapshot_info(table, 2)["n_rows"] <= snapshot_info(table, v3)["n_rows"]:
         raise RuntimeError("the bad version must remain time-travelable")
+    back = read_snapshot(spark, table)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "q_versioned_vacuum",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE NOT (event_id % 5 = 3)
+    GROUP BY event_type
+    """,
+)
+def q_versioned_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM under the correctness gate (sinks/versioned.py vacuum): a
+    full lifecycle — write (8 files), MoR delete (live deletion vectors),
+    compact (materializes the DVs into 2 fresh files) — then vacuum at
+    retain_versions=1 must physically unlink EVERY pre-compaction data
+    file (enforced in-gate against the v1 manifest's file list and the
+    filesystem), time travel to the expired version must REFUSE rather
+    than return wrong bytes, a second vacuum must be a no-op, and the
+    surviving CURRENT must still hash-match the oracle's plain filter —
+    proving retention never touches the readable surface. At 100 TB this
+    is the storage-reclaim path: never-referenced-by-retained semantics
+    mean a reader of any retained version cannot lose files mid-query."""
+    import os as _os
+
+    from ..sinks.versioned import (
+        compact_snapshot,
+        delete_snapshot_mor,
+        read_snapshot,
+        snapshot_info,
+        vacuum,
+        write_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    table = _work_root("vvacuum", sf_dir)
+    write_snapshot(ev.repartition(8), table)              # v1: 8 files
+    delete_snapshot_mor(spark, table, "event_id % 5 = 3")  # v2: DVs live
+    compact_snapshot(spark, table, target_files=2)        # v3: fresh files
+    pre = [e["path"] for e in snapshot_info(table, 1)["files"]]
+    deleted = set(vacuum(table, retain_versions=1))
+    missed = [p for p in pre if p not in deleted]
+    if missed:
+        raise RuntimeError(f"vacuum left expired data files behind: {missed}")
+    still = [p for p in pre if _os.path.exists(_os.path.join(table, p))]
+    if still:
+        raise RuntimeError(f"vacuum reported but did not unlink: {still}")
+    try:
+        read_snapshot(spark, table, version=1)
+    except FileNotFoundError:
+        pass
+    else:
+        raise RuntimeError("time travel to a vacuumed version must refuse")
+    if vacuum(table, retain_versions=1):
+        raise RuntimeError("second vacuum must be a no-op")
     back = read_snapshot(spark, table)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),

@@ -104,11 +104,13 @@ def _advance_current(table: str, version: int) -> None:
             break
 
 
-def resolve_table(txn_root: str, table: str) -> int:
-    """Roll the table's CURRENT forward past any resolved squatting
-    manifests: committed transactions finalize, aborted ones unlink their
-    squatter. Returns the resolved current version. Raises TxnConflict on
-    an in-doubt squatter — only its owner (or a force-abort) may decide it."""
+def _roll_forward(txn_root: str, table: str, *, block_on_in_doubt: bool) -> int:
+    """Shared roll-forward loop: advance CURRENT past resolved squatters
+    (committed → finalize, aborted → unlink). An in-doubt squatter either
+    raises (writer path: the slot is contended, the caller must not reuse
+    it) or terminates the walk (reader path: an undecided transaction is
+    invisible through CURRENT by design, so the pre-transaction snapshot
+    IS the consistent answer)."""
     while True:
         cur = current_version(table)
         nxt = _manifest_path(table, cur + 1)
@@ -130,11 +132,54 @@ def resolve_table(txn_root: str, table: str) -> int:
                 os.remove(nxt)
             except FileNotFoundError:
                 pass
-        else:
+        elif block_on_in_doubt:
             raise TxnConflict(
                 f"table {table} blocked by in-doubt transaction {txn['id']} "
                 f"at version {cur + 1}; abort it or let its owner finish"
             )
+        else:
+            return cur
+
+
+def resolve_table(txn_root: str, table: str) -> int:
+    """Roll the table's CURRENT forward past any resolved squatting
+    manifests: committed transactions finalize, aborted ones unlink their
+    squatter. Returns the resolved current version. Raises TxnConflict on
+    an in-doubt squatter — only its owner (or a force-abort) may decide it."""
+    return _roll_forward(txn_root, table, block_on_in_doubt=True)
+
+
+def consistent_snapshot(txn_root: str, tables: list[str]) -> dict[str, int]:
+    """Pin a CROSS-TABLE-consistent version vector for a reader.
+
+    Per-table CURRENT pointers advance one at a time during finalize, so a
+    naive reader joining two tables mid-finalize can see table A with a
+    transaction's rows and table B without them — half a transaction,
+    exactly what the writer protocol promises never to expose. This is the
+    read-side fix: each table is rolled forward past every RESOLVED
+    squatter (any reader may perform the Percolator-style roll-forward;
+    in-doubt transactions stay invisible), then the whole vector is
+    re-resolved until two consecutive passes agree.
+
+    Why the fixpoint is sufficient: versions are monotone, so vec_prev ==
+    vec means no participating table advanced between its read in the
+    previous pass and its read in this one — the passes overlap in time, so
+    no transaction's commit point landed inside the vector's read window.
+    A transaction committed before the window is fully included in every
+    table (roll-forward); one committed after is fully excluded. Reads then
+    pin ``read_snapshot(version=vec[t])``, immune to later commits.
+
+    Cost: O(tables) pointer reads per pass, ~2 passes when quiescent —
+    nothing scales with table size or transaction history."""
+    prev: dict[str, int] | None = None
+    while True:
+        vec = {
+            t: _roll_forward(txn_root, t, block_on_in_doubt=False)
+            for t in sorted(tables)
+        }
+        if vec == prev:
+            return vec
+        prev = vec
 
 
 def recover(txn_root: str) -> dict[str, str]:

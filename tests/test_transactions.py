@@ -258,3 +258,54 @@ def test_fact_and_summary_stay_consistent(spark, tmp_path, sf_smoke):
         F.sum("s").alias("s")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_consistent_snapshot_lifts_lagging_table(spark, tmp_path):
+    """Mid-finalize tear: one table's CURRENT advanced, the other lagging.
+    consistent_snapshot must pin BOTH at the txn's planned versions."""
+    from fxa_amplitude_send_spark.sinks.transactions import consistent_snapshot
+
+    a, b = _mk_tables(spark, tmp_path)
+    troot = str(tmp_path / "log")
+    txn = MultiTableTxn(troot)
+    txn.stage_append(a, spark.createDataFrame([Row(k=2, v=20)]))
+    txn.stage_append(b, spark.createDataFrame([Row(k=2, v=40)]))
+    plan = txn.commit_without_finalize()
+    resolve_table(troot, a)  # finalize table a only — the torn state
+    assert (current_version(a), current_version(b)) == (2, 1)
+    vec = consistent_snapshot(troot, [a, b])
+    assert vec == plan
+    assert consistent_snapshot(troot, [a, b]) == vec  # stable re-pin
+    got = read_snapshot(spark, b, version=vec[b]).count()
+    assert got == 2  # the lifted read sees the txn's append
+
+
+def test_consistent_snapshot_excludes_in_doubt(spark, tmp_path, monkeypatch):
+    """A transaction that died BEFORE its commit point (manifests linked,
+    no marker) is in-doubt: the writer-path resolve_table must refuse the
+    slot, while the reader-path consistent_snapshot must return the
+    pre-transaction vector — undecided work stays invisible, not torn."""
+    from fxa_amplitude_send_spark.sinks import transactions as tx
+
+    a, b = _mk_tables(spark, tmp_path)
+    troot = str(tmp_path / "log")
+    txn = MultiTableTxn(troot)
+    txn.stage_append(a, spark.createDataFrame([Row(k=2, v=20)]))
+    txn.stage_append(b, spark.createDataFrame([Row(k=2, v=40)]))
+
+    real_resolve = tx._resolve
+
+    def die_before_marker(root, txn_id, outcome):
+        raise RuntimeError("crash before the commit point")
+
+    monkeypatch.setattr(tx, "_resolve", die_before_marker)
+    with pytest.raises(RuntimeError, match="crash before"):
+        txn.commit()
+    monkeypatch.setattr(tx, "_resolve", real_resolve)
+
+    assert txn_state(troot, txn.txn_id) == "in-doubt"
+    vec = tx.consistent_snapshot(troot, [a, b])
+    assert vec == {a: 1, b: 1}  # pre-transaction, both sides
+    with pytest.raises(TxnConflict):
+        resolve_table(troot, a)  # writer path still refuses the slot
+    assert read_snapshot(spark, a, version=vec[a]).count() == 1
