@@ -1140,6 +1140,90 @@ def llm_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_knn_label_exact",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec,
+             label AS true_label
+      FROM embeddings WHERE vec_id % 97 = 0 AND vec_id < 2000
+    ), scored AS (
+      SELECT q.query_id, q.true_label, e.vec_id, e.label,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          q.qvec), 6) AS cs
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id
+    ), topk AS (
+      SELECT query_id, true_label, label FROM (
+        SELECT query_id, true_label, label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cs DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ), votes AS (
+      SELECT query_id, true_label, label, COUNT(*) AS n_votes
+      FROM topk GROUP BY query_id, true_label, label
+    )
+    SELECT query_id, true_label, label AS pred_label, n_votes FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY n_votes DESC, label) AS vr
+      FROM votes
+    ) WHERE vr = 1
+    """,
+)
+def llm_knn_label_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-kNN majority-label vote under the full hash gate — the oracle
+    twin of llm_knn_label's ANN path. The query set is bounded (vec_id %
+    97 == 0 below 2000: <= 21 queries at EVERY scale) and broadcast, so
+    the scan side is one linear pass over the corpus regardless of SF.
+    Ranking uses the 6-dp-rounded cosine with vec_id tie-break (the
+    llm_sim_topk discipline — rounding absorbs the one-ULP cross-engine
+    noise, the tie-break makes the cutoff deterministic), votes break ties
+    toward the smaller label. Both the neighbor cutoff and the argmax are
+    therefore bit-reproducible cross-engine."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter((F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 2000)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("true_label"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            "vec_id",
+            "label",
+            F.round(
+                cosine_similarity_col(F.col("embedding"), F.col("qvec")), 6
+            ).alias("cs"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cs").desc(), F.col("vec_id")
+    )
+    topk = scored.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= 5
+    )
+    votes = topk.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id", "true_label", F.col("label").alias("pred_label"),
+            "n_votes",
+        )
+    )
+
+
+@query(
     "llm_corpus_curate",
     oracle="""
     WITH scored AS (

@@ -364,6 +364,8 @@ def test_no_cartesian_product_in_any_registered_query(spark, sf_smoke):
         "q_rolling_distinct",  # O(days) spine broadcast, BETWEEN range join
         "q_rolling_distinct_hll",  # same spine join over O(days) HLL sketches
         "llm_sim_topk",        # broadcast single query vector
+        "llm_knn_label_exact", # broadcast bounded query set (<=21 rows at
+                               # every SF by construction)
         "llm_cluster_assign",  # broadcast fixed centroid list
         "llm_dedup_semantic",  # broadcast fixed centroid list (SemDeDup assign)
         "q_theta_sketch",      # 1-row theta/exact-count scalar broadcasts
