@@ -1713,7 +1713,10 @@ def q_stream_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
         .writeStream.foreachBatch(process)
-        .option("checkpointLocation", stage + "_ckpt")
+        # the checkpoint must live in its own _work_root: a bare sibling
+        # path ("stage_ckpt") survives in-session reruns, so batch ids
+        # resume at 4 and the replay probe's batch 0 never exists
+        .option("checkpointLocation", _work_root("strm_txn_ckpt", sf_dir))
         .trigger(availableNow=True)
         .start()
     )

@@ -309,3 +309,15 @@ def test_consistent_snapshot_excludes_in_doubt(spark, tmp_path, monkeypatch):
     with pytest.raises(TxnConflict):
         resolve_table(troot, a)  # writer path still refuses the slot
     assert read_snapshot(spark, a, version=vec[a]).count() == 1
+
+
+def test_stream_txn_gate_reruns_cleanly(spark, sf_smoke):
+    """bench.py executes every query twice in one session (best-of-2); the
+    gate's streaming checkpoint must not leak between runs, or batch ids
+    resume past 0 and the replay probe dereferences a batch that never
+    arrived (the KeyError the sf0.1 bench caught)."""
+    from fxa_amplitude_send_spark.plans import all_queries
+
+    fn = all_queries()["q_stream_txn"]
+    for _ in range(2):
+        assert fn(spark, sf_smoke).count() > 0
