@@ -1457,6 +1457,111 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_join_outer",
+    oracle="""
+    WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts, value FROM events
+          WHERE event_type = 'purchase'),
+    wm AS (
+      SELECT LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+             - INTERVAL 60 MINUTE AS w
+    )
+    SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts,
+           CAST(ROUND(p.value * 100) AS BIGINT) AS value_c
+    FROM c JOIN p
+      ON c.user_id = p.user_id AND c.ts < p.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    UNION ALL
+    SELECT c.user_id, c.ts AS click_ts,
+           CAST(NULL AS TIMESTAMP) AS purchase_ts,
+           CAST(NULL AS BIGINT) AS value_c
+    FROM c, wm
+    WHERE c.ts + INTERVAL 30 MINUTE < wm.w
+      AND NOT EXISTS (
+        SELECT 1 FROM p WHERE p.user_id = c.user_id
+          AND c.ts < p.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      )
+    """,
+)
+def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join with a REAL watermark under
+    the correctness gate — the semantics q_stream_join's no-drop inner
+    variant cannot exercise: a click with no purchase in its 30-minute
+    window is emitted null-padded ONLY once the watermark passes the
+    window's end (a row cannot be declared unmatched while a matching
+    purchase could still arrive), and clicks whose window is still open
+    when the finite replay ends are NEVER emitted. The oracle derives the
+    final watermark from first principles — min of the two streams' max
+    event times (Spark's default multipleWatermarkPolicy) minus the
+    60-minute delay — so the expiry boundary itself is hash-gated:
+    matched pairs = the batch interval join, null rows = unmatched clicks
+    with window_end strictly below the final watermark. Integer-cents
+    grid; NTZ→instant cast discipline as in q_stream_join."""
+    from ..streaming.pipeline import stream_stream_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    c_dir = _work_root("sjoc", sf_dir)
+    p_dir = _work_root("sjop", sf_dir)
+    clicks.repartition(2).write.parquet(c_dir)
+    purch.repartition(2).write.parquet(p_dir)
+    as_instant = lambda df: df.withColumn(  # noqa: E731
+        "tsu", F.to_utc_timestamp(F.col("ts"), "UTC")
+    )
+    cs = as_instant(
+        spark.readStream.schema(spark.read.parquet(c_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(c_dir)
+    )
+    ps = as_instant(
+        spark.readStream.schema(spark.read.parquet(p_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(p_dir)
+    )
+    joined = stream_stream_interval_join(
+        cs, ps, key="user_id", left_ts="tsu", right_ts="tsu",
+        max_delay="30 minutes", watermark="60 minutes", how="left_outer",
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.ts").alias("click_ts"),
+        F.col("r.ts").alias("purchase_ts"),
+        F.col("r.value_c").alias("value_c"),
+    )
+    sink = "sjo_sink_" + os.path.basename(c_dir).rsplit("_", 2)[0][10:]
+    try:
+        spark.catalog.dropTempView(sink)
+    except Exception:
+        pass
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    if len(q.recentProgress) < 2:  # cross-batch state buffering IS the point
+        raise RuntimeError("q_stream_join_outer: expected multiple micro-batches")
+    out = spark.table(sink)
+    if out.filter(F.col("purchase_ts").isNull()).limit(1).count() == 0:
+        raise RuntimeError(
+            "q_stream_join_outer: no null-padded rows — the outer path "
+            "(watermark-expiry emission) was never exercised"
+        )
+    return out
+
+
+@query(
     "q_cdf_read",
     oracle="""
     WITH src AS (
