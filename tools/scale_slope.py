@@ -26,6 +26,7 @@ from __future__ import annotations
 import csv
 import json
 import os
+import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EV = os.path.join(REPO, "evidence")
@@ -51,13 +52,31 @@ def _load_latest(*names):
 
 
 def main() -> None:
-    sim01 = _load_latest("driver_sim_sf0.1_r6f.json", "driver_sim_sf0.1_r6.json", "driver_sim_sf0.1_r5.json")
-    sim1 = _load_latest("driver_sim_sf1_r6f.json", "driver_sim_sf1_r6.json", "driver_sim_sf1_r5.json")
-    sim10 = _load("driver_sim_sf10_money_r6.json")
-    sim100 = _load("driver_sim_sf100_money_r6.json")
-    b01 = _load("bench_sf0.1_slowest.json").get("queries", {})
-    b1 = _load("bench_sf1_slowest.json").get("queries", {})
-    b10 = _load("bench_sf10_slowest.json").get("queries", {})
+    # Containers differ uniformly in speed across rounds (~1.25x r6->r7,
+    # BASELINE.md), so every ratio column must divide SAME-container
+    # numbers: `python tools/scale_slope.py r7` builds scale_slope_r7.csv
+    # purely from round-7-container runs; the default keeps the round-6
+    # CSV reproducible from its own records.
+    r7 = len(sys.argv) > 1 and sys.argv[1] == "r7"
+    if r7:
+        sim01 = _load("driver_sim_sf0.1_r7.json")
+        sim1 = _load_latest("driver_sim_sf1_r7b.json", "driver_sim_sf1_r7.json")
+        sim10 = _load("driver_sim_sf10_money_r7.json")
+        sim100 = _load("driver_sim_sf100_q89_r7.json")
+        # bench columns come from the SOLO full-registry runs (best-of-2,
+        # uncontended) — the r7 sim timings were recorded while pytest ran
+        # concurrently, so only their hash statuses are load-bearing
+        b01 = _load("bench_sf0.1_r7.json").get("queries", {})
+        b1 = _load("bench_sf1_full_r7.json").get("queries", {})
+        b10 = _load("bench_sf10_slowest_r7.json").get("queries", {})
+    else:
+        sim01 = _load_latest("driver_sim_sf0.1_r6f.json", "driver_sim_sf0.1_r6.json", "driver_sim_sf0.1_r5.json")
+        sim1 = _load_latest("driver_sim_sf1_r6f.json", "driver_sim_sf1_r6.json", "driver_sim_sf1_r5.json")
+        sim10 = _load("driver_sim_sf10_money_r6.json")
+        sim100 = _load("driver_sim_sf100_money_r6.json")
+        b01 = _load("bench_sf0.1_slowest.json").get("queries", {})
+        b1 = _load("bench_sf1_slowest.json").get("queries", {})
+        b10 = _load("bench_sf10_slowest.json").get("queries", {})
 
     t01 = sim01.get("timings", {})
     t1 = sim1.get("timings", {})
@@ -103,7 +122,7 @@ def main() -> None:
                      bb01 or "", bb1 or "", br, bb10 or "", br10,
                      flag, res1.get(n, ""), res10.get(n, ""), res100.get(n, "")])
 
-    out = os.path.join(EV, "scale_slope.csv")
+    out = os.path.join(EV, "scale_slope_r7.csv" if r7 else "scale_slope.csv")
     with open(out, "w", newline="") as fh:
         w = csv.writer(fh)
         w.writerow(["query", "spark_sf0.1_sec", "spark_sf1_sec", "spark_ratio_1",
