@@ -2531,6 +2531,25 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _broadcast_if_small(df: DataFrame, cap_rows: int = 16_000_000) -> DataFrame:
+    """Size-ADAPTIVE build-side selection for slim (keys + one attribute)
+    relations: broadcast iff an exact driver-side count says the hashed
+    build fits comfortably in executor memory (16 M rows × ~16 B ≈ 256 MB),
+    else leave the join to AQE's shuffle strategies.
+
+    This is the explicit form of what catalog statistics give a CBO.
+    Catalyst's 10 MB autoBroadcast estimate is taken from file sizes of the
+    UNFILTERED scan, so a 16.7 %-selective dim filter (q8's ECONOMY part
+    keys: 3.3 M rows = 26 MB at sf100) never qualifies even though
+    broadcasting it removes a fact-table-sized exchange; and a blanket
+    session-wide threshold raise would gamble every other join. The count
+    costs one column-pruned scan of the dim (sub-second at any SF that can
+    possibly pass the cap) and buys the fact-side shuffle; past the cap —
+    e.g. the true-100 TB design point where the key set itself is
+    executor-sized — the plan degrades to exactly what it was before."""
+    return F.broadcast(df) if df.count() <= cap_rows else df
+
+
 @query(
     "q_tpch_q8",
     oracle="""
@@ -2576,9 +2595,16 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
       to ONE double before the exchange; part enters as a keys-only LEFT
       SEMI build (p_partkey is unique, so semi ≡ inner here).
 
-    no broadcast hint on supplier or part: both grow linearly with SF
-    (sf × 10k / 20k rows), so a hard hint would OOM executors at the 100 TB
-    design point. AQE's size-based choice broadcasts them only while small.
+    Build-side strategy (round-7b, after the sf100 re-measure still showed
+    an 18.5× decade on the partkey exchange): the part key set and the
+    (s_suppkey, nation) projection are slim relations whose FILTERED size
+    Catalyst cannot see (its 10 MB estimate uses unfiltered file sizes), so
+    both go through _broadcast_if_small — an exact driver-side count
+    broadcasts them while the hashed build fits (3.3 M part keys = 26 MB at
+    sf100, removing the 600 M-row × 19 GB lineitem shuffle AND its sort;
+    1 M suppliers = 16 MB, removing the suppkey exchange), and degrades to
+    the old shuffle plan past the cap — a HARD hint here would OOM at the
+    true-100 TB key counts, which is why round-7a declined it.
     """
     p_keys = (
         _t(spark, sf_dir, "part")
@@ -2623,8 +2649,12 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_year")
     )
     return (
-        l.join(p_keys, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
-        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        l.join(
+            _broadcast_if_small(p_keys),
+            F.col("p_partkey") == F.col("l_partkey"),
+            "left_semi",
+        )
+        .join(_broadcast_if_small(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .select("l_orderkey", "nation", "volume")
         .join(o_am, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_year")
@@ -3254,7 +3284,12 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inner), nation broadcasts onto supplier BEFORE the fact join so the
     # fact rows carry n_name through one exchange fewer, and orders
     # pre-projects to (o_orderkey, o_year int) with year() computed
-    # map-side. No broadcast hint on part/supplier — they grow with SF.
+    # map-side. Round-7b: the part key set and the (s_suppkey, nation)
+    # projection go through _broadcast_if_small (see q_tpch_q8) — the
+    # count-gated broadcast removes the lineitem-sized partkey and suppkey
+    # exchanges while the builds fit, degrades to the shuffle plan past the
+    # cap. The orderkey exchange remains: orders carries no selective
+    # filter here, so that shuffle is information-theoretically owed.
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_orderkey", rev_grid.alias("rev_grid")
     )
@@ -3274,8 +3309,12 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
     )
     return (
-        li.join(p_keys, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
-        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(
+            _broadcast_if_small(p_keys),
+            F.col("p_partkey") == F.col("l_partkey"),
+            "left_semi",
+        )
+        .join(_broadcast_if_small(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .select("l_orderkey", "nation", "rev_grid")
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("nation", "o_year")
@@ -4217,8 +4256,12 @@ def q_tpch_q9_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ps = _partsupp(spark, sf_dir).select("ps_partkey", "ps_suppkey", "ps_costcents")
     return (
-        li.join(p_keys, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
-        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(
+            _broadcast_if_small(p_keys),
+            F.col("p_partkey") == F.col("l_partkey"),
+            "left_semi",
+        )
+        .join(_broadcast_if_small(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(
             ps,
             (F.col("ps_partkey") == F.col("l_partkey"))
