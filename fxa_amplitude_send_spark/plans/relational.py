@@ -137,9 +137,17 @@ def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUND(SUM(double), 4) diverges between engines — integer summation is
     order-free and the single final int→double division is identical in
     both."""
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    customer = _t(spark, sf_dir, "customer")
+    rev_grid = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    # fold the revenue product to ONE long BEFORE the orderkey exchange
+    # (price + discount would otherwise ride the query's largest shuffle as
+    # two doubles — a third of its bytes at sf100, same discipline as q9)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", rev_grid.alias("rev_grid")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
     joined = (
@@ -148,11 +156,8 @@ def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
     )
-    rev_grid = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
-        (1 - F.col("l_discount")) * 100
-    ).cast("long")
     return joined.groupBy("n_name").agg(
-        (F.sum(rev_grid).cast("double") / 10000).alias("revenue"),
+        (F.sum("rev_grid").cast("double") / 10000).alias("revenue"),
         F.count(F.lit(1)).alias("n_lineitems"),
     )
 
@@ -2809,12 +2814,23 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 5)
     )
-    thresholds = l.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+    # Per-part averages are computed ONLY over lines of the filtered parts:
+    # the brand+size filter keeps ~0.28 % of part, and semi-reducing
+    # lineitem by those keys BEFORE the threshold aggregate does not change
+    # any surviving group's average — it just stops shuffling the other
+    # 99.7 % of lineitem into a groupBy whose groups get thrown away at the
+    # join (the sf100 study's 11.6x decade was exactly that exchange).
+    l_red = l.join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("p_partkey") == F.col("l_partkey"),
+        "left_semi",
+    )
+    thresholds = l_red.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
     )
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     return (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        l_red.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .join(thresholds, F.col("t_partkey") == F.col("p_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg((F.sum(cents).cast("double") / 700).alias("avg_yearly"))
