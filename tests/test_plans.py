@@ -11,6 +11,7 @@ import io
 from contextlib import redirect_stdout
 
 import pytest
+from pyspark.sql import functions as F
 
 from fxa_amplitude_send_spark.plans import all_queries
 
@@ -225,12 +226,15 @@ def _broadcast_exchange_inputs(plan: str) -> list[str]:
     ]
 
 
-@pytest.mark.parametrize("name", ["q_tpch_q8", "q_tpch_q21"])
+@pytest.mark.parametrize("name", ["q_tpch_q21"])
 def test_unfiltered_supplier_never_hint_broadcast(spark, sf_smoke, name):
     """supplier grows linearly with SF (sf x 10k rows): a hard broadcast hint
     on the unfiltered table would OOM at the 100 TB design point. With the
     size-based threshold disabled, any remaining BroadcastExchange comes from
-    an explicit hint — none of them may carry supplier columns."""
+    an explicit hint — none of them may carry supplier columns. (q8/q9 left
+    this list in round 7b: their supplier projections now broadcast through
+    the COUNT-GATED _broadcast_if_small — see the degrade test below — which
+    is a stats decision, not a hard hint.)"""
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -243,6 +247,37 @@ def test_unfiltered_supplier_never_hint_broadcast(spark, sf_smoke, name):
         assert "s_suppkey" not in block and "s_name" not in block, (
             f"{name}: supplier feeds a BroadcastExchange:\n{block}"
         )
+
+
+def test_slim_broadcast_gate_degrades_past_cap(spark, sf_smoke):
+    """_broadcast_if_small is the 100 TB safety: under the row cap the build
+    is hint-broadcast; PAST the cap the relation is returned untouched, so
+    the join falls back to whatever the planner would have done anyway —
+    the executor-sized key sets of the true design point can never be
+    force-shipped. Both directions pinned from the produced plan."""
+    from fxa_amplitude_send_spark.plans.relational import (
+        _broadcast_if_small,
+        _t,
+    )
+
+    sup = _t(spark, sf_smoke, "supplier").select("s_suppkey")
+    fact = _t(spark, sf_smoke, "lineitem").select("l_suppkey")
+
+    small = fact.join(
+        _broadcast_if_small(sup), F.col("s_suppkey") == F.col("l_suppkey")
+    )
+    assert "BroadcastExchange" in physical_plan(small)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = fact.join(
+            _broadcast_if_small(sup, cap_rows=1),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        assert "BroadcastExchange" not in physical_plan(big)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_seq_pack_single_shuffle(spark, sf_smoke):
