@@ -4189,6 +4189,14 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= "1996-01-01")
             & (F.col("l_shipdate") < "1997-01-01")
         )
+        # only name-matched parts survive the ps join, and dropping the
+        # other ~96 % of lines BEFORE the pair-key aggregate leaves every
+        # surviving (part, supplier) sum unchanged (q17's discipline)
+        .join(
+            _broadcast_if_small(p.select("p_partkey")),
+            F.col("p_partkey") == F.col("l_partkey"),
+            "left_semi",
+        )
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
