@@ -62,7 +62,9 @@ def main() -> None:
         sim01 = _load("driver_sim_sf0.1_r7.json")
         sim1 = _load_latest("driver_sim_sf1_r7b.json", "driver_sim_sf1_r7.json")
         sim10 = _load("driver_sim_sf10_money_r7.json")
-        sim100 = _load("driver_sim_sf100_q89_r7.json")
+        sim100 = _load_latest(
+            "driver_sim_sf100_money_r7.json", "driver_sim_sf100_q89_r7.json"
+        )
         # bench columns come from the SOLO full-registry runs (best-of-2,
         # uncontended) — the r7 sim timings were recorded while pytest ran
         # concurrently, so only their hash statuses are load-bearing
