@@ -161,7 +161,7 @@ def main() -> None:
     print(f"  same predicate on the compacted CURRENT: {scanned_c}/{total_c}")
 
     # 6. vacuum: retain only CURRENT -> superseded files are deleted
-    deleted = vacuum(table, retain_versions=1)
+    deleted = vacuum(table, retain_versions=1, grace_seconds=0.0)
     assert read_snapshot(spark, table).count() == n_after
     print(f"vacuum removed {len(deleted)} unreferenced files; "
           f"CURRENT still {n_after} rows")

@@ -33,10 +33,33 @@ def cell_of(coord: Column, cell_size: int) -> Column:
     return F.floor(coord / F.lit(int(cell_size))).cast("long")
 
 
+#: full longitude circle in micro-degrees
+_LON_CIRCLE = 360_000_000
+
+
 def dist2(lat_a: Column, lon_a: Column, lat_b: Column, lon_b: Column) -> Column:
     """Squared planar distance in micro-degrees² — BIGINT-exact."""
     dlat = lat_a - lat_b
     dlon = lon_a - lon_b
+    return (dlat * dlat + dlon * dlon).cast("long")
+
+
+def _norm_lon(lon: Column) -> Column:
+    """Longitude normalized to [0, 360e6) micro-degrees — BIGINT-exact."""
+    c = F.lit(_LON_CIRCLE)
+    return ((lon.cast("long") % c) + c) % c
+
+
+def wrapped_dist2(
+    lat_a: Column, lon_a: Column, lat_b: Column, lon_b: Column
+) -> Column:
+    """Squared planar distance with ANTIMERIDIAN wraparound on the lon
+    axis: Δlon is the shorter way around the circle, so a pair straddling
+    ±180° measures its true separation instead of ~360°. Still
+    BIGINT-exact (min of two integer candidates)."""
+    dlat = lat_a - lat_b
+    raw = F.abs(_norm_lon(lon_a) - _norm_lon(lon_b))
+    dlon = F.least(raw, F.lit(_LON_CIRCLE) - raw)
     return (dlat * dlat + dlon * dlon).cast("long")
 
 
@@ -60,6 +83,7 @@ def grid_distance_join(
     a_lon: str = "lon",
     b_lat: str = "lat",
     b_lon: str = "lon",
+    wrap_lon: bool = False,
 ) -> DataFrame:
     """All (a, b) pairs with planar distance ≤ ``radius`` micro-degrees.
 
@@ -69,7 +93,16 @@ def grid_distance_join(
     function of a alone), so no dedup pass is needed. The exact predicate
     dist² ≤ r² runs on BIGINTs. Output: all columns of a and b, plus
     ``dist2``. Catalyst broadcasts the exploded side when it is small;
-    otherwise both sides shuffle once on the cell key."""
+    otherwise both sides shuffle once on the cell key.
+
+    ``wrap_lon=True`` models the ANTIMERIDIAN: longitudes normalize to
+    [0, 360e6), candidate lon cells wrap modulo the cell count, and Δlon
+    takes the shorter way around — so a pair straddling ±180° is found and
+    measured correctly. Wraparound needs every lon cell exactly r wide
+    (otherwise a narrow seam cell breaks the ±1-cell candidate guarantee),
+    so the radius must divide 360e6 evenly — refused loudly otherwise.
+    The default stays planar: the correctness gate's metric is plain
+    BIGINT Euclidean so DuckDB can hash-match it."""
     overlap = set(a.columns) & set(b.columns)
     if overlap:
         raise ValueError(
@@ -77,19 +110,32 @@ def grid_distance_join(
             f"carry {sorted(overlap)} — alias one side first"
         )
     r = int(radius)
+    if wrap_lon and _LON_CIRCLE % r:
+        raise ValueError(
+            f"wrap_lon needs a radius dividing {_LON_CIRCLE} micro-degrees "
+            f"evenly (got {r}) — equal-width lon cells are what make the "
+            "3x3 wrap-join candidate set complete"
+        )
+    n_lon_cells = _LON_CIRCLE // r if wrap_lon else None
+    a_lon_col = _norm_lon(F.col(a_lon)) if wrap_lon else F.col(a_lon)
+    b_lon_col = _norm_lon(F.col(b_lon)) if wrap_lon else F.col(b_lon)
     a2 = a.withColumn("_ga", cell_of(F.col(a_lat), r)).withColumn(
-        "_go", cell_of(F.col(a_lon), r)
+        "_go", cell_of(a_lon_col, r)
     )
     off = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    b_go = cell_of(b_lon_col, r) + F.col("_dlo")
+    if wrap_lon:
+        b_go = (b_go + F.lit(n_lon_cells)) % F.lit(n_lon_cells)
     b2 = (
         b.withColumn("_dla", F.explode(off))
         .withColumn("_dlo", F.explode(off))
         .withColumn("_ga", cell_of(F.col(b_lat), r) + F.col("_dla"))
-        .withColumn("_go", cell_of(F.col(b_lon), r) + F.col("_dlo"))
+        .withColumn("_go", b_go)
         .drop("_dla", "_dlo")
     )
     joined = a2.join(b2, ["_ga", "_go"]).drop("_ga", "_go")
-    d2 = dist2(F.col(a_lat), F.col(a_lon), F.col(b_lat), F.col(b_lon))
+    metric = wrapped_dist2 if wrap_lon else dist2
+    d2 = metric(F.col(a_lat), F.col(a_lon), F.col(b_lat), F.col(b_lon))
     # r*r in Python: a lit(int)*lit(int) constant-folds as 32-bit under ANSI
     return joined.withColumn("dist2", d2).filter(F.col("dist2") <= F.lit(r * r))
 
@@ -104,15 +150,20 @@ def nearest_within(
     a_lon: str = "lon",
     b_lat: str = "lat",
     b_lon: str = "lon",
+    wrap_lon: bool = False,
 ) -> DataFrame:
     """For each a-row, its NEAREST b-row within ``radius`` (a-rows with no
     candidate are absent — compose with a left join for left semantics).
     Ties break on the smallest b_key, so the result is total-order
     deterministic. One window over the candidate pairs; state per a-row is
-    O(local density)."""
+    O(local density). ``wrap_lon=True`` ranks by the antimeridian-aware
+    metric (see grid_distance_join), so a neighbor across ±180° beats a
+    farther same-side one."""
     from pyspark.sql import Window
 
-    pairs = grid_distance_join(a, b, radius, a_lat, a_lon, b_lat, b_lon)
+    pairs = grid_distance_join(
+        a, b, radius, a_lat, a_lon, b_lat, b_lon, wrap_lon=wrap_lon
+    )
     w = Window.partitionBy(a_key).orderBy(F.col("dist2").asc(), F.col(b_key).asc())
     return (
         pairs.withColumn("_rn", F.row_number().over(w))

@@ -2820,8 +2820,13 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     # any surviving group's average — it just stops shuffling the other
     # 99.7 % of lineitem into a groupBy whose groups get thrown away at the
     # join (the sf100 study's 11.6x decade was exactly that exchange).
+    # count-gated like q8/q9/q20: the filtered key set grows linearly with
+    # SF, so a HARD broadcast hint would gamble executor memory at the
+    # 100 TB design point — _broadcast_if_small degrades to AQE's shuffle
+    # strategies past the cap.
+    p_keys = _broadcast_if_small(p.select("p_partkey"))
     l_red = l.join(
-        F.broadcast(p.select("p_partkey")),
+        p_keys,
         F.col("p_partkey") == F.col("l_partkey"),
         "left_semi",
     )
@@ -2830,7 +2835,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     return (
-        l_red.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        l_red.join(_broadcast_if_small(p), F.col("p_partkey") == F.col("l_partkey"))
         .join(thresholds, F.col("t_partkey") == F.col("p_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg((F.sum(cents).cast("double") / 700).alias("avg_yearly"))

@@ -51,6 +51,8 @@ from .versioned import (
     _manifest_path,
     _read_manifest,
     _stage_data_files,
+    _stage_delete_mor,
+    _stage_merge_mor,
     _verify_staged_checks,
     current_version,
 )
@@ -149,7 +151,9 @@ def resolve_table(txn_root: str, table: str) -> int:
     return _roll_forward(txn_root, table, block_on_in_doubt=True)
 
 
-def consistent_snapshot(txn_root: str, tables: list[str]) -> dict[str, int]:
+def consistent_snapshot(
+    txn_root: str, tables: list[str], max_passes: int = 100
+) -> dict[str, int]:
     """Pin a CROSS-TABLE-consistent version vector for a reader.
 
     Per-table CURRENT pointers advance one at a time during finalize, so a
@@ -169,10 +173,13 @@ def consistent_snapshot(txn_root: str, tables: list[str]) -> dict[str, int]:
     table (roll-forward); one committed after is fully excluded. Reads then
     pin ``read_snapshot(version=vec[t])``, immune to later commits.
 
-    Cost: O(tables) pointer reads per pass, ~2 passes when quiescent —
-    nothing scales with table size or transaction history."""
+    Cost: O(tables) pointer reads per pass, ~2 passes when quiescent.
+    Under a sustained commit stream two consecutive passes may never
+    agree, so the loop is CAPPED: after ``max_passes`` attempts it raises
+    rather than livelock — the caller retries or reads single-table
+    snapshots, the same contract as any bounded optimistic read."""
     prev: dict[str, int] | None = None
-    while True:
+    for _ in range(max_passes):
         vec = {
             t: _roll_forward(txn_root, t, block_on_in_doubt=False)
             for t in sorted(tables)
@@ -180,6 +187,11 @@ def consistent_snapshot(txn_root: str, tables: list[str]) -> dict[str, int]:
         if vec == prev:
             return vec
         prev = vec
+    raise RuntimeError(
+        f"consistent_snapshot: no stable version vector after {max_passes} "
+        "passes — commits are landing faster than the vector can be read; "
+        "retry, or raise max_passes"
+    )
 
 
 def recover(txn_root: str) -> dict[str, str]:
@@ -247,46 +259,126 @@ def force_abort_txn(txn_root: str, txn_id: str, tables: list[str]) -> bool:
 
 
 class MultiTableTxn:
-    """Stage appends to several versioned tables; commit them atomically.
+    """Stage appends / merges / deletes to several versioned tables; commit
+    them atomically.
 
     >>> txn = MultiTableTxn(txn_root)
     >>> txn.stage_append(fact_path, fact_delta)
-    >>> txn.stage_append(summary_path, summary_delta)
+    >>> txn.stage_merge(summary_path, rollup, key_cols=["k"])
     >>> versions = txn.commit()          # all-or-nothing
 
     Staging writes data files immediately (they are invisible orphans until
-    commit; an abort leaves them to vacuum). ``commit()`` runs
+    commit; an abort leaves them to vacuum, whose squatter + age guards keep
+    them safe while the transaction is live). ``commit()`` runs
     prepare → marker → finalize; any prepare conflict auto-aborts and
-    raises TxnConflict with no visible effect on any table."""
+    raises TxnConflict with no visible effect on any table.
+
+    Mutations (merge/delete) use merge-on-read staging — the same deletion
+    vectors + CDF change files as the single-table
+    ``merge_snapshot_mor`` / ``delete_snapshot_mor``, so an atomic CDC
+    upsert across a fact table and its summary costs O(changes) writes.
+    A staged mutation binds row positions to the table version it was
+    computed against, so prepare re-checks that version is still current
+    and raises TxnConflict (restage and retry) if another writer landed
+    in between — plain optimistic concurrency, Delta-style. One table may
+    carry EITHER any number of appends OR exactly one merge/delete per
+    transaction; composing both against the same table in one transaction
+    would require rebasing positions and is refused loudly."""
 
     def __init__(self, txn_root: str, txn_id: str | None = None) -> None:
         os.makedirs(txn_root, exist_ok=True)
         self.txn_root = txn_root
         self.txn_id = txn_id or f"txn-{uuid.uuid4().hex}"
-        self._staged: dict[str, list[dict]] = {}
+        self._ops: dict[str, list[dict]] = {}
         self._spark: SparkSession | None = None
+        self._plan: dict[str, int] | None = None
         self._done = False
 
     # -- staging ----------------------------------------------------------
+    def _check_stageable(self, table: str, op: str) -> None:
+        if self._done:
+            raise RuntimeError(f"transaction {self.txn_id} already resolved")
+        if self._plan is not None:
+            raise RuntimeError(
+                f"transaction {self.txn_id} already prepared — no new staging"
+            )
+        if current_version(table) == 0:
+            raise FileNotFoundError(f"no committed snapshot at {table}")
+        ops = self._ops.get(table, [])
+        if ops and (op != "append" or ops[0]["op"] != "append"):
+            raise RuntimeError(
+                f"table {table} already staged a {ops[0]['op']} in "
+                f"transaction {self.txn_id}: one mutation per table per "
+                "transaction (appends may repeat; merge/delete may not mix)"
+            )
+
     def stage_append(self, table: str, df: DataFrame) -> None:
         """Stage an append to ``table`` (which must already exist — a
         transaction coordinates EXISTING tables; create them first)."""
-        if self._done:
-            raise RuntimeError(f"transaction {self.txn_id} already resolved")
-        if current_version(table) == 0:
-            raise FileNotFoundError(f"no committed snapshot at {table}")
+        self._check_stageable(table, "append")
         files = _stage_data_files(df, table)
         _verify_staged_checks(df.sparkSession, table, files)
         self._spark = df.sparkSession
-        self._staged.setdefault(table, []).extend(files)
+        ops = self._ops.setdefault(table, [])
+        if ops:
+            ops[0]["files"].extend(files)
+        else:
+            ops.append({"op": "append", "files": files})
+
+    def stage_merge(
+        self, table: str, updates: DataFrame, key_cols: list[str]
+    ) -> None:
+        """Stage a merge-on-read UPSERT into ``table`` (tombstone replaced
+        rows, append merged values — O(changes) writes), deferred to the
+        atomic cross-table commit. Positions bind to the table's CURRENT
+        version; a concurrent commit before prepare() turns into a clean
+        TxnConflict, never a mis-positioned tombstone."""
+        self._check_stageable(table, "merge")
+        base = current_version(table)
+        prev = _read_manifest(table, base)
+        st = _stage_merge_mor(updates.sparkSession, table, updates, key_cols, prev)
+        self._spark = updates.sparkSession
+        self._ops[table] = [{"op": "merge", "base": base, **st}]
+
+    def stage_delete(
+        self, table: str, predicate: str, spark: SparkSession
+    ) -> None:
+        """Stage a merge-on-read DELETE from ``table`` (deletion-vector
+        tombstones + CDF pre-images), deferred to the atomic cross-table
+        commit. Same optimistic base-version contract as stage_merge."""
+        self._check_stageable(table, "delete")
+        base = current_version(table)
+        prev = _read_manifest(table, base)
+        st = _stage_delete_mor(spark, table, predicate, prev)
+        self._spark = spark
+        self._ops[table] = [{"op": "delete", "base": base, **st}]
+
+    def staged_paths(self, table: str) -> list[str]:
+        """Table-relative paths of every file this transaction staged into
+        ``table`` (data, deletion vectors and change files) — what vacuum
+        must protect until the transaction settles."""
+        out: list[str] = []
+        for op in self._ops.get(table, []):
+            for k in ("files", "new_files", "dv_files", "change_files"):
+                out.extend(e["path"] for e in op.get(k, []))
+        return out
 
     # -- resolution -------------------------------------------------------
-    def commit(self) -> dict[str, int]:
+    def prepare(self) -> dict[str, int]:
+        """PREPARE alone: link each table's squatter manifest and write the
+        durable plan, WITHOUT the commit point — the transaction is left
+        in-doubt (exactly the crash-before-marker state). Readers see
+        nothing; vacuum must treat the squatters' files as referenced;
+        ``commit()`` finishes it, ``abort()`` / ``force_abort_txn`` frees
+        the slots. Idempotent per transaction (a second call returns the
+        same plan)."""
         if self._done:
             raise RuntimeError(f"transaction {self.txn_id} already resolved")
-        if not self._staged:
+        if self._plan is not None:
+            return self._plan
+        if not self._ops:
             raise RuntimeError("nothing staged")
-        tables = sorted(self._staged)
+        tables = sorted(self._ops)
         # version plan: resolve each table past settled squatters first
         plan: dict[str, int] = {}
         for t in tables:
@@ -295,21 +387,7 @@ class MultiTableTxn:
         try:
             for t in tables:
                 prev = _read_manifest(t, plan[t] - 1)
-                new_files = self._staged[t]
-                n_new = _count_staged(self._spark, t, new_files)
-                manifest = {
-                    "version": plan[t],
-                    "parent": plan[t] - 1,
-                    "kind": "append",
-                    "ts": __import__("time").time(),
-                    "files": prev["files"] + new_files,
-                    "n_rows": prev["n_rows"] + n_new,
-                    "schema": prev["schema"],
-                    "appended": [e["path"] for e in new_files],
-                    "txn": {"id": self.txn_id, "tables": plan},
-                }
-                if prev.get("dvs"):
-                    manifest["dvs"] = prev["dvs"]
+                manifest = self._build_manifest(t, plan, prev)
                 mpath = _manifest_path(t, plan[t])
                 tmp = mpath + f".tmp-{uuid.uuid4().hex}"
                 with open(tmp, "w", encoding="utf-8") as fh:
@@ -334,11 +412,72 @@ class MultiTableTxn:
                     pass
             self._done = True
             raise
-        # durable plan, then the commit point
+        # durable plan: recover() can finalize from this alone
         _atomic_write(
             os.path.join(self.txn_root, f"{self.txn_id}.json"),
             json.dumps({"tables": plan}, indent=1),
         )
+        self._plan = plan
+        return plan
+
+    def _build_manifest(self, t: str, plan: dict[str, int], prev: dict) -> dict:
+        """The squatter manifest for table ``t`` at its planned version —
+        the same shapes versioned._commit writes for append/merge/delete,
+        plus the ``txn`` stanza that keeps it invisible until the marker.
+        A staged mutation whose base version is no longer the parent raises
+        TxnConflict: its tombstone positions describe files the current
+        version may no longer hold (the optimistic-concurrency re-check)."""
+        import time as _time
+
+        ops = self._ops[t]
+        base = {
+            "version": plan[t],
+            "parent": plan[t] - 1,
+            "ts": _time.time(),
+            "schema": prev["schema"],
+            "txn": {"id": self.txn_id, "tables": plan},
+        }
+        if ops[0]["op"] == "append":
+            new_files = [e for op in ops for e in op["files"]]
+            base.update(
+                kind="append",
+                files=prev["files"] + new_files,
+                n_rows=prev["n_rows"] + _count_staged(self._spark, t, new_files),
+                appended=[e["path"] for e in new_files],
+            )
+            if prev.get("dvs"):
+                base["dvs"] = prev["dvs"]
+            return base
+        op = ops[0]
+        if op["base"] != plan[t] - 1:
+            raise TxnConflict(
+                f"table {t}: staged {op['op']} was computed against version "
+                f"{op['base']} but the table is now at {plan[t] - 1} — "
+                "restage against the new snapshot and retry"
+            )
+        if op["op"] == "merge":
+            base.update(
+                kind="merge",
+                files=prev["files"] + op["new_files"],
+                n_rows=prev["n_rows"] + op["n_new"] - op["n_dead"],
+                appended=[],
+                changes=[e["path"] for e in op["change_files"]],
+            )
+        else:  # delete
+            base.update(
+                kind="delete",
+                files=prev["files"],
+                n_rows=prev["n_rows"] - op["n_deleted"],
+                appended=[],
+                changes=[e["path"] for e in op["change_files"]],
+            )
+        dvs = (prev.get("dvs") or []) + [e["path"] for e in op["dv_files"]]
+        if dvs:
+            base["dvs"] = dvs
+        return base
+
+    def commit(self) -> dict[str, int]:
+        plan = self.prepare()
         if _resolve(self.txn_root, self.txn_id, "commit") != "commit":
             # a force-abort beat us to the marker; our squatters are gone
             self._done = True
@@ -365,9 +504,11 @@ class MultiTableTxn:
         """Settle as aborted (refused once committed) and unlink squatters."""
         if _resolve(self.txn_root, self.txn_id, "abort") != "abort":
             raise RuntimeError(f"transaction {self.txn_id} already committed")
-        for t in self._staged:
-            cur = current_version(t)
-            mp = _manifest_path(t, cur + 1)
+        slots = self._plan or {
+            t: current_version(t) + 1 for t in self._ops
+        }
+        for t, v in slots.items():
+            mp = _manifest_path(t, v)
             if os.path.exists(mp):
                 with open(mp, encoding="utf-8") as fh:
                     man = json.load(fh)

@@ -816,36 +816,84 @@ def snapshot_info(path: str, version: int | None = None) -> dict:
     return _read_manifest(path, v)
 
 
-def vacuum(path: str, retain_versions: int = 2) -> list[str]:
+#: Default grace interval before an UNREFERENCED data file may be reclaimed.
+#: This is the Delta-style age guard: a writer stages files into
+#: ``data/stage-<uuid>/`` BEFORE its manifest becomes visible, so a vacuum
+#: racing the stage->commit window would otherwise unlink files that a
+#: manifest committed moments later references. Any file younger than the
+#: grace interval is left alone regardless of reference state; operators
+#: may pass ``grace_seconds=0`` only on a table they know is quiescent.
+DEFAULT_VACUUM_GRACE = 24 * 3600.0
+
+
+def _manifest_referenced_paths(m: dict) -> set[str]:
+    """Every table-relative data path a manifest makes readable: its live
+    file list, its CDF change files (MERGE/DELETE deltas readChangeFeed
+    consumers resolve by path), its appended list (subset of files for
+    appends; included for safety) and its deletion-vector tombstones
+    (losing one would RESURRECT deleted rows)."""
+    refs = {e["path"] for e in m["files"]}
+    refs.update(m.get("changes", []))
+    refs.update(m.get("appended", []))
+    refs.update(m.get("dvs", []))
+    return refs
+
+
+def vacuum(
+    path: str,
+    retain_versions: int = 2,
+    grace_seconds: float = DEFAULT_VACUUM_GRACE,
+) -> list[str]:
     """Delete data files unreferenced by every retained manifest (the newest
     ``retain_versions`` snapshots). Returns deleted table-relative paths.
-    Deleting only NEVER-referenced-by-retained files means a reader of any
-    retained version can never lose files mid-query."""
+
+    Two guards make this safe against CONCURRENT writers — the same
+    never-destroy-what-an-in-flight-commit-needs discipline as the
+    reference's ack-after-send (synchronous-pull.js:88-92):
+
+    1. **Squatter manifests count as referenced.** A prepared multi-table
+       transaction (sinks/transactions.py) links a manifest at
+       CURRENT+1 without advancing CURRENT; a single-table writer that
+       crashed between manifest-link and pointer-write leaves the same
+       shape. Those manifests' file lists are part of a commit that may
+       yet finalize, so every manifest ABOVE the current pointer is
+       scanned and its paths retained. (An aborted transaction's squatter
+       is unlinked by abort()/recover(); its staged files then age out of
+       the grace window and a later vacuum reclaims them.)
+    2. **Age gate.** A file younger than ``grace_seconds`` is never
+       deleted even when no manifest references it — it may belong to a
+       writer still inside its stage→manifest-link window, which no
+       manifest scan can see. Deleting only old-AND-unreferenced files
+       means a reader of any retained version, a prepared transaction,
+       and a mid-stage writer can never lose files."""
+    import time as _time
+
     newest = current_version(path)
     if newest == 0:
         return []
     keep_versions = range(max(1, newest - retain_versions + 1), newest + 1)
     referenced: set[str] = set()
     for v in keep_versions:
-        m = _read_manifest(path, v)
-        referenced.update(e["path"] for e in m["files"])
-        # A retained version's CHANGE files (MERGE/DELETE CDF, recorded under
-        # 'changes', staged in the same data/ tree) are part of its readable
-        # surface: readChangeFeed consumers resolve them by path, so they must
-        # survive any vacuum that retains the version. 'appended' paths are a
-        # subset of 'files' for appends but included for safety.
-        referenced.update(m.get("changes", []))
-        referenced.update(m.get("appended", []))
-        # deletion-vector tombstones are part of a version's readable
-        # surface too: losing one would RESURRECT its deleted rows
-        referenced.update(m.get("dvs", []))
+        referenced.update(_manifest_referenced_paths(_read_manifest(path, v)))
+    # squatter / unfinalized manifests above CURRENT: prepared transactions
+    # and crashed-before-pointer commits. Their files may become readable
+    # the moment a commit marker lands, so they are referenced, not garbage.
+    v = newest + 1
+    while os.path.exists(_manifest_path(path, v)):
+        referenced.update(_manifest_referenced_paths(_read_manifest(path, v)))
+        v += 1
+    cutoff = _time.time() - grace_seconds
     deleted = []
     data_root = os.path.join(path, "data")
     for dirpath, _dirs, files in os.walk(data_root):
         for name in files:
             full = os.path.join(dirpath, name)
             rel = os.path.relpath(full, path)
-            if name.endswith(".parquet") and rel not in referenced:
+            if (
+                name.endswith(".parquet")
+                and rel not in referenced
+                and os.path.getmtime(full) <= cutoff
+            ):
                 os.remove(full)
                 deleted.append(rel)
     # drop manifests older than the retained window so time travel contracts
@@ -1192,7 +1240,35 @@ def merge_snapshot_mor(
     if version == 0:
         return write_snapshot(updates, path)
     prev = _read_manifest(path, version)
+    st = _stage_merge_mor(spark, path, updates, key_cols, prev)
+    return _commit(
+        path,
+        prev["files"] + st["new_files"],
+        prev["n_rows"] + st["n_new"] - st["n_dead"],
+        prev["schema"],
+        version,
+        appended=[],
+        changes=st["change_files"],
+        kind="merge",
+        dvs=(prev.get("dvs") or []) + [e["path"] for e in st["dv_files"]],
+    )
 
+
+def _stage_merge_mor(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    prev: dict,
+) -> dict:
+    """Stage (but do NOT commit) a merge-on-read upsert against the ``prev``
+    manifest: writes the new-row files, deletion-vector tombstones and CDF
+    change files into data/stage-*/ and returns their entries + row deltas.
+    The caller owns the commit — merge_snapshot_mor commits immediately;
+    MultiTableTxn.stage_merge defers it to an atomic cross-table prepare.
+    The staged positions are only valid against ``prev``'s file set, so a
+    deferred commit must verify the parent version is still ``prev`` (the
+    optimistic-concurrency check transactions.prepare performs)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
@@ -1251,19 +1327,13 @@ def merge_snapshot_mor(
     _verify_staged_checks(
         spark, path, change_files, where="_change_type != 'update_preimage'"
     )
-    n_new = sum(e["n"] for e in new_files)
-    n_dead = sum(e["n"] for e in dv_files)
-    return _commit(
-        path,
-        prev["files"] + new_files,
-        prev["n_rows"] + n_new - n_dead,
-        prev["schema"],
-        version,
-        appended=[],
-        changes=change_files,
-        kind="merge",
-        dvs=(prev.get("dvs") or []) + [e["path"] for e in dv_files],
-    )
+    return {
+        "new_files": new_files,
+        "dv_files": dv_files,
+        "change_files": change_files,
+        "n_new": sum(e["n"] for e in new_files),
+        "n_dead": sum(e["n"] for e in dv_files),
+    }
 
 
 def delete_snapshot(spark: SparkSession, path: str, predicate: str) -> int:
@@ -1326,7 +1396,28 @@ def delete_snapshot_mor(spark: SparkSession, path: str, predicate: str) -> int:
     if version == 0:
         raise FileNotFoundError(f"no committed snapshot at {path}")
     prev = _read_manifest(path, version)
+    st = _stage_delete_mor(spark, path, predicate, prev)
+    return _commit(
+        path,
+        prev["files"],
+        prev["n_rows"] - st["n_deleted"],
+        prev["schema"],
+        version,
+        appended=[],
+        changes=st["change_files"],
+        kind="delete",
+        dvs=(prev.get("dvs") or []) + [e["path"] for e in st["dv_files"]],
+    )
 
+
+def _stage_delete_mor(
+    spark: SparkSession, path: str, predicate: str, prev: dict
+) -> dict:
+    """Stage (but do NOT commit) a merge-on-read delete against the ``prev``
+    manifest: tombstone files + CDF delete pre-images, entries returned for
+    the caller's commit. Positions bind to ``prev``'s file set — a deferred
+    commit (MultiTableTxn.stage_delete) must verify the parent is still
+    ``prev``."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
@@ -1343,18 +1434,12 @@ def delete_snapshot_mor(spark: SparkSession, path: str, predicate: str) -> int:
     )
     dv_files = _stage_data_files(dv_rows, path)
     change_files = _stage_data_files(deleted, path)
-    n_deleted = sum(e["n"] for e in dv_files)  # footer counts, no extra job
-    return _commit(
-        path,
-        prev["files"],
-        prev["n_rows"] - n_deleted,
-        prev["schema"],
-        version,
-        appended=[],
-        changes=change_files,
-        kind="delete",
-        dvs=(prev.get("dvs") or []) + [e["path"] for e in dv_files],
-    )
+    return {
+        "dv_files": dv_files,
+        "change_files": change_files,
+        # footer counts, no extra job
+        "n_deleted": sum(e["n"] for e in dv_files),
+    }
 
 
 def append_snapshot_evolve(df: DataFrame, path: str) -> int:

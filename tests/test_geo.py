@@ -143,3 +143,89 @@ def test_haversine_agrees_with_planar_gate_metric_locally(spark):
     # rank correlation, not equality: lat/lon scale differently off-equator
     agree = sum(1 for a_, b_ in zip(by_hav, by_d2) if a_ == b_)
     assert agree / len(pairs) > 0.9
+
+
+def test_wrap_lon_finds_cross_meridian_pair(spark):
+    """A pair straddling ±180° is ~360° apart planar but 1 000 µ° apart on
+    the sphere's lon axis: wrap_lon must find it, measure the SHORT way
+    around, and the planar default must (by design) not see it."""
+    a = _pts(spark, [(1, 0, 179_999_500)], "a_key", "a_lat", "a_lon")
+    b = _pts(spark, [(7, 0, -179_999_500)], "b_key", "b_lat", "b_lon")
+    radius = 2_000  # divides 360e6
+
+    planar = grid_distance_join(
+        a, b, radius, "a_lat", "a_lon", "b_lat", "b_lon"
+    )
+    assert planar.count() == 0
+
+    wrapped = grid_distance_join(
+        a, b, radius, "a_lat", "a_lon", "b_lat", "b_lon", wrap_lon=True
+    ).collect()
+    assert len(wrapped) == 1
+    assert wrapped[0]["dist2"] == 1_000 * 1_000  # short-way Δlon = 1000
+
+
+def test_wrap_lon_nearest_prefers_cross_meridian_neighbor(spark):
+    """nearest_within under wrap_lon ranks by the wrapped metric: the
+    across-the-seam neighbor (1 000 µ° away) beats the same-side one
+    (1 500 µ° away)."""
+    a = _pts(spark, [(1, 0, 179_999_500)], "a_key", "a_lat", "a_lon")
+    b = _pts(
+        spark,
+        [(5, 0, 179_998_000), (7, 0, -179_999_500)],
+        "b_key",
+        "b_lat",
+        "b_lon",
+    )
+    got = nearest_within(
+        a, b, 2_000, "a_key", "b_key", "a_lat", "a_lon", "b_lat", "b_lon",
+        wrap_lon=True,
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["b_key"] == 7 and got[0]["dist2"] == 1_000_000
+
+
+def test_wrap_lon_matches_brute_force_near_seam(spark):
+    """Randomized points clustered around ±180°: wrap join == brute force
+    under the wrapped metric (the same oracle discipline as the planar
+    grid-join test, shifted onto the seam)."""
+    import random
+
+    rng = random.Random(11)
+    L = 360_000_000
+
+    def seam_lon():
+        # within ±50 000 µ° of the antimeridian, either sign
+        d = rng.randrange(-50_000, 50_000)
+        lon = 180_000_000 + d
+        return lon - L if lon >= 180_000_000 else lon
+
+    a_rows = [(i, rng.randrange(-(10**5), 10**5), seam_lon()) for i in range(60)]
+    b_rows = [(j, rng.randrange(-(10**5), 10**5), seam_lon()) for j in range(60)]
+    radius = 20_000  # divides 360e6
+    a = _pts(spark, a_rows, "a_key", "a_lat", "a_lon")
+    b = _pts(spark, b_rows, "b_key", "b_lat", "b_lon")
+    got = {
+        (r["a_key"], r["b_key"], r["dist2"])
+        for r in grid_distance_join(
+            a, b, radius, "a_lat", "a_lon", "b_lat", "b_lon", wrap_lon=True
+        ).collect()
+    }
+    want = set()
+    for i, la, lo in a_rows:
+        for j, lb, lo2 in b_rows:
+            raw = abs((lo % L) - (lo2 % L))
+            dlon = min(raw, L - raw)
+            d2 = (la - lb) ** 2 + dlon**2
+            if d2 <= radius * radius:
+                want.add((i, j, d2))
+    assert got == want
+
+
+def test_wrap_lon_refuses_non_dividing_radius(spark):
+    a = _pts(spark, [(1, 0, 0)], "a_key", "a_lat", "a_lon")
+    b = _pts(spark, [(2, 0, 0)], "b_key", "b_lat", "b_lon")
+    with pytest.raises(ValueError, match="dividing"):
+        grid_distance_join(
+            a, b, 7, "a_lat", "a_lon", "b_lat", "b_lon", wrap_lon=True
+        )

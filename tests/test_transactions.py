@@ -321,3 +321,171 @@ def test_stream_txn_gate_reruns_cleanly(spark, sf_smoke):
     fn = all_queries()["q_stream_txn"]
     for _ in range(2):
         assert fn(spark, sf_smoke).count() > 0
+
+
+def test_vacuum_spares_in_doubt_prepared_txn_files(spark, tmp_path, monkeypatch):
+    """VACUUM vs a prepared transaction whose owner died before the commit
+    point (round-7 verdict: vacuum unlinked files a later commit could
+    reference). The squatter manifests at CURRENT+1 must count as
+    referenced — even at grace_seconds=0 — until the transaction is
+    settled; only AFTER a force-abort unlinks them do the staged files
+    become reclaimable garbage."""
+    import fxa_amplitude_send_spark.sinks.transactions as tx
+    from fxa_amplitude_send_spark.sinks.versioned import vacuum
+
+    a, b = _mk_tables(spark, tmp_path)
+    troot = str(tmp_path / "txlog")
+    txn = MultiTableTxn(troot)
+    txn.stage_append(a, spark.createDataFrame([Row(k=2, v=20)]))
+    txn.stage_append(b, spark.createDataFrame([Row(k=2, v=40)]))
+    staged_a = txn.staged_paths(a)
+
+    def die_before_marker(root, txn_id, outcome):
+        raise RuntimeError("crash before the commit point")
+
+    monkeypatch.setattr(tx, "_resolve", die_before_marker)
+    with pytest.raises(RuntimeError, match="crash before"):
+        txn.commit()
+    monkeypatch.undo()
+
+    assert txn_state(troot, txn.txn_id) == "in-doubt"
+    # the aggressive-vacuum case: even with the age gate disabled, the
+    # in-doubt squatter's staged files are protected by reference
+    assert vacuum(a, retain_versions=1, grace_seconds=0.0) == []
+    for p in staged_a:
+        assert os.path.exists(os.path.join(a, p)), "vacuum ate a prepared file"
+    # settle the transaction aborted; its squatter manifests unlink and the
+    # staged files become plain aged-out garbage for the next vacuum
+    assert force_abort_txn(troot, txn.txn_id, [a, b])
+    reclaimed = vacuum(a, retain_versions=1, grace_seconds=0.0)
+    assert set(reclaimed) == set(staged_a)
+
+
+def test_vacuum_then_recover_after_commit_marker(spark, tmp_path):
+    """VACUUM racing a committed-but-unfinalized transaction (crash right
+    after the marker): the squatter manifests WILL finalize on recover(),
+    so their files must survive any vacuum that runs in between — on the
+    round-7 code this test fails with the recovered tables pointing at
+    deleted parquet."""
+    from fxa_amplitude_send_spark.sinks.versioned import vacuum
+
+    a, b = _mk_tables(spark, tmp_path)
+    troot = str(tmp_path / "txlog")
+    txn = MultiTableTxn(troot)
+    txn.stage_append(a, spark.createDataFrame([Row(k=2, v=20)]))
+    txn.stage_append(b, spark.createDataFrame([Row(k=2, v=40)]))
+    txn.commit_without_finalize()
+
+    # vacuum both tables in the crash window, with the age gate disabled —
+    # reference protection alone must keep the prepared files alive
+    assert vacuum(a, retain_versions=1, grace_seconds=0.0) == []
+    assert vacuum(b, retain_versions=1, grace_seconds=0.0) == []
+
+    recover(troot)
+    assert current_version(a) == 2 and current_version(b) == 2
+    assert read_snapshot(spark, a).count() == 2  # would raise on torn table
+    assert read_snapshot(spark, b).count() == 2
+
+
+def test_vacuum_age_gate_spares_midstage_writer(spark, tmp_path):
+    """VACUUM vs a writer inside its stage->manifest-link window: the
+    writer's files exist under data/stage-*/ with NO manifest yet, so only
+    the age gate can protect them. Default grace leaves fresh orphans
+    alone; grace_seconds=0 is the documented operator override for
+    quiescent tables."""
+    import shutil
+
+    from fxa_amplitude_send_spark.sinks.versioned import vacuum
+
+    (a,) = _mk_tables(spark, tmp_path, n=1)
+    # simulate a concurrent writer mid-stage: a fresh parquet in a stage
+    # dir that no manifest references yet
+    live = next(
+        os.path.join(dp, f)
+        for dp, _d, fs in os.walk(os.path.join(a, "data"))
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    orphan_dir = os.path.join(a, "data", "stage-midflight")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-00000.parquet")
+    shutil.copyfile(live, orphan)
+
+    assert vacuum(a, retain_versions=1) == []  # default grace: untouchable
+    assert os.path.exists(orphan)
+    # operator override on a known-quiescent table reclaims it
+    assert vacuum(a, retain_versions=1, grace_seconds=0.0) == [
+        os.path.relpath(orphan, a)
+    ]
+    assert not os.path.exists(orphan)
+
+
+def test_stage_merge_atomic_upsert_across_tables(spark, tmp_path):
+    """Atomic CDC upsert: a MERGE into the fact table and the matching
+    summary append commit together or not at all; the merge uses MoR
+    staging (tombstones + CDF), so crash-after-marker leaves both tables
+    consistent-stale and recover() completes the upsert."""
+    a, b = _mk_tables(spark, tmp_path)
+    troot = str(tmp_path / "txlog")
+    txn = MultiTableTxn(troot)
+    txn.stage_merge(a, spark.createDataFrame([Row(k=1, v=11), Row(k=2, v=22)]), ["k"])
+    txn.stage_append(b, spark.createDataFrame([Row(k=2, v=40)]))
+    txn.commit_without_finalize()
+
+    # crash window: both tables still read pre-transaction
+    assert read_snapshot(spark, a).collect() == [Row(k=1, v=10)]
+    assert read_snapshot(spark, b).count() == 1
+
+    recover(troot)
+    got = {r.k: r.v for r in read_snapshot(spark, a).collect()}
+    assert got == {1: 11, 2: 22}  # update + insert, atomically with b
+    assert read_snapshot(spark, b).count() == 2
+    # the merge carried real CDF rows
+    from fxa_amplitude_send_spark.sinks.versioned import read_change_feed
+
+    kinds = {
+        r["_change_type"]
+        for r in read_change_feed(spark, a, since_version=1).collect()
+    }
+    assert kinds == {"insert", "update_preimage", "update_postimage"}
+
+
+def test_stage_delete_and_append_atomic(spark, tmp_path):
+    a, b = _mk_tables(spark, tmp_path)
+    troot = str(tmp_path / "txlog")
+    append_snapshot(spark.createDataFrame([Row(k=2, v=20)]), a)  # a: k=1,2
+    txn = MultiTableTxn(troot)
+    txn.stage_delete(a, "k = 1", spark)
+    txn.stage_append(b, spark.createDataFrame([Row(k=9, v=90)]))
+    txn.commit()
+    assert [r.k for r in read_snapshot(spark, a).collect()] == [2]
+    assert read_snapshot(spark, b).count() == 2
+
+
+def test_stage_merge_stale_base_conflicts_cleanly(spark, tmp_path):
+    """Optimistic concurrency: a merge staged against version N must refuse
+    to prepare once another writer commits N+1 — its tombstone positions
+    describe the OLD file set. The conflict auto-aborts with no visible
+    effect on any table."""
+    a, b = _mk_tables(spark, tmp_path)
+    troot = str(tmp_path / "txlog")
+    txn = MultiTableTxn(troot)
+    txn.stage_merge(a, spark.createDataFrame([Row(k=1, v=99)]), ["k"])
+    txn.stage_append(b, spark.createDataFrame([Row(k=2, v=40)]))
+    # interleaving writer moves table a to version 2
+    append_snapshot(spark.createDataFrame([Row(k=5, v=50)]), a)
+    with pytest.raises(TxnConflict, match="restage"):
+        txn.commit()
+    assert txn_state(troot, txn.txn_id) == "aborted"
+    # no trace: a has the interleaved row only; b unchanged
+    assert read_snapshot(spark, a).count() == 2
+    assert read_snapshot(spark, b).count() == 1
+    assert current_version(b) == 1
+
+
+def test_mixing_merge_and_append_on_one_table_refused(spark, tmp_path):
+    (a,) = _mk_tables(spark, tmp_path, n=1)
+    txn = MultiTableTxn(str(tmp_path / "txlog"))
+    txn.stage_merge(a, spark.createDataFrame([Row(k=1, v=99)]), ["k"])
+    with pytest.raises(RuntimeError, match="one mutation per table"):
+        txn.stage_append(a, spark.createDataFrame([Row(k=7, v=70)]))

@@ -76,7 +76,7 @@ def test_vacuum_removes_only_unreferenced_files(spark, base, tmp_path):
     write_snapshot(base.repartition(4), path)
     compact_snapshot(spark, path, target_files=1)  # v2
     append_snapshot(base.limit(5), path)  # v3
-    deleted = vacuum(path, retain_versions=2)  # keep v2, v3 → v1 files go
+    deleted = vacuum(path, retain_versions=2, grace_seconds=0.0)  # keep v2, v3 → v1 files go
     assert deleted, "v1's pre-compaction files should be deleted"
     # retained versions still fully readable
     assert read_snapshot(spark, path, 2).count() == base.count()
@@ -160,7 +160,7 @@ def test_read_appended_change_feed(spark, base, tmp_path):
     assert read_appended(spark, path, since_version=4).count() == 3
 
     # consumer lagging past vacuum retention is refused loudly
-    vacuum(path, retain_versions=2)
+    vacuum(path, retain_versions=2, grace_seconds=0.0)
     with pytest.raises(ValueError, match="vacuumed"):
         read_appended(spark, path, since_version=1, to_version=3)
 
@@ -459,7 +459,7 @@ def test_vacuum_after_merge_retains_cdf_change_files(spark, base, tmp_path):
     merge_snapshot(spark, path, updates, ["n_nationkey"])  # v2 (has changes)
     append_snapshot(base.limit(3), path)  # v3
 
-    deleted = vacuum(path, retain_versions=2)  # keep v2, v3
+    deleted = vacuum(path, retain_versions=2, grace_seconds=0.0)  # keep v2, v3
     # v2's change files must all survive
     chg = snapshot_info(path, 2)["changes"]
     assert chg, "merge version must record change files"
@@ -1054,7 +1054,7 @@ def test_mor_vacuum_keeps_tombstones(spark, base, tmp_path):
     delete_snapshot_mor(spark, path, "n_nationkey % 2 = 0")     # v2
     append_snapshot(base.limit(0), path)                         # v3
     append_snapshot(base.limit(0), path)                         # v4
-    vacuum(path, retain_versions=2)                              # keep v3, v4
+    vacuum(path, retain_versions=2, grace_seconds=0.0)                              # keep v3, v4
     for rel in snapshot_info(path)["dvs"]:
         assert os.path.exists(os.path.join(path, rel))
     survivors = base.filter("n_nationkey % 2 = 1")

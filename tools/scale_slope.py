@@ -34,20 +34,29 @@ EV = os.path.join(REPO, "evidence")
 FLAG_RATIO = 14.0  # 10x data; >14x runtime = worth a plan review
 
 
-def _load(path):
+def _load(path, required=True):
+    """Load a named evidence file; WARN LOUDLY when a named file is absent
+    (a silent {} made committed CSVs claim columns their inputs never had —
+    round-7 advice). ``required=False`` is for _load_latest's probing."""
     p = os.path.join(EV, path)
     if not os.path.exists(p):
+        if required:
+            print(f"scale_slope: WARNING missing evidence file {path} — "
+                  "its columns will be blank", file=sys.stderr)
         return {}
     with open(p) as fh:
         return json.load(fh)
 
 
 def _load_latest(*names):
-    """First existing file wins — newest round first."""
+    """First existing file wins — newest round first. Warns only when NONE
+    of the candidates exist."""
     for n in names:
-        d = _load(n)
+        d = _load(n, required=False)
         if d:
             return d
+    print(f"scale_slope: WARNING none of {names} exist — columns blank",
+          file=sys.stderr)
     return {}
 
 
@@ -57,8 +66,16 @@ def main() -> None:
     # numbers: `python tools/scale_slope.py r7` builds scale_slope_r7.csv
     # purely from round-7-container runs; the default keeps the round-6
     # CSV reproducible from its own records.
-    r7 = len(sys.argv) > 1 and sys.argv[1] == "r7"
-    if r7:
+    mode = sys.argv[1] if len(sys.argv) > 1 else ""
+    if mode == "r8":
+        sim01 = _load("driver_sim_sf0.1_r8.json")
+        sim1 = _load("driver_sim_sf1_r8.json")
+        sim10 = _load("driver_sim_sf10_r8.json")
+        sim100 = _load("driver_sim_sf100_money_r8.json")
+        b01 = _load("bench_sf0.1_r8.json").get("queries", {})
+        b1 = _load("bench_sf1_r8.json").get("queries", {})
+        b10 = {}  # no same-container sf10 bench this round: column blank
+    elif mode == "r7":
         sim01 = _load("driver_sim_sf0.1_r7.json")
         sim1 = _load_latest("driver_sim_sf1_r7b.json", "driver_sim_sf1_r7.json")
         sim10 = _load("driver_sim_sf10_money_r7.json")
@@ -68,9 +85,12 @@ def main() -> None:
         # bench columns come from the SOLO full-registry runs (best-of-2,
         # uncontended) — the r7 sim timings were recorded while pytest ran
         # concurrently, so only their hash statuses are load-bearing
-        b01 = _load("bench_sf0.1_r7.json").get("queries", {})
+        b01 = _load_latest("bench_sf0.1_r7b.json", "bench_sf0.1_r7.json").get(
+            "queries", {}
+        )
         b1 = _load("bench_sf1_full_r7.json").get("queries", {})
-        b10 = _load("bench_sf10_slowest_r7.json").get("queries", {})
+        # round 7 recorded no same-container sf10 bench; blank, not silent
+        b10 = {}
     else:
         sim01 = _load_latest("driver_sim_sf0.1_r6f.json", "driver_sim_sf0.1_r6.json", "driver_sim_sf0.1_r5.json")
         sim1 = _load_latest("driver_sim_sf1_r6f.json", "driver_sim_sf1_r6.json", "driver_sim_sf1_r5.json")
@@ -124,7 +144,7 @@ def main() -> None:
                      bb01 or "", bb1 or "", br, bb10 or "", br10,
                      flag, res1.get(n, ""), res10.get(n, ""), res100.get(n, "")])
 
-    out = os.path.join(EV, "scale_slope_r7.csv" if r7 else "scale_slope.csv")
+    out = os.path.join(EV, f"scale_slope_{mode}.csv" if mode else "scale_slope.csv")
     with open(out, "w", newline="") as fh:
         w = csv.writer(fh)
         w.writerow(["query", "spark_sf0.1_sec", "spark_sf1_sec", "spark_ratio_1",
