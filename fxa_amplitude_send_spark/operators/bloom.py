@@ -8,14 +8,15 @@ makes the technique an explicit, composable API — and it never leaves the
 DataFrame layer, so the whole thing is Catalyst-visible codegen:
 
 1. build: dim keys → k hashed bit positions each → ``explode`` into
-   (word, mask) pairs → ``bit_or`` per 64-bit word → one row holding a
-   ``map<int,bigint>`` bitmap. Size is n_bits/8 bytes regardless of dim
-   cardinality — for the default 2^16 bits, 8 KiB.
-2. probe: broadcast that single row to the fact side (a 1-row broadcast
-   nested-loop join, i.e. a shipped constant) and keep rows where all k
-   probe bits are set. False positives pass (and are removed by the real
-   join that follows); false negatives cannot happen, so correctness is
-   exactly that of the unreduced join — which is what lets q_join_bloom
+   (word, mask) pairs → ``bit_or`` per 32-bit word → a word table of
+   ≤ n_bits/32 rows. Size is n_bits/8 bytes regardless of dim
+   cardinality — 8 KiB at the 2^16 default, 8 MiB at the 2^26 cap.
+2. probe: one broadcast-hash join per probe hash against that word table
+   (O(1) hash-table lookups — never a map element_at, whose linear scan
+   made big bitmaps quadratic) keeps rows where all k probe bits are
+   set. False positives pass (and are removed by the real join that
+   follows); false negatives cannot happen, so correctness is exactly
+   that of the unreduced join — which is what lets q_join_bloom
    hash-match a plain-join DuckDB oracle.
 
 Hash = xxhash64(key, seed_lit) — the same JVM-side hash family the engine
@@ -32,6 +33,21 @@ from pyspark.sql import functions as F
 
 DEFAULT_BITS = 1 << 16
 DEFAULT_HASHES = 2
+
+
+def bloom_bits_for(n_keys: int, bits_per_key: int = 10, cap_bits: int = 1 << 26) -> int:
+    """Power-of-two bitmap size for ``n_keys``: ~``bits_per_key`` bits each
+    (fpp ≈ 5 % at k=2 hashes), floored at DEFAULT_BITS and capped at
+    ``cap_bits`` (2^26 = 8 MiB — past that the bitmap itself stops being a
+    cheap broadcast and the caller should prefer a plain shuffle join).
+    A bloom sized below its key count is WORSE than none: every bit sets,
+    every probe passes, and the fact side pays hash compute for zero
+    filtering — size from a real count, never a guess."""
+    need = max(1, int(n_keys)) * bits_per_key
+    bits = DEFAULT_BITS
+    while bits < need and bits < cap_bits:
+        bits <<= 1
+    return bits
 
 
 def _bit_position(key: Column, seed: int, n_bits: int) -> tuple[Column, Column]:
@@ -53,22 +69,20 @@ def bloom_build(
     n_bits: int = DEFAULT_BITS,
     n_hashes: int = DEFAULT_HASHES,
 ) -> DataFrame:
-    """Aggregate the key set into a single-row ``{_bloom: map<int,bigint>}``.
-
-    Two shuffles of tiny data: (word, mask) pairs → per-word ``bit_or``
-    (≤ n_bits/64 rows), then a 1-row map_from_entries collect. Words no key
-    hashes into are absent from the map — the probe treats absent as 0."""
+    """Aggregate the key set into a ``(_bloom_w int, _bloom_bits bigint)``
+    word table — ≤ n_bits/32 rows, one shuffle of tiny (word, mask) pairs
+    with map-side bit_or combine. Words no key hashes into are absent;
+    the probe's inner join treats absent as all-zero (definitely not
+    present). Kept as a DataFrame, not a collected map: the probe
+    broadcast-hash-joins it for O(1) lookups at any bitmap size."""
     entries = []
     for seed in range(n_hashes):
         word, mask = _bit_position(F.col(key_col), seed, n_bits)
         entries.append(F.struct(word.alias("w"), mask.alias("m")))
     pairs = keys.select(F.explode(F.array(*entries)).alias("e")).select(
-        F.col("e.w").alias("w"), F.col("e.m").alias("m")
+        F.col("e.w").alias("_bloom_w"), F.col("e.m").alias("m")
     )
-    words = pairs.groupBy("w").agg(F.bit_or("m").alias("bits"))
-    return words.agg(
-        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("_bloom")
-    )
+    return pairs.groupBy("_bloom_w").agg(F.bit_or("m").alias("_bloom_bits"))
 
 
 def bloom_probe(
@@ -80,18 +94,26 @@ def bloom_probe(
 ) -> DataFrame:
     """Keep fact rows whose key may be in the set the bloom was built from.
 
-    The bitmap arrives as a broadcast single-row join (a constant shipped
-    to every task); the k probe expressions are plain bitwise codegen, so
-    the filter runs at scan speed BEFORE the join shuffle it protects."""
-    probed = fact.crossJoin(F.broadcast(bloom))
-    cond: Column | None = None
+    One broadcast-hash INNER JOIN per probe hash: the fact row computes its
+    word index, the join finds that word's 32-bit chunk in O(1) (a real
+    hash-table lookup), and the mask test is plain bitwise codegen. A fact
+    key whose word is absent from the build simply doesn't join — absent
+    word = all bits zero = provably not in the set — so the inner join IS
+    the filter. The former representation (single-row map<int,bigint>
+    probed with element_at) was quadratic in disguise: Spark's GetMapValue
+    is a LINEAR scan of the map, fine at 2^16 bits (2 k words) and
+    catastrophic once bloom_bits_for sizes the bitmap for a real dim
+    (2^22 bits = 131 k words scanned per probe, per row)."""
+    side = F.broadcast(bloom.select("_bloom_w", "_bloom_bits"))
+    out = fact
     for seed in range(n_hashes):
         word, mask = _bit_position(F.col(key_col), seed, n_bits)
-        hit = (
-            F.coalesce(F.element_at(F.col("_bloom"), word), F.lit(0).cast("bigint"))
-            .bitwiseAND(mask)
-            != 0
+        # join the IDENTICAL broadcast plan each round (no per-seed column
+        # renames): Spark's ReusedExchange then ships and computes the word
+        # table once, not once per probe hash
+        out = (
+            out.join(side, word == F.col("_bloom_w"), "inner")
+            .filter(F.col("_bloom_bits").bitwiseAND(mask) != 0)
+            .drop("_bloom_w", "_bloom_bits")
         )
-        cond = hit if cond is None else (cond & hit)
-    assert cond is not None
-    return probed.filter(cond).drop("_bloom")
+    return out

@@ -420,11 +420,98 @@ def llm_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     per document: (doc_id, n_tokens_ws, n_tokens_unigram). Viterbi runs
     once per DISTINCT word, broadcast back to the token stream — two corpus
     scans total (train word-count + final join), same shape as
-    llm_bpe_encode."""
+    llm_bpe_encode. Rows-only because the pieces are corpus-trained (a
+    static oracle cannot retrain them); the ENCODE path itself is
+    hash-certified by llm_unigram_encode_fixed below."""
     from ..operators.unigram import encode_token_counts_unigram
 
     docs = load_table(spark, sf_dir, "documents")
     return encode_token_counts_unigram(docs, _trained_pieces(spark, sf_dir))
+
+
+#: Frozen piece vocabulary for the oracle-checked unigram encode gate:
+#: every lowercase letter + digit as a single-char fallback, plus common
+#: multi-char pieces (each <= the encoder's max_piece_len). All pieces
+#: share logp = -1.0 EXACTLY: a segmentation's score is then
+#: -(piece count) with every float sum exact (integer-valued doubles), so
+#: Viterbi's argmax is precisely the MINIMUM-piece segmentation and the
+#: per-word token count is unique even when segmentations tie — the form
+#: a SQL oracle can verify as a level-BFS shortest path. (Non-uniform
+#: log-probs would make float tie-breaks association-order-dependent,
+#: which no engine-independent oracle can replay; that richer path stays
+#: rows-only as llm_unigram_encode with its pytest numpy twin.)
+FIXED_PIECES: list[tuple[str, float]] = [
+    (p, -1.0)
+    for p in (
+        [chr(c) for c in range(ord("a"), ord("z") + 1)]
+        + [str(d) for d in range(10)]
+        + ["th", "the", "an", "and", "in", "ing", "er", "on", "re",
+           "at", "en", "es", "or", "te", "ti", "tion",
+           "va", "val", "lu", "ue", "value", "da", "ta", "data"]
+    )
+]
+
+
+def _fixed_pieces_sql() -> str:
+    """VALUES rows for the DuckDB twin's piece table."""
+    return ", ".join(
+        "('" + p.replace("'", "''") + "')" for p, _ in FIXED_PIECES
+    )
+
+
+@query(
+    "llm_unigram_encode_fixed",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE length(word) > 0
+    ), vocab AS (
+      SELECT DISTINCT word FROM toks
+    ), pieces(p) AS (
+      VALUES {{pieces}}
+    ), reach AS (
+      -- level-BFS over prefix lengths: (word, pos, n) = pos chars consumed
+      -- by n pieces. UNION (not UNION ALL) dedups states, so the fixpoint
+      -- is O(len^2) rows per word, never path-exponential.
+      SELECT word, 0 AS pos, 0 AS n FROM vocab
+      UNION
+      SELECT r.word, r.pos + length(p.p), r.n + 1
+      FROM reach r JOIN pieces p
+        ON substr(r.word, r.pos + 1, length(p.p)) = p.p
+      WHERE r.pos < length(r.word) AND r.n < length(r.word)
+    ), best AS (
+      SELECT word, MIN(n) AS n_sub FROM reach
+      WHERE pos = length(word) GROUP BY word
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens_ws,
+           CAST(SUM(b.n_sub) AS BIGINT) AS n_tokens_unigram
+    FROM toks t JOIN best b ON t.word = b.word
+    GROUP BY t.doc_id
+    """.replace("{pieces}", _fixed_pieces_sql()),
+)
+def llm_unigram_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIGRAM-LM ENCODE under the hash-exact oracle gate (round-7 verdict
+    item 6, mirroring llm_bpe_encode_fixed): segment every word with the
+    engine's real Viterbi path (operators/unigram.py
+    encode_token_counts_unigram — one DP per DISTINCT word, broadcast back
+    onto the token stream) over the FROZEN uniform-logp piece table above,
+    and hash-match a DuckDB recursive-CTE twin that solves the same
+    segmentation as a minimum-piece-count reachability BFS (uniform piece
+    scores make Viterbi's argmax exactly that; see FIXED_PIECES). Token
+    counts per document are unique under ties, so the comparison is exact
+    across engines. The learned-vocabulary path (llm_unigram_encode)
+    stays rows-only only because a static oracle cannot retrain the
+    corpus-dependent piece table."""
+    from ..operators.unigram import encode_token_counts_unigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return encode_token_counts_unigram(docs, FIXED_PIECES).select(
+        "doc_id",
+        F.col("n_tokens_ws").cast("long").alias("n_tokens_ws"),
+        F.col("n_tokens_unigram").cast("long").alias("n_tokens_unigram"),
+    )
 
 
 @query(

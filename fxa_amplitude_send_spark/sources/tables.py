@@ -77,3 +77,21 @@ def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
     """Register all tables as temp views so plans can be written in SQL too."""
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(prefix + name)
+
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Row count from parquet FOOTER metadata — zero Spark jobs, zero data
+    read. This is the engine's 'catalog statistics' primitive: footers are
+    the statistics a lakehouse catalog would serve, and a plan that needs a
+    cardinality BOUND (bloom sizing, broadcast gating on unfiltered
+    tables) should take it from here rather than pay a counting job."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        return pq.ParquetFile(path).metadata.num_rows
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(path, "*.parquet"))
+    )
