@@ -2897,30 +2897,31 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialize before probing), then the reporting join + top-100.
 
     Scale shape (the round-7 sf100 study's 11.7×/decade was this): the
-    qualifying order set is TINY (sum qty > 300 keeps a few rows per
-    million orders), so the expensive part must be only the slim
-    lineitem→(orderkey, qty) aggregate that DEFINES it. Both orders and
-    lineitem are therefore semi-reduced by the count-gated broadcast of
-    the big-order keys BEFORE any customer join — the former plan shuffled
-    ALL of customer⋈orders first and threw ~everything away at the semi.
-    After reduction every surviving relation is big-order-sized, and AQE's
-    runtime stats turn the remaining joins into broadcasts on their own."""
+    reporting SUM(l_quantity) groups per ORDER — it is the SAME aggregate
+    the HAVING subquery already computed, so the classic plan's second
+    pass over lineitem (join it back, re-sum it) is pure waste. Here the
+    HAVING aggregate is computed once WITH its sum kept, and the
+    big-order rows (a few per million orders) just join orders and
+    customer. One lineitem scan, one slim (orderkey, qty) shuffle with
+    map-side combine, then broadcast joins: ``big`` is a SHUFFLE output,
+    so AQE holds its exact runtime size and broadcasts it without help —
+    an eager _broadcast_if_small count would execute the 600 M-row
+    aggregate a second time just to learn what AQE knows for free
+    (measured +90 s at sf100; count-gating is for filtered SCANS, whose
+    size the planner can only estimate from unfiltered files)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
-    big = _broadcast_if_small(
+    big = (
         l.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("_qty"))
         .filter(F.col("_qty") > 300)
-        .select(F.col("l_orderkey").alias("_big_key"))
     )
-    o_red = o.join(big, F.col("o_orderkey") == F.col("_big_key"), "left_semi")
-    l_red = l.join(big, F.col("l_orderkey") == F.col("_big_key"), "left_semi")
     return (
-        c.join(o_red, F.col("c_custkey") == F.col("o_custkey"))
-        .join(l_red, F.col("o_orderkey") == F.col("l_orderkey"))
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .agg(F.round(F.sum("_qty"), 2).alias("sum_qty"))
         .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
         .limit(100)
     )
@@ -4774,24 +4775,23 @@ def q_percent_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     its rank — the universal BI footer row. The empty-frame window runs over
     the ALREADY-AGGREGATED per-nation table (|nations| rows), so the
     single-partition stage that SUM() OVER () implies touches dozens of
-    rows, not the fact table; the fact-sized work is one partial-aggregated
-    join shuffle. Rounding AFTER the share division keeps both engines on
-    the same float path."""
+    rows, not the fact table; the fact-sized work is one eager per-customer
+    pre-aggregate (the final key is per-NATION, so the order grain can
+    collapse BEFORE the custkey exchange, which then carries |customers|
+    rows instead of |orders| — the q_join_multi rollup discipline; exact
+    because integer SUM is associative). Rounding AFTER the share division
+    keeps both engines on the same float path."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("_cents")
+    )
     nat = (
-        o.join(c, o["o_custkey"] == c["c_custkey"])
+        per_cust.join(c, F.col("o_custkey") == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(
-            (
-                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast(
-                    "double"
-                )
-                / 100
-            ).alias("revenue")
-        )
+        .agg((F.sum("_cents").cast("double") / 100).alias("revenue"))
     )
     w_all = Window.partitionBy()
     return nat.select(

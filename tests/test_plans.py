@@ -153,10 +153,14 @@ def test_whole_stage_codegen_active(spark, sf_smoke):
     assert "[codegen id :" in plan  # formatted explain's codegen-span marker
 
 
-def test_q18_topk_and_semi_join(spark, sf_smoke):
+def test_q18_topk_and_single_lineitem_pass(spark, sf_smoke):
+    """The round-8 rewrite: the reporting SUM(l_quantity) per order IS the
+    HAVING aggregate, so lineitem must be scanned exactly once (the old
+    semi-join plan re-joined raw lineitem and re-summed it — a second
+    600 M-row pass at sf100)."""
     plan = physical_plan(QUERIES["q_tpch_q18"](spark, sf_smoke))
     assert "TakeOrderedAndProject" in plan       # top-100, not a global sort
-    assert "LeftSemi" in plan                    # HAVING-subquery as semi join
+    assert plan.count("lineitem.parquet") == 1   # aggregate reused, no re-join
 
 
 def test_q21_semi_and_anti_joins(spark, sf_smoke):
