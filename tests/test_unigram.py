@@ -377,3 +377,33 @@ def test_registered_unigram_queries_return_rows(spark, sf_smoke):
     assert enc.count() == n_docs
     bad = enc.filter(F.col("n_tokens_unigram") < F.col("n_tokens_ws")).count()
     assert bad == 0, "a word segments into >= 1 piece"
+
+
+def test_fixed_pieces_fit_encoder_window_and_uniform_logp():
+    """llm_unigram_encode_fixed's oracle contract has two preconditions:
+    every frozen piece must fit the encoder's default max_piece_len (a
+    longer piece would silently never match, diverging from the DuckDB
+    BFS which has no length window), and every logp must be EXACTLY -1.0
+    (uniform integer-valued scores are what make Viterbi's argmax equal
+    minimum-piece-count with exact float sums — the property the oracle
+    verifies). Pin both so a future vocab edit cannot break the gate
+    semantics without failing here."""
+    import inspect
+
+    from fxa_amplitude_send_spark.operators.unigram import (
+        encode_token_counts_unigram,
+    )
+    from fxa_amplitude_send_spark.plans.corpus import FIXED_PIECES
+
+    default_window = inspect.signature(
+        encode_token_counts_unigram
+    ).parameters["max_piece_len"].default
+    assert all(len(p) <= default_window for p, _ in FIXED_PIECES)
+    assert all(lp == -1.0 for _, lp in FIXED_PIECES)
+    # single-char fallback must cover ASCII letters+digits so no word hits
+    # the UNK path (which the oracle does not model)
+    singles = {p for p, _ in FIXED_PIECES if len(p) == 1}
+    import string
+
+    assert set(string.ascii_lowercase) <= singles
+    assert set(string.digits) <= singles
