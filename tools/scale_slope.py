@@ -83,7 +83,9 @@ def main() -> None:
         for q, t in flags.get("timings", {}).items():
             if q in sim1.get("timings", {}):
                 sim1["timings"][q] = t
-        b01 = _load("bench_sf0.1_r8.json").get("queries", {})
+        b01 = _load_latest("bench_sf0.1_r8b.json", "bench_sf0.1_r8.json").get(
+            "queries", {}
+        )
         b1 = {}  # no same-container sf1 bench this round: column blank
         b10 = {}  # no same-container sf10 bench this round: column blank
     elif mode == "r7":
