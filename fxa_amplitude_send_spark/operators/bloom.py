@@ -9,8 +9,12 @@ DataFrame layer, so the whole thing is Catalyst-visible codegen:
 
 1. build: dim keys → k hashed bit positions each → ``explode`` into
    (word, mask) pairs → ``bit_or`` per 32-bit word → a word table of
-   ≤ n_bits/32 rows. Size is n_bits/8 bytes regardless of dim
-   cardinality — 8 KiB at the 2^16 default, 8 MiB at the 2^26 cap.
+   ≤ n_bits/32 rows, independent of dim cardinality. Each word row is an
+   int key + bigint word (4+8 payload bytes per 32 filter bits, i.e.
+   ≥ n_bits/4 bytes of payload before hash-relation overhead): ~24 KiB at
+   the 2^16 default and ~24 MiB / 2 M rows at the 2^26 cap — still a cheap
+   broadcast relative to the fact-table shuffle it removes, but the reason
+   the cap stops at 2^26 rather than growing with the dim.
 2. probe: one broadcast-hash join per probe hash against that word table
    (O(1) hash-table lookups — never a map element_at, whose linear scan
    made big bitmaps quadratic) keeps rows where all k probe bits are

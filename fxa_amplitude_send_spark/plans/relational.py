@@ -2570,12 +2570,17 @@ def _broadcast_if_small(df: DataFrame, cap_rows: int = 16_000_000) -> DataFrame:
     e.g. the true-100 TB design point where the key set itself is
     executor-sized — the plan degrades to exactly what it was before.
 
-    The count is MEMOIZED per (session, logical plan): query builds are
+    The count is MEMOIZED per (application, logical plan): query builds are
     deterministic, so a bench best-of-2 or a plan-shape test that rebuilds
-    the same query pays the counting job once, not per build. Keyed by
-    Catalyst's semanticHash (plan identity, not object identity) and
-    bounded so long sessions cannot grow it without limit."""
-    key = (id(df.sparkSession), df.semanticHash())
+    the same query pays the counting job once, not per build. Keyed by the
+    session's applicationId (unique per SparkContext lifetime — unlike
+    id(session), which CPython reuses after a stopped session is collected)
+    plus Catalyst's semanticHash (plan identity, not object identity), and
+    bounded so long sessions cannot grow it without limit. Plan identity is
+    NOT data identity: the memo assumes the plan's inputs are immutable for
+    the application's lifetime, which holds here because every gated plan
+    reads driver-written sf_dir parquet that is never rewritten in-place."""
+    key = (df.sparkSession.sparkContext.applicationId, df.semanticHash())
     n = _BROADCAST_COUNT_CACHE.get(key)
     if n is None:
         n = df.count()
@@ -2585,8 +2590,8 @@ def _broadcast_if_small(df: DataFrame, cap_rows: int = 16_000_000) -> DataFrame:
     return F.broadcast(df) if n <= cap_rows else df
 
 
-#: (session id, plan semanticHash) -> row count; see _broadcast_if_small.
-_BROADCAST_COUNT_CACHE: dict[tuple[int, int], int] = {}
+#: (applicationId, plan semanticHash) -> row count; see _broadcast_if_small.
+_BROADCAST_COUNT_CACHE: dict[tuple[str, int], int] = {}
 
 
 @query(

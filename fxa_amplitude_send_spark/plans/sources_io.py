@@ -2211,10 +2211,22 @@ def q_versioned_txn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"q_versioned_txn_merge: torn or early visibility (fact v{vf}, "
             f"summary v{vs})"
         )
-    # consistent-stale means PRE-CDC values: no doubled row is visible yet
+    # consistent-stale means PRE-CDC values. Count alone would miss the
+    # update half of the merge (doubled rows change values, not counts) —
+    # DV/tombstone leakage that makes an updated row visible early keeps
+    # the count intact, so the value sum is asserted too.
     stale = read_snapshot(spark, fact)
-    if stale.count() != first.count():
-        raise RuntimeError("q_versioned_txn_merge: early merge visibility")
+    stale_n, stale_sum = stale.agg(
+        F.count(F.lit(1)), F.sum("value_c")
+    ).first()
+    first_n, first_sum = first.agg(F.count(F.lit(1)), F.sum("value_c")).first()
+    if stale_n != first_n:
+        raise RuntimeError("q_versioned_txn_merge: early insert visibility")
+    if stale_sum != first_sum:
+        raise RuntimeError(
+            "q_versioned_txn_merge: early update visibility (value sum "
+            f"moved {first_sum} -> {stale_sum} before recover)"
+        )
 
     recover(troot)
     if current_version(fact) != 2 or current_version(summ) != 2:
@@ -2737,7 +2749,7 @@ def q_versioned_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     if vacuum(table, retain_versions=1):
         raise RuntimeError("default-grace vacuum touched fresh files")
 
-    deleted = set(vacuum(table, retain_versions=1, grace_seconds=0.0))
+    deleted = set(vacuum(table, retain_versions=1, grace_seconds=0.0, allow_unsafe_grace=True))
     missed = [p for p in pre if p not in deleted]
     if missed:
         raise RuntimeError(f"vacuum left expired data files behind: {missed}")
@@ -2753,10 +2765,10 @@ def q_versioned_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass
     else:
         raise RuntimeError("time travel to a vacuumed version must refuse")
-    if vacuum(table, retain_versions=1, grace_seconds=0.0):
+    if vacuum(table, retain_versions=1, grace_seconds=0.0, allow_unsafe_grace=True):
         raise RuntimeError("second vacuum must be a no-op")
     txn.abort()  # squatter unlinks; its staged files become garbage
-    if set(vacuum(table, retain_versions=1, grace_seconds=0.0)) != set(prepared):
+    if set(vacuum(table, retain_versions=1, grace_seconds=0.0, allow_unsafe_grace=True)) != set(prepared):
         raise RuntimeError("aborted transaction's files must be reclaimed")
     back = read_snapshot(spark, table)
     return back.groupBy("event_type").agg(

@@ -822,8 +822,13 @@ def snapshot_info(path: str, version: int | None = None) -> dict:
 #: racing the stage->commit window would otherwise unlink files that a
 #: manifest committed moments later references. Any file younger than the
 #: grace interval is left alone regardless of reference state; operators
-#: may pass ``grace_seconds=0`` only on a table they know is quiescent.
+#: may pass ``grace_seconds=0`` only on a table they know is quiescent —
+#: and must say so explicitly via ``allow_unsafe_grace=True``.
 DEFAULT_VACUUM_GRACE = 24 * 3600.0
+
+#: Below this the age guard cannot protect a mid-stage writer (stage+link
+#: takes real seconds); vacuum refuses unless the caller asserts quiescence.
+MIN_SAFE_VACUUM_GRACE = 1.0
 
 
 def _manifest_referenced_paths(m: dict) -> set[str]:
@@ -843,6 +848,7 @@ def vacuum(
     path: str,
     retain_versions: int = 2,
     grace_seconds: float = DEFAULT_VACUUM_GRACE,
+    allow_unsafe_grace: bool = False,
 ) -> list[str]:
     """Delete data files unreferenced by every retained manifest (the newest
     ``retain_versions`` snapshots). Returns deleted table-relative paths.
@@ -865,8 +871,21 @@ def vacuum(
        writer still inside its stage→manifest-link window, which no
        manifest scan can see. Deleting only old-AND-unreferenced files
        means a reader of any retained version, a prepared transaction,
-       and a mid-stage writer can never lose files."""
+       and a mid-stage writer can never lose files.
+
+    ``grace_seconds`` below MIN_SAFE_VACUUM_GRACE disables guard 2 in
+    practice — a writer inside its stage→manifest-link window at that
+    instant loses files — so it requires ``allow_unsafe_grace=True``: the
+    caller asserts the table is QUIESCENT (no concurrent writers), making
+    the precondition visible at every call site instead of buried here."""
     import time as _time
+
+    if grace_seconds < MIN_SAFE_VACUUM_GRACE and not allow_unsafe_grace:
+        raise ValueError(
+            f"vacuum(grace_seconds={grace_seconds}) can delete a concurrent "
+            "writer's mid-stage files; pass allow_unsafe_grace=True only if "
+            f"the table is quiescent, or use >= {MIN_SAFE_VACUUM_GRACE}s"
+        )
 
     newest = current_version(path)
     if newest == 0:

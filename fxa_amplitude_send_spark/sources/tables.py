@@ -91,7 +91,14 @@ def table_row_count(sf_dir: str, name: str) -> int:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if os.path.isfile(path):
         return pq.ParquetFile(path).metadata.num_rows
-    return sum(
-        pq.ParquetFile(f).metadata.num_rows
-        for f in glob.glob(os.path.join(path, "*.parquet"))
-    )
+    parts = glob.glob(os.path.join(path, "*.parquet"))
+    if not parts:
+        # A silent 0 would pass every downstream gate in the WRONG direction
+        # (0 rows <= any broadcast cap; bloom_bits_for(0) floors the bitmap)
+        # — layout drift (nested partition dirs, renamed files) must fail
+        # loudly, not neuter the optimization it was sizing.
+        raise FileNotFoundError(
+            f"no parquet footers for table {name!r} under {path!r} "
+            "(expected a single file or a flat directory of *.parquet parts)"
+        )
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in parts)

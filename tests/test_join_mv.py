@@ -321,7 +321,7 @@ def test_join_mv_fact_compaction_then_vacuum_does_not_break_dim_term(
 
     fp, dp, mv = _setup(spark, fact, dim, tmp_path)
     compact_snapshot(spark, fp, target_files=2)
-    vacuum(fp, retain_versions=1, grace_seconds=0.0)
+    vacuum(fp, retain_versions=1, grace_seconds=0.0, allow_unsafe_grace=True)
     moved = (
         read_snapshot(spark, dp)
         .filter("c_mktsegment = 'BUILDING'")

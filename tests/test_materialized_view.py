@@ -108,7 +108,7 @@ def test_mv_refresh_is_o_changes_survives_base_vacuum(spark, ev, tmp_path):
         ev.filter("event_id < 10").withColumn("value", F.col("value") + 1.0),
         ["event_id"],
     )  # v4
-    vacuum(base, retain_versions=2, grace_seconds=0.0)  # v1/v2's unreferenced files retire;
+    vacuum(base, retain_versions=2, grace_seconds=0.0, allow_unsafe_grace=True)  # v1/v2's unreferenced files retire;
     # v3+v4 (the MV's unsynced window) stay — refresh needs their manifests
     refresh_mv(spark, mv)
     assert _as_map(read_mv(spark, mv)) == _recompute(spark, base)
@@ -122,7 +122,7 @@ def test_mv_refresh_refuses_vacuumed_window(spark, ev, tmp_path):
     create_mv(spark, base, mv, keys=["event_type"], sums=["value"])
     append_snapshot(ev.filter("event_id >= 50 AND event_id < 70"), base)  # v2
     append_snapshot(ev.filter("event_id >= 70 AND event_id < 90"), base)  # v3
-    vacuum(base, retain_versions=1, grace_seconds=0.0)  # v2's manifest retires — window torn
+    vacuum(base, retain_versions=1, grace_seconds=0.0, allow_unsafe_grace=True)  # v2's manifest retires — window torn
     with pytest.raises(RuntimeError, match="vacuumed past"):
         refresh_mv(spark, mv)
 

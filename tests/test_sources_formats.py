@@ -113,3 +113,29 @@ def test_badrecords_modes_on_same_feed(spark, tmp_path):
             .count()
         )
     assert "Malformed" in str(exc.value) or "FAILFAST" in str(exc.value)
+
+
+def test_table_row_count_footer_stats_and_loud_failure(tmp_path):
+    """table_row_count reads parquet FOOTER stats (zero Spark jobs) for a
+    file or a flat part directory, and FAILS LOUDLY on layout drift — a
+    silent 0 would pass every downstream gate in the wrong direction
+    (0 rows qualifies any table for broadcast; bloom_bits_for(0) floors
+    the bitmap), so no-footers-found must raise, not sum an empty glob."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fxa_amplitude_send_spark.sources.tables import table_row_count
+
+    assert table_row_count(SF, "nation") == 25
+
+    part_dir = tmp_path / "t.parquet"
+    part_dir.mkdir()
+    pq.write_table(pa.table({"a": [1, 2, 3]}), part_dir / "part-0.parquet")
+    pq.write_table(pa.table({"a": [4]}), part_dir / "part-1.parquet")
+    assert table_row_count(str(tmp_path), "t") == 4
+
+    (tmp_path / "drifted.parquet").mkdir()  # empty dir: no footers anywhere
+    with pytest.raises(FileNotFoundError, match="no parquet footers"):
+        table_row_count(str(tmp_path), "drifted")
+    with pytest.raises(FileNotFoundError):
+        table_row_count(str(tmp_path), "never_written")

@@ -284,7 +284,7 @@ def test_star_mv_fact_compaction_then_vacuum_does_not_break_dim_term(
 
     fp, cp, np_, mv = _setup(spark, fact, cust, nation, tmp_path)
     compact_snapshot(spark, fp, target_files=2)   # fact v2, content == v1
-    vacuum(fp, retain_versions=1, grace_seconds=0.0)                 # v1 files+manifest gone
+    vacuum(fp, retain_versions=1, grace_seconds=0.0, allow_unsafe_grace=True)                 # v1 files+manifest gone
     delete_snapshot(spark, np_, "nationkey >= 20")
     refresh_star_mv(spark, mv)
     assert _as_map(read_star_mv(spark, mv)) == _recompute(spark, fp, cp, np_)
@@ -301,7 +301,7 @@ def test_star_mv_vacuumed_change_window_refused(
     fp, cp, np_, mv = _setup(spark, fact, cust, nation, tmp_path)
     append_snapshot(fact.filter("o_orderkey % 2 = 1"), fp)  # v2 (data)
     delete_snapshot(spark, fp, "o_totalprice > 150000")     # v3 (data)
-    vacuum(fp, retain_versions=1, grace_seconds=0.0)
+    vacuum(fp, retain_versions=1, grace_seconds=0.0, allow_unsafe_grace=True)
     with pytest.raises(RuntimeError, match="vacuumed"):
         refresh_star_mv(spark, mv)
 

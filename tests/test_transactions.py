@@ -351,13 +351,13 @@ def test_vacuum_spares_in_doubt_prepared_txn_files(spark, tmp_path, monkeypatch)
     assert txn_state(troot, txn.txn_id) == "in-doubt"
     # the aggressive-vacuum case: even with the age gate disabled, the
     # in-doubt squatter's staged files are protected by reference
-    assert vacuum(a, retain_versions=1, grace_seconds=0.0) == []
+    assert vacuum(a, retain_versions=1, grace_seconds=0.0, allow_unsafe_grace=True) == []
     for p in staged_a:
         assert os.path.exists(os.path.join(a, p)), "vacuum ate a prepared file"
     # settle the transaction aborted; its squatter manifests unlink and the
     # staged files become plain aged-out garbage for the next vacuum
     assert force_abort_txn(troot, txn.txn_id, [a, b])
-    reclaimed = vacuum(a, retain_versions=1, grace_seconds=0.0)
+    reclaimed = vacuum(a, retain_versions=1, grace_seconds=0.0, allow_unsafe_grace=True)
     assert set(reclaimed) == set(staged_a)
 
 
@@ -378,8 +378,8 @@ def test_vacuum_then_recover_after_commit_marker(spark, tmp_path):
 
     # vacuum both tables in the crash window, with the age gate disabled —
     # reference protection alone must keep the prepared files alive
-    assert vacuum(a, retain_versions=1, grace_seconds=0.0) == []
-    assert vacuum(b, retain_versions=1, grace_seconds=0.0) == []
+    assert vacuum(a, retain_versions=1, grace_seconds=0.0, allow_unsafe_grace=True) == []
+    assert vacuum(b, retain_versions=1, grace_seconds=0.0, allow_unsafe_grace=True) == []
 
     recover(troot)
     assert current_version(a) == 2 and current_version(b) == 2
@@ -414,7 +414,7 @@ def test_vacuum_age_gate_spares_midstage_writer(spark, tmp_path):
     assert vacuum(a, retain_versions=1) == []  # default grace: untouchable
     assert os.path.exists(orphan)
     # operator override on a known-quiescent table reclaims it
-    assert vacuum(a, retain_versions=1, grace_seconds=0.0) == [
+    assert vacuum(a, retain_versions=1, grace_seconds=0.0, allow_unsafe_grace=True) == [
         os.path.relpath(orphan, a)
     ]
     assert not os.path.exists(orphan)

@@ -76,7 +76,7 @@ def test_vacuum_removes_only_unreferenced_files(spark, base, tmp_path):
     write_snapshot(base.repartition(4), path)
     compact_snapshot(spark, path, target_files=1)  # v2
     append_snapshot(base.limit(5), path)  # v3
-    deleted = vacuum(path, retain_versions=2, grace_seconds=0.0)  # keep v2, v3 → v1 files go
+    deleted = vacuum(path, retain_versions=2, grace_seconds=0.0, allow_unsafe_grace=True)  # keep v2, v3 → v1 files go
     assert deleted, "v1's pre-compaction files should be deleted"
     # retained versions still fully readable
     assert read_snapshot(spark, path, 2).count() == base.count()
@@ -84,6 +84,20 @@ def test_vacuum_removes_only_unreferenced_files(spark, base, tmp_path):
     # vacuumed version is gone (manifest removed)
     with pytest.raises(FileNotFoundError):
         read_snapshot(spark, path, 1)
+
+
+def test_vacuum_zero_grace_requires_explicit_quiescence_flag(base, tmp_path):
+    """grace_seconds below the safe floor disables the mid-stage-writer age
+    guard, so vacuum refuses it unless the caller asserts the table is
+    quiescent via allow_unsafe_grace=True (the ValueError IS the guard —
+    the precondition becomes visible at the call site)."""
+    path = str(tmp_path / "t")
+    write_snapshot(base, path)
+    with pytest.raises(ValueError, match="allow_unsafe_grace"):
+        vacuum(path, retain_versions=1, grace_seconds=0.0)
+    # the explicit flag and any grace at/above the floor both proceed
+    assert vacuum(path, retain_versions=1, grace_seconds=0.0, allow_unsafe_grace=True) == []
+    assert vacuum(path, retain_versions=1, grace_seconds=3600.0) == []
 
 
 def test_double_commit_same_version_refused(base, tmp_path):
@@ -160,7 +174,7 @@ def test_read_appended_change_feed(spark, base, tmp_path):
     assert read_appended(spark, path, since_version=4).count() == 3
 
     # consumer lagging past vacuum retention is refused loudly
-    vacuum(path, retain_versions=2, grace_seconds=0.0)
+    vacuum(path, retain_versions=2, grace_seconds=0.0, allow_unsafe_grace=True)
     with pytest.raises(ValueError, match="vacuumed"):
         read_appended(spark, path, since_version=1, to_version=3)
 
@@ -459,7 +473,7 @@ def test_vacuum_after_merge_retains_cdf_change_files(spark, base, tmp_path):
     merge_snapshot(spark, path, updates, ["n_nationkey"])  # v2 (has changes)
     append_snapshot(base.limit(3), path)  # v3
 
-    deleted = vacuum(path, retain_versions=2, grace_seconds=0.0)  # keep v2, v3
+    deleted = vacuum(path, retain_versions=2, grace_seconds=0.0, allow_unsafe_grace=True)  # keep v2, v3
     # v2's change files must all survive
     chg = snapshot_info(path, 2)["changes"]
     assert chg, "merge version must record change files"
@@ -1054,7 +1068,7 @@ def test_mor_vacuum_keeps_tombstones(spark, base, tmp_path):
     delete_snapshot_mor(spark, path, "n_nationkey % 2 = 0")     # v2
     append_snapshot(base.limit(0), path)                         # v3
     append_snapshot(base.limit(0), path)                         # v4
-    vacuum(path, retain_versions=2, grace_seconds=0.0)                              # keep v3, v4
+    vacuum(path, retain_versions=2, grace_seconds=0.0, allow_unsafe_grace=True)                              # keep v3, v4
     for rel in snapshot_info(path)["dvs"]:
         assert os.path.exists(os.path.join(path, rel))
     survivors = base.filter("n_nationkey % 2 = 1")
