@@ -1850,6 +1850,164 @@ def q_stream_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_txn_merge",
+    oracle="""
+    WITH fact AS (
+      SELECT event_type,
+             CASE WHEN event_id % 4 = 0 THEN 2 ELSE 1 END
+               * CAST(ROUND(value * 100) AS BIGINT) AS value_c
+      FROM events
+    )
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(value_c) AS BIGINT) AS sum_value_c
+    FROM fact GROUP BY event_type
+    """,
+)
+def q_stream_txn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATOMIC STREAMING CDC UPSERT under the correctness gate — foreachBatch
+    drives MultiTableTxn.stage_merge so every micro-batch atomically MERGEs
+    into the fact table AND its per-type summary: the natural CDC shape
+    (q_stream_txn's append discipline upgraded to upserts), generalizing the
+    reference's send-then-ack (synchronous-pull.js:88-92) to exactly-once
+    cross-table merges.
+
+    The feed is 4 ordered CDC batches (mtime-pinned so the file source
+    replays them deterministically): two insert batches covering all events,
+    then two update batches that double every event_id%4==0 row's value.
+    Per batch, the summary increment is derived from the fact merge's OWN
+    staged change feed (txn.staged_changes — inserts add (1, value),
+    update pre/post pairs add (0, post-pre)), so maintenance is O(changes)
+    with no fact rescan, and both merges land under one transaction marker.
+
+    At-least-once delivery is exercised FOR REAL: batch 0 is re-delivered
+    after the stream finishes and must be a no-op — committed() sees its
+    marker, versions must not move. Fact-vs-summary equality is asserted
+    in-gate; the returned summary hash-matches the oracle's from-scratch
+    aggregate over the post-CDC fact, proving no batch was lost, duplicated,
+    or half-applied. Scale posture: staging is the MoR merge's O(changes)
+    writes; prepare/marker/finalize cost O(tables) filesystem ops."""
+    import os as _os
+    import shutil as _shutil
+
+    from ..sinks.transactions import MultiTableTxn, committed
+    from ..sinks.versioned import current_version, read_snapshot, write_snapshot
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    stage = _work_root("strm_txm", sf_dir)
+    batches = [
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        ev.filter(F.col("event_id") % 8 == 0).withColumn(
+            "value_c", F.col("value_c") * 2
+        ),
+        ev.filter(F.col("event_id") % 8 == 4).withColumn(
+            "value_c", F.col("value_c") * 2
+        ),
+    ]
+    _os.makedirs(stage, exist_ok=True)
+    now = None
+    for i, b in enumerate(batches):
+        sub = _os.path.join(stage, f"b{i}")
+        b.coalesce(1).write.parquet(sub)
+        part = [f for f in _os.listdir(sub) if f.endswith(".parquet")][0]
+        dst = _os.path.join(stage, f"b{i}.parquet")
+        _os.rename(_os.path.join(sub, part), dst)
+        _shutil.rmtree(sub)  # the file source must see exactly 4 flat files
+        # updates reference insert-batch keys, so arrival ORDER is part of
+        # the CDC contract; the file source orders by mtime — pin it.
+        if now is None:
+            now = _os.path.getmtime(dst)
+        _os.utime(dst, (now + 10 * i, now + 10 * i))
+    schema = spark.read.parquet(_os.path.join(stage, "b0.parquet")).schema
+
+    fact = _work_root("stxmf", sf_dir)
+    summ = _work_root("stxms", sf_dir)
+    troot = _work_root("stxml", sf_dir)
+    empty = ev.filter(F.lit(False))
+    write_snapshot(empty, fact)                                     # v1
+    write_snapshot(
+        empty.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value_c").alias("sum_value_c")
+        ),
+        summ,
+    )                                                               # v1
+
+    replay_args: dict[int, object] = {}
+
+    def process(batch_df, batch_id: int) -> None:
+        txn_id = f"m{batch_id:06d}"
+        if committed(troot, txn_id):
+            return  # redelivery of a landed batch: no-op
+        batch_df = batch_df.localCheckpoint(eager=True)  # evaluate once
+        replay_args.setdefault(batch_id, batch_df)
+        txn = MultiTableTxn(troot, txn_id=txn_id)
+        txn.stage_merge(fact, batch_df, ["event_id"])
+        cdf = txn.staged_changes(fact, spark)
+        inc = cdf.groupBy("event_type").agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(0)
+            ).alias("n_add"),
+            F.sum(
+                F.when(
+                    F.col("_change_type") == "update_preimage",
+                    -F.col("value_c"),
+                ).otherwise(F.col("value_c"))
+            ).alias("s_add"),
+        )
+        old = read_snapshot(spark, summ).alias("o")
+        new_rows = inc.alias("i").join(old, "event_type", "left").select(
+            "event_type",
+            (F.coalesce(F.col("o.n"), F.lit(0)) + F.col("i.n_add")).alias("n"),
+            (
+                F.coalesce(F.col("o.sum_value_c"), F.lit(0)) + F.col("i.s_add")
+            ).alias("sum_value_c"),
+        )
+        txn.stage_merge(summ, new_rows, ["event_type"])
+        txn.commit()
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(stage)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", _work_root("strm_txm_ckpt", sf_dir))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len([p for p in q.recentProgress if p.get("numInputRows")])
+    if n_batches < 4:  # one CDC transaction per micro-batch IS the point
+        raise RuntimeError(
+            f"q_stream_txn_merge: expected >=4 micro-batches, got {n_batches}"
+        )
+    vf, vs = current_version(fact), current_version(summ)
+    if vf != vs or vf != 5:
+        raise RuntimeError(
+            f"q_stream_txn_merge: expected lockstep v5, got fact v{vf} "
+            f"summary v{vs}"
+        )
+    process(replay_args[0], 0)  # redeliver batch 0 — must be a no-op
+    if (current_version(fact), current_version(summ)) != (vf, vs):
+        raise RuntimeError(
+            "q_stream_txn_merge: replayed batch was applied twice — "
+            "exactly-once contract broken"
+        )
+    out = read_snapshot(spark, summ).select("event_type", "n", "sum_value_c")
+    fagg = read_snapshot(spark, fact).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value_c").cast("long").alias("sum_value_c"),
+    )
+    if out.exceptAll(fagg).count() != 0 or fagg.exceptAll(out).count() != 0:
+        raise RuntimeError("q_stream_txn_merge: fact and summary diverged")
+    return out
+
+
+@query(
     "q_stream_stateful",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,

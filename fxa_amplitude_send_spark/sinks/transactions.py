@@ -353,6 +353,25 @@ class MultiTableTxn:
         self._spark = spark
         self._ops[table] = [{"op": "delete", "base": base, **st}]
 
+    def staged_changes(self, table: str, spark: SparkSession) -> DataFrame:
+        """The CDF rows this transaction's staged merge/delete will publish
+        for ``table`` (columns = table schema + ``_change_type`` in
+        {insert, update_preimage, update_postimage, delete}) — readable
+        BEFORE the commit. This is what lets a downstream aggregate be
+        maintained from the SAME transaction at O(changes): stage the fact
+        merge, derive the summary increment from its staged change files,
+        stage the summary merge, then commit both atomically. Without it
+        the caller would re-join the batch against the fact table
+        (O(fact) per batch) or trust the feed's preimages."""
+        paths = [
+            os.path.join(table, e["path"])
+            for op in self._ops.get(table, [])
+            for e in op.get("change_files", [])
+        ]
+        if not paths:
+            raise ValueError(f"no staged change files for {table!r}")
+        return spark.read.parquet(*paths)
+
     def staged_paths(self, table: str) -> list[str]:
         """Table-relative paths of every file this transaction staged into
         ``table`` (data, deletion vectors and change files) — what vacuum

@@ -489,3 +489,99 @@ def test_mixing_merge_and_append_on_one_table_refused(spark, tmp_path):
     txn.stage_merge(a, spark.createDataFrame([Row(k=1, v=99)]), ["k"])
     with pytest.raises(RuntimeError, match="one mutation per table"):
         txn.stage_append(a, spark.createDataFrame([Row(k=7, v=70)]))
+
+
+def test_stream_cdc_merge_crash_after_marker_recovers_and_replays(spark, tmp_path):
+    """The full streaming-CDC crash lifecycle for foreachBatch + stage_merge
+    (the q_stream_txn_merge discipline): a micro-batch that crashes right
+    after its commit marker leaves BOTH tables consistent-stale — counts
+    AND value sums at pre-batch state, no half-applied merge — recover()
+    completes the upsert from the durable plan, and a checkpoint restart
+    redelivers the crashed batch, which the committed() probe turns into a
+    no-op (exactly-once across a real crash, not just a manual re-call)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    f0, f1 = str(feed / "b0.parquet"), str(feed / "b1.parquet")
+    pq.write_table(
+        pa.table({"k": [1, 2, 3, 4], "t": ["a", "a", "b", "b"],
+                  "v": [10, 10, 10, 10]}), f0)
+    pq.write_table(pa.table({"k": [1, 2], "t": ["a", "a"], "v": [20, 20]}), f1)
+    now = os.path.getmtime(f0)
+    os.utime(f0, (now, now))
+    os.utime(f1, (now + 10, now + 10))
+
+    fact, summ = str(tmp_path / "fact"), str(tmp_path / "summ")
+    troot = str(tmp_path / "txlog")
+    write_snapshot(spark.createDataFrame([], "k bigint, t string, v bigint"), fact)
+    write_snapshot(
+        spark.createDataFrame([], "t string, n bigint, s bigint"), summ)
+
+    from fxa_amplitude_send_spark.sinks.transactions import committed
+
+    def process(batch_df, bid):
+        txn_id = f"c{bid:04d}"
+        if committed(troot, txn_id):
+            return
+        batch_df = batch_df.localCheckpoint(eager=True)
+        txn = MultiTableTxn(troot, txn_id=txn_id)
+        txn.stage_merge(fact, batch_df, ["k"])
+        cdf = txn.staged_changes(fact, spark)
+        inc = cdf.groupBy("t").agg(
+            F.sum(F.when(F.col("_change_type") == "insert", 1).otherwise(0)
+                  ).alias("n_add"),
+            F.sum(F.when(F.col("_change_type") == "update_preimage",
+                         -F.col("v")).otherwise(F.col("v"))).alias("s_add"),
+        )
+        old = read_snapshot(spark, summ).alias("o")
+        new_rows = inc.alias("i").join(old, "t", "left").select(
+            "t",
+            (F.coalesce(F.col("o.n"), F.lit(0)) + F.col("i.n_add")).alias("n"),
+            (F.coalesce(F.col("o.s"), F.lit(0)) + F.col("i.s_add")).alias("s"),
+        )
+        txn.stage_merge(summ, new_rows, ["t"])
+        if bid == 1:
+            txn.commit_without_finalize()
+            raise RuntimeError("crash-after-marker")
+        txn.commit()
+
+    def run_stream():
+        schema = spark.read.parquet(f0).schema
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed))
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = run_stream()
+    with pytest.raises(Exception, match="crash-after-marker"):
+        q.awaitTermination()
+
+    # crash window: batch 0 landed (v2), batch 1 marker'd but not rolled
+    # forward — both tables consistent-stale in count AND value sum
+    assert current_version(fact) == 2 and current_version(summ) == 2
+    frows = read_snapshot(spark, fact)
+    assert (frows.count(), frows.agg(F.sum("v")).first()[0]) == (4, 40)
+    srows = read_snapshot(spark, summ)
+    assert (srows.agg(F.sum("n")).first()[0],
+            srows.agg(F.sum("s")).first()[0]) == (4, 40)
+
+    recover(troot)
+    assert current_version(fact) == 3 and current_version(summ) == 3
+    got = {r.k: r.v for r in read_snapshot(spark, fact).collect()}
+    assert got == {1: 20, 2: 20, 3: 10, 4: 10}
+    s = {r.t: (r.n, r.s) for r in read_snapshot(spark, summ).collect()}
+    assert s == {"a": (2, 40), "b": (2, 20)}
+
+    # checkpoint restart redelivers the crashed batch: committed() makes it
+    # a no-op — versions and values must not move
+    q2 = run_stream()
+    q2.awaitTermination()
+    assert current_version(fact) == 3 and current_version(summ) == 3
+    assert {r.k: r.v for r in read_snapshot(spark, fact).collect()} == got
