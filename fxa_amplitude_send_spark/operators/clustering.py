@@ -120,3 +120,67 @@ def kmeans_assign(
     return emb.select(
         F.col(id_col), cluster.alias("cluster"), dist.alias("dist_sq")
     )
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """(id, q) with every coordinate snapped to the integer micro-grid
+    round(x * scale) — the float→exact bridge that lets a Lloyd round be
+    hash-gated across engines: the widening float→double cast and the
+    single multiply are correctly rounded (bit-identical everywhere), and
+    from the snap onward every distance, argmin and moment sum is BIGINT
+    arithmetic with no accumulation-order sensitivity."""
+    q = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * F.lit(float(scale))).cast("long"),
+    )
+    return emb.select(F.col(id_col), q.alias("q"))
+
+
+def _dist2_int(qcol, centroid: list[int]):
+    """Squared L2 distance between an integer-grid array column and a
+    literal integer centroid — BIGINT-exact (|coord| ≤ ~2e6 over 64 dims
+    keeps the sum far below 2^63)."""
+    lit = F.array(*[F.lit(int(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(qcol, lit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def lloyd_round_exact(embq: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """ONE Lloyd round under FROZEN integer-grid centroids, every output
+    cell exact: assign each vector to its nearest centroid (BIGINT squared
+    L2, ties to the lowest cluster id) and emit the (cluster, dim) moment
+    aggregate — n_vectors, coordinate sum, and the cluster's inertia
+    (Σ dist², replicated across its dims like kmeans_train's s2 cells).
+    This is the assign+update step of kmeans_train with the floats
+    removed, so the SAME physical shape that trains the learned model is
+    hash-gateable against ANSI SQL: k literal centroids folded into one
+    JVM projection (no join, no Python), posexplode, one mergeable
+    groupBy(cluster, dim) with map-side combine → k·d output cells.
+    The new centroid is sum_q/n_vectors — left as the exact (numerator,
+    denominator) pair rather than a division, so no float ever appears."""
+    dists = F.array(*[_dist2_int(F.col("q"), c) for c in centroids])
+    best = F.array_min(dists)
+    cluster = (F.array_position(dists, best) - 1).cast("long")
+    assigned = embq.select(
+        cluster.alias("cluster"), best.alias("d2"), F.col("q")
+    )
+    return (
+        assigned.select("cluster", "d2", F.posexplode("q").alias("pos", "x"))
+        .select(
+            "cluster", "d2", "x", (F.col("pos") + 1).cast("long").alias("dim")
+        )
+        .groupBy("cluster", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("x").alias("sum_q"),
+            F.sum("d2").alias("inertia"),
+        )
+    )

@@ -232,3 +232,74 @@ def q_geo_nearest_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         wrap_lon=True,
     )
     return out.select("c_custkey", "s_suppkey", "dist2")
+
+
+@query(
+    "q_geo_haversine",
+    oracle=_GEO_CTE
+    + """
+    , pairs AS (
+      SELECT c.c_nationkey,
+             CAST(ROUND(2 * 6371.0088 * ASIN(SQRT(
+               POW(SIN((RADIANS(s.lat / 1000000.0)
+                        - RADIANS(c.lat / 1000000.0)) / 2), 2)
+               + COS(RADIANS(c.lat / 1000000.0))
+                 * COS(RADIANS(s.lat / 1000000.0))
+                 * POW(SIN((RADIANS(s.lon / 1000000.0)
+                            - RADIANS(c.lon / 1000000.0)) / 2), 2)
+             )) * 1000) AS BIGINT) AS dist_m
+      FROM c, s
+      WHERE (c.lat - s.lat) * (c.lat - s.lat)
+            + (c.lon - s.lon) * (c.lon - s.lon)
+            <= CAST(3000000 AS BIGINT) * 3000000
+    )
+    SELECT c_nationkey, COUNT(*) AS n_pairs,
+           CAST(SUM(dist_m) AS BIGINT) AS sum_dist_m,
+           MIN(dist_m) AS min_dist_m
+    FROM pairs GROUP BY c_nationkey
+    """,
+)
+def q_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SPHERICAL metric itself under the correctness gate (round-8
+    verdict item 7): haversine_km (operators/geo.py — the production path,
+    previously pytest-only) over a pair set whose MEMBERSHIP is decided by
+    the BIGINT-exact planar predicate (q_geo_join's 3° grid join), so both
+    engines agree on exactly which pairs exist with zero float risk; each
+    pair's great-circle distance is then snapped to an integer METER grid
+    (round(km*1000)) before aggregation, so the only engine-specific float
+    work is absorbed by ~10 orders of magnitude of snap headroom (libm vs
+    JVM transcendentals differ at ~1e-15 relative; the snap boundary is
+    0.5 m on ~100 km values). The oracle replays the identical formula —
+    same association order, same half-up rounding — over the identical
+    md5-derived coordinates. Integer sums/mins after the snap are exact.
+
+    In production the grid radius would be sized from the km radius via
+    the worst-case degree-per-km at the latitude band; here the planar
+    3e6 µ° neighborhood IS the spec (pairs near enough to care about,
+    measured spherically). Scale posture = q_geo_join: cell-key shuffle,
+    O(local density), the 9x explode rides the supplier side."""
+    from ..operators.geo import grid_distance_join, haversine_km
+
+    pairs = grid_distance_join(
+        _customers(spark, sf_dir), _suppliers(spark, sf_dir), 3_000_000,
+        b_lat="slat", b_lon="slon",
+    )
+    dist_m = (
+        F.round(
+            haversine_km(
+                F.col("lat"), F.col("lon"), F.col("slat"), F.col("slon")
+            )
+            * 1000
+        )
+        .cast("long")
+        .alias("dist_m")
+    )
+    return (
+        pairs.select("c_nationkey", dist_m)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("dist_m").alias("sum_dist_m"),
+            F.min("dist_m").alias("min_dist_m"),
+        )
+    )

@@ -2291,33 +2291,77 @@ def llm_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_kmeans")
+@query(
+    "llm_kmeans",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS q
+      FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cid, q AS cq FROM q WHERE vec_id < 8
+    ), scored AS (
+      SELECT q.vec_id, c.cid, q.q,
+             CAST(list_sum(list_transform(range(1, len(q.q) + 1),
+                  i -> (q.q[i] - c.cq[i]) * (q.q[i] - c.cq[i])))
+               AS BIGINT) AS d2
+      FROM q, c
+    ), assigned AS (
+      SELECT vec_id, q, cid AS cluster, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM scored
+    ), adim AS (
+      SELECT cluster, d2, q, unnest(range(1, len(q) + 1)) AS dim
+      FROM assigned WHERE rn = 1
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster, dim,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(q[dim]) AS BIGINT) AS sum_q,
+           CAST(SUM(d2) AS BIGINT) AS inertia
+    FROM adim GROUP BY cluster, dim
+    """,
+)
 def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trained k-means clustering (operators/clustering.py): 3 Lloyd
-    rounds over the embedding corpus, deterministic bottom-k-by-hash
-    init, assignment as a pure column expression (k literal centroids
-    folded into one JVM projection — no join, no Python), update as one
-    mergeable (cluster, dim) moment aggregate per round with O(k·d)
-    driver state. Returns per-cluster sizes + mean distance; rows-only
-    under the driver (float means are not bit-portable across engines —
-    the numpy-twin equivalence and monotone-inertia proofs live in
-    tests/test_clustering.py). In-gate enforcement: inertia must be
-    non-increasing across rounds, the Lloyd invariant."""
-    from ..operators.clustering import kmeans_assign, kmeans_train
+    """K-means under the correctness gate, two layers (round-8 verdict
+    item 6):
+
+    1. The LEARNED path still runs in-gate: 3 Lloyd rounds over the raw
+       float corpus (operators/clustering.py kmeans_train — deterministic
+       bottom-k-by-hash init, assignment folded into one JVM projection,
+       O(k·d) driver state), with the monotone-inertia Lloyd invariant
+       enforced by raising. Learned float means are not bit-portable
+       across engines, so this layer stays invariant-checked (numpy-twin
+       equivalence lives in tests/test_clustering.py).
+    2. The RETURNED result is the same assign+moment-aggregate machinery
+       made hash-exact (lloyd_round_exact): coordinates snapped to the
+       integer micro-grid (round(x*1e6) — the llm_cluster_assign
+       fixed-quantizer discipline), centroids frozen to the first 8
+       corpus vectors, squared-L2 argmin and the (cluster, dim) moment
+       sums all BIGINT arithmetic — order-insensitive, so DuckDB replays
+       the full Lloyd update step digit-for-digit. The new centroid is
+       the exact pair (sum_q, n_vectors), never a float division.
+
+    Physical shape both layers: k literal centroids ride the plan (no
+    centroid join), posexplode → ONE mergeable groupBy(cluster, dim) with
+    map-side combine → k·d = 512 cells; at 100 TB each round is scan-bound
+    with no data-sized shuffle."""
+    from ..operators.clustering import (
+        kmeans_train,
+        lloyd_round_exact,
+        quantize_embeddings,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids, history = kmeans_train(emb, k=8, rounds=3)
+    _, history = kmeans_train(emb, k=8, rounds=3)
     if any(b > a + 1e-6 for a, b in zip(history, history[1:])):
         raise RuntimeError(f"Lloyd inertia must be non-increasing: {history}")
-    out = kmeans_assign(emb, centroids)
-    return (
-        out.groupBy("cluster")
-        .agg(
-            F.count(F.lit(1)).alias("n_vectors"),
-            F.round(F.avg("dist_sq"), 4).alias("avg_dist_sq"),
-        )
-        .orderBy("cluster")
-    )
+    embq = quantize_embeddings(emb)
+    cents = [
+        list(r["q"])
+        for r in embq.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    return lloyd_round_exact(embq, cents)
 
 
 @query(

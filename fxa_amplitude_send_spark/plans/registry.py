@@ -61,6 +61,10 @@ _GATE_EXTRAS = frozenset(
         "llm_ingest_neardup",
         # round 7: stages a hive-partitioned copy before the pruned reads
         "q_source_partitioned",
+        # round 9: pays the one-time bucketed lineitem write in-gate (the
+        # recurring run's cost is the point; sf10/sf100 studies measure it
+        # separately via the prebuild-then-remeasure pattern)
+        "q_tpch_q18_bucketed",
     }
 )
 

@@ -2933,6 +2933,70 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tpch_q18_bucketed",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           ROUND(SUM(l.l_quantity), 2) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q18_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 on a lineitem PRE-BUCKETED by l_orderkey (round-8 verdict
+    item 5) — the provisioning a real 100 TB deployment would choose for a
+    fact table whose hottest aggregate groups on its natural key: the
+    write pre-pays the (orderkey, qty) shuffle ONCE (sinks/bucketed.py),
+    and every subsequent Q18-class run computes the HAVING aggregate
+    exchange-free — the bucketed scan already satisfies the hash
+    distribution HashAggregate needs, so the 600 M-row-at-sf100 stage
+    that q_tpch_q18's slim shuffle still pays disappears from the
+    recurring cost entirely (plan pinned exchange-free in
+    tests/test_plans.py).
+
+    The big-order set (a few rows per million orders) is explicitly
+    broadcast into the reporting joins: without a shuffle stage there is
+    no AQE runtime size for it, and the planner's file-size estimate of
+    an aggregate over a fact-sized bucketed scan would demote the join to
+    a fact-sized SMJ — the hint states what the HAVING filter guarantees.
+    8 buckets on test data; thousands (one bucket ≈ one task's memory) at
+    100 TB. The bucketed copy is tagged by the source parquet's
+    (size, mtime), so regenerated testdata re-buckets and repeat runs
+    reuse the write — exactly the amortization argument."""
+    import os
+
+    from ..sinks.bucketed import ensure_bucketed
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    try:
+        st = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
+        sig = f"{sf_dir}|{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        sig = f"{sf_dir}|missing"
+    bl = ensure_bucketed(spark, l, "lineitem_by_order", "l_orderkey", sig=sig)
+    big = (
+        bl.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 300)
+    )
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("_qty"), 2).alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
     "q_tpch_q19",
     oracle="""
     SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)

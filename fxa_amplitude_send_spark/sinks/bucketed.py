@@ -41,9 +41,25 @@ def ensure_bucketed(
     name = f"{table}_{tag}"
     location = os.path.join(tempfile.gettempdir(), f"fxa_spark_bucketed_{name}")
     if not spark.catalog.tableExists(name):
-        write_bucketed_table(
-            df, name, key, n_buckets=n_buckets, sort_col=key, location=location
-        )
+        if os.path.exists(os.path.join(location, "_SUCCESS")):
+            # files from a previous process are complete (the committer's
+            # _SUCCESS marker): re-REGISTER the bucketed layout over them
+            # instead of rewriting — the write really is paid once per
+            # (table, sig) per filesystem, not once per session. The DDL's
+            # CLUSTERED BY carries the same bucket spec the writer used,
+            # so scans keep their exchange-free distribution.
+            ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {name} ({ddl}) USING parquet "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                f"INTO {n_buckets} BUCKETS LOCATION '{location}'"
+            )
+        else:
+            write_bucketed_table(
+                df, name, key, n_buckets=n_buckets, sort_col=key, location=location
+            )
     return spark.table(name)
 
 

@@ -61,3 +61,41 @@ def test_kmeans_inertia_monotone_and_deterministic(spark, emb):
     _, h2 = kmeans_train(emb, k=4, rounds=5)
     assert all(b <= a + 1e-6 for a, b in zip(h1, h1[1:]))
     assert h1 == h2  # same init, same data -> identical audit trail
+
+
+def test_lloyd_round_exact_matches_integer_numpy_twin(spark, emb):
+    """lloyd_round_exact's (cluster, dim) moment cells — n, Σq, inertia —
+    must equal an independent numpy computation on the SAME integer grid
+    exactly (not approximately): the whole point of the quantized round is
+    that nothing after the snap is float, so any engine disagreement is a
+    logic bug, never accumulation order."""
+    from fxa_amplitude_send_spark.operators.clustering import (
+        lloyd_round_exact,
+        quantize_embeddings,
+    )
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    Q = np.round(np.array([r.embedding for r in rows], dtype=np.float64) * 1e6
+                 ).astype(np.int64)
+    C = Q[ids < 8][np.argsort(ids[ids < 8])]  # vec_id < 8, in id order
+    d = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    a = d.argmin(axis=1)  # ties to lowest cluster id, like array_position
+    want = {}
+    for cid in range(8):
+        mask = a == cid
+        if not mask.any():
+            continue
+        inertia = int(d[mask, cid].sum())
+        for dim in range(Q.shape[1]):
+            want[(cid, dim + 1)] = (
+                int(mask.sum()), int(Q[mask, dim].sum()), inertia)
+
+    embq = quantize_embeddings(emb)
+    cents = [list(r["q"]) for r in
+             embq.filter(embq.vec_id < 8).orderBy("vec_id").collect()]
+    got = {
+        (r.cluster, r.dim): (r.n_vectors, r.sum_q, r.inertia)
+        for r in lloyd_round_exact(embq, cents).collect()
+    }
+    assert got == want

@@ -637,3 +637,67 @@ def test_mor_read_plan_is_anti_join_with_pushdown(spark, sf_smoke, tmp_path):
     assert "GreaterThan(value,90.0)" in plan  # pushed through the DV join
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_q18_bucketed_having_aggregate_is_exchange_free(spark, sf_smoke):
+    """q_tpch_q18_bucketed's whole point: the HAVING SUM(l_quantity)
+    aggregate over the l_orderkey-bucketed lineitem must plan with NO
+    Exchange between the bucketed scan and the aggregate — the bucketed
+    layout already satisfies the hash distribution, so the fact-sized
+    shuffle q_tpch_q18 pays per run is pre-paid at write time. The
+    reporting joins keep the big-order set on the broadcast side."""
+    import re
+
+    plan = physical_plan(QUERIES["q_tpch_q18_bucketed"](spark, sf_smoke))
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+    # locate the HashAggregate whose key is l_orderkey and assert no
+    # Exchange sits between it and the scan: in the formatted plan the
+    # scan->agg leg appears as scan / (partial agg) / final agg with no
+    # "Exchange hashpartitioning(l_orderkey..." node anywhere
+    assert not re.search(r"Exchange hashpartitioning\(l_orderkey", plan), plan
+    # the big-order set rides broadcast joins, never a fact-sized SMJ
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_ensure_bucketed_reregisters_existing_files_without_rewrite(
+    spark, sf_smoke, tmp_path
+):
+    """The write-amortization contract across PROCESSES: when the bucketed
+    files already exist (committer _SUCCESS present) but the session
+    catalog is fresh — a new process — ensure_bucketed must re-register
+    the layout over the existing files instead of rewriting them, and the
+    re-registered table must still plan bucket-aligned."""
+    import glob
+    import os
+
+    from fxa_amplitude_send_spark.sinks.bucketed import ensure_bucketed
+    from fxa_amplitude_send_spark.sources import load_table
+
+    ev = load_table(spark, sf_smoke, "events").select("user_id", "value")
+    sig = f"rereg-test-{os.path.basename(str(tmp_path))}"
+    t1 = ensure_bucketed(spark, ev, "ev_rereg", "user_id", sig=sig)
+    loc = [
+        f for f in glob.glob("/tmp/fxa_spark_bucketed_ev_rereg_*")
+        if os.path.exists(os.path.join(f, "_SUCCESS"))
+    ]
+    assert loc, "bucketed write left no _SUCCESS-marked location"
+    name = os.path.basename(loc[0]).replace("fxa_spark_bucketed_", "")
+    mtimes = {
+        f: os.path.getmtime(f) for f in glob.glob(os.path.join(loc[0], "*"))
+    }
+    n1 = t1.count()
+
+    spark.sql(f"DROP TABLE {name}")  # simulate a fresh process's catalog
+    t2 = ensure_bucketed(spark, ev, "ev_rereg", "user_id", sig=sig)
+    assert t2.count() == n1
+    assert {
+        f: os.path.getmtime(f) for f in glob.glob(os.path.join(loc[0], "*"))
+    } == mtimes, "re-registration must not rewrite the bucketed files"
+    plan = physical_plan(
+        t2.groupBy("user_id").agg({"value": "sum"})
+    )
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+    import re
+
+    assert not re.search(r"Exchange hashpartitioning\(user_id", plan), plan
+    spark.sql(f"DROP TABLE {name}")

@@ -12,6 +12,13 @@ Inputs (produced by the round-5/6 scale studies):
 Output columns: query, spark seconds at each SF with decade ratios,
 bench seconds at each SF with decade ratios, flag, statuses.
 
+REGIME DISCIPLINE (round 9+): cold solo-process timings run 2-3x warm
+full-registry timings, so a ratio must never divide across regimes. The
+sf0.1/sf1/sf10 columns are warm full-registry runs and their ratios are
+warm/warm; the sf100 column is cold solo runs and its ratio divides by
+the cold solo sf10 re-measures (spark_sf10_cold_sec), recorded separately
+so the CSV itself shows which regime every ratio used.
+
 Interpretation: each decade grows the data 10x. A per-decade ratio <= ~10
 is at-most-linear; fixed per-query stage overhead (~0.3-0.5 s at sf0.1)
 makes small queries show ratios well under 10. Ratios beyond a query's
@@ -67,7 +74,26 @@ def main() -> None:
     # purely from round-7-container runs; the default keeps the round-6
     # CSV reproducible from its own records.
     mode = sys.argv[1] if len(sys.argv) > 1 else ""
-    if mode == "r8":
+    sim10_cold = {}
+    if mode == "r9":
+        # Round-9 regime discipline (round-8 verdict "what's wrong" #1):
+        # every ratio divides SAME-REGIME numbers. sf0.1/sf1/sf10 are warm
+        # full-registry runs; sf100 runs are cold solo processes, so their
+        # decade ratio divides by the COLD solo sf10 re-measures in
+        # driver_sim_sf10_cold_r9.json — never by a warm full-run cell.
+        # The CSV carries both sf10 columns so the regime of every ratio
+        # is visible in the record itself.
+        sim01 = _load("driver_sim_sf0.1_r9.json")
+        sim1 = _load("driver_sim_sf1_r9.json")
+        sim10 = _load("driver_sim_sf10_full_r9.json")
+        sim10_cold = _load("driver_sim_sf10_cold_r9.json", required=False)
+        sim100 = _load("driver_sim_sf100_r9.json", required=False)
+        b01 = _load_latest("bench_sf0.1_r9b.json", "bench_sf0.1_r9.json").get(
+            "queries", {}
+        )
+        b1 = {}   # no same-container sf1 bench: column blank, not mixed
+        b10 = {}  # no same-container sf10 bench: column blank, not mixed
+    elif mode == "r8":
         sim01 = _load("driver_sim_sf0.1_r8.json")
         sim1 = _load("driver_sim_sf1_r8.json")
         sim10 = _load("driver_sim_sf10_r8.json")
@@ -116,6 +142,7 @@ def main() -> None:
     t01 = sim01.get("timings", {})
     t1 = sim1.get("timings", {})
     t10 = sim10.get("timings", {})
+    t10c = sim10_cold.get("timings", {})
     t100 = sim100.get("timings", {})
     res1 = sim1.get("results", {})
     res10 = sim10.get("results", {})
@@ -133,10 +160,15 @@ def main() -> None:
         s01 = t01.get(n, {}).get("spark_sec")
         s1 = t1.get(n, {}).get("spark_sec")
         s10 = t10.get(n, {}).get("spark_sec")
+        s10c = t10c.get(n, {}).get("spark_sec")
         s100 = t100.get(n, {}).get("spark_sec")
         sr = ratio(s1, s01)
         sr10 = ratio(s10, s1)
-        sr100 = ratio(s100, s10)
+        # cold sf100 numerators divide by cold solo sf10 denominators when
+        # the round recorded them (r9+); legacy modes have no cold sf10
+        # re-measures, so their sf100 ratio falls back to the mixed-regime
+        # division (conservative: warm denominators only overstate).
+        sr100 = ratio(s100, s10c) if t10c else ratio(s100, s10)
         bb01 = b01.get(n) if (b01.get(n) or 0) > 0 else None
         bb1 = b1.get(n) if (b1.get(n) or 0) > 0 else None
         bb10 = b10.get(n) if (b10.get(n) or 0) > 0 else None
@@ -153,7 +185,7 @@ def main() -> None:
                 n_flagged += 1
                 break
         rows.append([n, s01 or "", s1 or "", sr, s10 or "", sr10,
-                     s100 or "", sr100,
+                     s10c or "", s100 or "", sr100,
                      bb01 or "", bb1 or "", br, bb10 or "", br10,
                      flag, res1.get(n, ""), res10.get(n, ""), res100.get(n, "")])
 
@@ -162,15 +194,16 @@ def main() -> None:
         w = csv.writer(fh)
         w.writerow(["query", "spark_sf0.1_sec", "spark_sf1_sec", "spark_ratio_1",
                     "spark_sf10_sec", "spark_ratio_10",
-                    "spark_sf100_sec", "spark_ratio_100",
+                    "spark_sf10_cold_sec", "spark_sf100_cold_sec",
+                    "spark_ratio_100",
                     "bench_sf0.1_sec", "bench_sf1_sec", "bench_ratio_1",
                     "bench_sf10_sec", "bench_ratio_10",
                     "flag", "sf1_status", "sf10_status", "sf100_status"])
         w.writerows(rows)
     print(f"wrote {out}: {len(rows)} queries, {n_flagged} flagged > {FLAG_RATIO}x")
     for r in rows:
-        if r[13]:
-            print("  FLAG", r[0], "ratios", r[3], r[5], r[7], r[10], r[12])
+        if r[14]:
+            print("  FLAG", r[0], "ratios", r[3], r[5], r[8], r[11], r[13])
 
 
 if __name__ == "__main__":
