@@ -68,27 +68,53 @@ def _domain(con, src, table, col) -> int:
 
 
 def _replicate(con, src, dst, table, factor, offsets, renames=None):
-    """offsets: {col: stride}; renames: {col: sql_expr using the offset col}"""
+    """offsets: {col: stride}; renames: {col: sql_expr using the offset col
+    and the replica index ``r.i``}.
+
+    Streams ONE REPLICA PER PASS through a ParquetWriter.  (The original
+    single-statement ``COPY (... CROSS JOIN range(factor) ORDER BY r.i)``
+    materialized the ENTIRE output for the sort — ~100 GB for sf100
+    lineitem — and an in-memory duckdb connection has no temp spill path,
+    so generation stalled at the memory limit on a busy box, round 9.
+    The per-replica loop produces the same rows in the same replica-major
+    order with O(one row-group) peak memory.)"""
     cols = [
         r[0]
         for r in con.sql(
             f"DESCRIBE SELECT * FROM read_parquet('{src}/{table}.parquet')"
         ).fetchall()
     ]
-    exprs = []
-    for c in cols:
-        if c in offsets:
-            exprs.append(f"{c} + r.i * {offsets[c]} AS {c}")
-        elif renames and c in renames:
-            exprs.append(f"{renames[c]} AS {c}")
-        else:
-            exprs.append(c)
-    con.sql(
-        f"COPY (SELECT {', '.join(exprs)} "
-        f"FROM read_parquet('{src}/{table}.parquet') t "
-        f"CROSS JOIN (SELECT unnest(range({factor})) AS i) r "
-        f"ORDER BY r.i) TO '{dst}/{table}.parquet' (FORMAT parquet)"
-    )
+    out = os.path.join(dst, f"{table}.parquet")
+    tmp = out + ".tmp"
+    writer = None
+    try:
+        for i in range(factor):
+            # the replica index as a BIGINT literal, matching the type of
+            # the old generator's range()-sourced r.i so key columns keep
+            # the same parquet physical type across generator versions
+            ri = f"CAST({i} AS BIGINT)"
+            exprs = []
+            for c in cols:
+                if c in offsets:
+                    exprs.append(f"{c} + {ri} * {offsets[c]} AS {c}")
+                elif renames and c in renames:
+                    exprs.append(f"({renames[c].replace('r.i', ri)}) AS {c}")
+                else:
+                    exprs.append(c)
+            rel = con.sql(
+                f"SELECT {', '.join(exprs)} "
+                f"FROM read_parquet('{src}/{table}.parquet')"
+            )
+            reader = rel.fetch_arrow_reader(1 << 20)
+            for batch in reader:
+                tbl = pa.Table.from_batches([batch])
+                if writer is None:
+                    writer = pq.ParquetWriter(tmp, tbl.schema)
+                writer.write_table(tbl)
+    finally:
+        if writer is not None:
+            writer.close()
+    os.replace(tmp, out)
 
 
 def _documents(con, src, dst, factor, stride):
