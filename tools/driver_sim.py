@@ -15,6 +15,11 @@ Scale-study knobs (all optional, default = full fidelity):
                           ORACLES that are intractable above sf0.1 — the
                           engine side stays scale-safe; it is DuckDB's
                           reference formulation that explodes)
+  DRIVER_SIM_ORACLE_SKIP="a,b"  run the SPARK side (timed, slope evidence)
+                          but skip only the DuckDB oracle, recording a
+                          rows-only status that names the reason; for the
+                          quadratic-oracle queries at sf10+ where skipping
+                          the whole query would lose the scale measurement
   DRIVER_SIM_OUT=path     also write a JSON report with per-query status +
                           spark/oracle wall seconds (slope evidence)
 """
@@ -108,6 +113,15 @@ def main() -> int:
     oracles = mod.oracle_sql()
     only = {n for n in os.environ.get("DRIVER_SIM_ONLY", "").split(",") if n}
     skip = {n for n in os.environ.get("DRIVER_SIM_SKIP", "").split(",") if n}
+    # Queries whose ENGINE side scales fine but whose DuckDB reference
+    # formulation is deliberately brute-force (quadratic pair joins: the geo
+    # family, skyline dominance) run Spark-only above the SF where the
+    # oracle is tractable — the Spark timing still lands in the slope
+    # evidence; the status records rows-only WITH the reason so a record
+    # can never silently pass off a skipped oracle as a hash MATCH.
+    oracle_skip = {
+        n for n in os.environ.get("DRIVER_SIM_ORACLE_SKIP", "").split(",") if n
+    }
     if only:
         queries = {n: f for n, f in queries.items() if n in only}
     if skip:
@@ -128,6 +142,13 @@ def main() -> int:
         timings[name] = {"spark_sec": round(_time.perf_counter() - t0, 3)}
         if name not in oracles:
             results[name] = f"rows-only ({len(sdf)} rows)"
+            n_rows_only += 1
+            continue
+        if name in oracle_skip:
+            results[name] = (
+                f"rows-only ({len(sdf)} rows; oracle skipped at this SF — "
+                "quadratic reference formulation)"
+            )
             n_rows_only += 1
             continue
         t1 = _time.perf_counter()

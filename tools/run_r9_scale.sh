@@ -27,8 +27,13 @@ env TZ=America/New_York \
   > /tmp/sim_sf1_r9.log 2>&1
 tail -1 /tmp/sim_sf1_r9.log
 
+# The five brute-force-quadratic ORACLES (geo family, skyline) are
+# intractable at sf10 (sf1 ratios project 0.5-1.7 h EACH in DuckDB); the
+# engine side is a linear grid equi-join and still runs + times.  Their
+# hash gates hold at sf0.01/0.1/1.
 env TZ=America/New_York \
   DRIVER_SIM_OUT=/root/repo/evidence/driver_sim_sf10_full_r9.json \
+  DRIVER_SIM_ORACLE_SKIP="q_skyline,q_geo_join,q_geo_nearest,q_geo_nearest_wrap,q_geo_haversine" \
   PYSPARK_SUBMIT_ARGS="--driver-memory 64g pyspark-shell" \
   python /root/repo/tools/driver_sim.py /root/repo/testdata/sf10 \
   > /tmp/sim_sf10_full_r9.log 2>&1
