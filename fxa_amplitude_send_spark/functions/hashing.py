@@ -216,6 +216,105 @@ def hmac_user_and_insert_id(
     return _fused(user_id, device_id, session_id, event_type, time)
 
 
+def _hmac_pads(key: str) -> tuple[bytes, bytes]:
+    """RFC 2104 inner/outer padded keys for SHA-256 (block size 64)."""
+    kb = key.encode("utf-8")
+    if len(kb) > 64:
+        kb = hashlib.sha256(kb).digest()
+    kb = kb.ljust(64, b"\x00")
+    return bytes(b ^ 0x36 for b in kb), bytes(b ^ 0x5C for b in kb)
+
+
+def hmac_sha256_jvm(key: str, message: Column) -> Column:
+    """HMAC-SHA256 hex digest computed ENTIRELY in the JVM from the sha2
+    builtin — HMAC(K, m) = SHA256((K ^ opad) || SHA256((K ^ ipad) || m))
+    (RFC 2104) with the padded keys folded to binary literals at plan time.
+
+    Removes the ArrowEvalPython node (and its 32-Python-worker fan-out) from
+    every hashing query: the digest runs inside whole-stage codegen at scan
+    parallelism (guide §4.1 — prefer builtins over any UDF). Bit-identical
+    to ``hmac.new(key, m, sha256).hexdigest()`` (differential-tested against
+    ``hmac_sha256_py`` in tests/test_hashing_jvm.py).
+
+    ``message`` must be the ALREADY-COERCED byte content (string col, UTF-8
+    encoded here; nulls propagate to a null digest) — the JS falsy-skip
+    concat is the caller's job via ``js_contrib_*`` below, because coercion
+    depends on each property's Spark type while this function is type-blind.
+    """
+    ipad, opad = _hmac_pads(key)
+    inner = F.sha2(F.concat(F.lit(ipad), F.encode(message, "UTF-8")), 256)
+    return F.sha2(F.concat(F.lit(opad), F.unhex(inner)), 256)
+
+
+def js_contrib_string(c: Column) -> Column:
+    """JS template-coercion contribution of a STRING property: falsy ('' or
+    null) contributes nothing — modeled as '' so a plain concat over
+    contributions equals the reference's skip-and-append loop
+    (utils.js:20)."""
+    return F.coalesce(c, F.lit(""))
+
+
+def js_contrib_long(c: Column) -> Column:
+    """Contribution of an integral (long/int) property: 0 and null are
+    falsy-skipped; anything else renders as its decimal digits — identical
+    to JS ``String(n)`` for integers below 2^53 (the only integral domain
+    the engine feeds: ids and keys)."""
+    return F.when(c.isNotNull() & (c != 0), c.cast("string")).otherwise(F.lit(""))
+
+
+def _js_grid_decimal_str(cents: Column, scale: int) -> Column:
+    """ECMA-262 ``String(double)`` for a double that lies EXACTLY on the
+    10^-scale decimal grid, reconstructed from its scaled integer
+    (``cents`` = round(v * 10^scale), exact by the grid precondition).
+
+    Why this equals Number::toString: for every value the engine feeds
+    (|v| < 2^42 at scale 3 — epoch-millis; |v| < 2^46 at scale 2 — money),
+    the grid decimal is the SHORTEST decimal in the value's half-ulp
+    rounding interval (grid spacing 10^-scale exceeds the ulp there), so the
+    shortest-round-trip digits ARE the grid digits, laid out in plain
+    decimal notation (n <= 21 digits). Differential-tested against Python's
+    repr-based reference coercion over the full events table."""
+    unit = 10**scale
+    sign = F.when(cents < 0, F.lit("-")).otherwise(F.lit(""))
+    a = F.abs(cents)
+    if scale == 0:
+        return F.concat(sign, a.cast("string"))
+    frac = a % unit
+    ipart = ((a - frac) / unit).cast("long").cast("string")
+    frac_s = F.regexp_replace(F.lpad(frac.cast("string"), scale, "0"), "0+$", "")
+    return F.concat(
+        sign,
+        ipart,
+        F.when(frac > 0, F.concat(F.lit("."), frac_s)).otherwise(F.lit("")),
+    )
+
+
+def js_contrib_grid_double(c: Column, scale: int) -> Column:
+    """Contribution of a DOUBLE property constrained to the 10^-scale
+    decimal grid (the engine's money/millis discipline): 0.0, NaN and null
+    are falsy-skipped; otherwise ECMA-262 decimal layout via the exact
+    scaled-integer reconstruction."""
+    cents = F.round(c * F.lit(10**scale)).cast("long")
+    return F.when(
+        c.isNotNull() & ~F.isnan(c) & (c != 0.0), _js_grid_decimal_str(cents, scale)
+    ).otherwise(F.lit(""))
+
+
+def js_contrib_integral_double(c: Column) -> Column:
+    """Contribution of a DOUBLE property that is integral-valued by
+    construction (repaired session ids: parseInt output or -1): same
+    falsy-skip, rendered without a decimal point (``String(5.0) === '5'``)."""
+    return js_contrib_grid_double(c, 0)
+
+
+def hmac_sha256_concat_jvm(key: str, *contribs: Column) -> Column:
+    """HMAC-SHA256 over the separator-free concat of pre-coerced
+    contributions (each '' when its property is falsy) — the JVM twin of
+    ``hmac_sha256`` for callers whose property types are statically known.
+    The contribution columns are never null, so the concat never is."""
+    return hmac_sha256_jvm(key, F.concat(*contribs))
+
+
 def rolling_fingerprint(
     tokens: Column,
     base: int = 1_000_003,

@@ -313,15 +313,52 @@ def event_pipeline(
     hmac_key: str,
     payload_col: str = "payload",
     fanout: bool = True,
+    hash_in_jvm: bool = True,
 ) -> DataFrame:
     """Full composed pipeline: envelope → filter → pseudonymize → insert_id →
     fan-out. Mirrors parseMessage + the poll loop's flatMap
     (utils.js:37-90, synchronous-pull.js:56-72) as ONE declarative plan.
+
+    ``hash_in_jvm=True`` (default) computes both HMACs with the sha2-builtin
+    construction (functions/hashing.py::hmac_sha256_jvm) — zero Python
+    workers in the whole pipeline, digest inside codegen at scan
+    parallelism. Bit-identical to the pandas-UDF path for the event-time
+    contract (``time``/``session_id`` on the millisecond 10^-3 grid — epoch
+    times are ms-or-finer integers in every envelope the reference handles;
+    asserted by the fused-vs-composed differential in
+    tests/test_event_pipeline.py). Pass False for exotic payloads whose
+    numeric fields leave that grid (sub-microsecond times, fractional
+    session ids beyond 3 decimals), where only the generic Python coercion
+    reproduces ECMA-262 shortest-round-trip layout.
     """
     from ..functions.hashing import hmac_user_and_insert_id
 
     parsed = parse_envelope(df, payload_col)
     valid = parsed.filter(validity_predicate())
+    if hash_in_jvm:
+        from ..functions.hashing import (
+            hmac_sha256_concat_jvm,
+            hmac_sha256_jvm,
+            js_contrib_grid_double,
+            js_contrib_string,
+        )
+
+        u = F.col("user_id")
+        u_final = F.when(
+            u.isNotNull() & (F.length(u) > 0), hmac_sha256_jvm(hmac_key, u)
+        ).otherwise(u)
+        hashed = valid.withColumn("user_id", u_final).withColumn(
+            "insert_id",
+            hmac_sha256_concat_jvm(
+                hmac_key,
+                js_contrib_string(F.col("user_id")),
+                js_contrib_string(F.col("device_id")),
+                js_contrib_grid_double(F.col("session_id"), 3),
+                js_contrib_string(F.col("event_type")),
+                js_contrib_grid_double(F.col("time"), 3),
+            ),
+        )
+        return identify_fanout(hashed) if fanout else hashed
     # fused R7+R8: one Arrow round trip for user-hash + insert_id (identical
     # semantics to pseudonymize() ∘ with_insert_id(), golden-tested)
     fused = valid.withColumn(

@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hmac_sha256
+from ..functions.hashing import (
+    hmac_sha256_concat_jvm,
+    js_contrib_grid_double,
+    js_contrib_long,
+    js_contrib_string,
+)
 from ..sources import load_table
 from .registry import query
 
@@ -68,12 +73,17 @@ def ref_session_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ref_pseudonymize")  # rows-only: DuckDB has no HMAC
 def ref_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R7 (utils.js:16-26,70-72): HMAC-SHA256 pseudonymization of user_id via
-    the Arrow-batched pandas UDF. Applied after projection so the scan reads
-    only two columns."""
+    the sha2-builtin JVM construction (hashing.py::hmac_sha256_jvm) — no
+    Python boundary anywhere in the plan (round-9 replan: the previous
+    Arrow pandas UDF cost a 32-worker fan-out for a one-column digest;
+    bit-identical by the differential test in tests/test_hashing_jvm.py).
+    Applied after projection so the scan reads only two columns."""
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        hmac_sha256(DEMO_HMAC_KEY, F.col("user_id")).alias("user_id_hashed"),
+        hmac_sha256_concat_jvm(
+            DEMO_HMAC_KEY, js_contrib_long(F.col("user_id"))
+        ).alias("user_id_hashed"),
     )
 
 
@@ -83,13 +93,17 @@ def ref_insert_id_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropDuplicates is a hash aggregate on insert_id — at 100 TB this shuffles
     once on an already-uniform key (HMAC output), so no skew by construction."""
     ev = load_table(spark, sf_dir, "events")
+    # JVM sha2-builtin HMAC (round-9 replan, same rationale as
+    # ref_pseudonymize); ``value`` rides the engine-wide exact 2-decimal
+    # money grid, so its ECMA-262 rendering is the scaled-integer
+    # reconstruction (hashing.py::js_contrib_grid_double).
     with_id = ev.withColumn(
         "insert_id",
-        hmac_sha256(
+        hmac_sha256_concat_jvm(
             DEMO_HMAC_KEY,
-            F.col("user_id"),
-            F.col("event_type"),
-            F.col("value"),
+            js_contrib_long(F.col("user_id")),
+            js_contrib_string(F.col("event_type")),
+            js_contrib_grid_double(F.col("value"), 2),
         ),
     )
     return with_id.dropDuplicates(["insert_id"]).select(
