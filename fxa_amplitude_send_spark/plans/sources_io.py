@@ -22,6 +22,41 @@ from ..sources import load_table, stage_roundtrip
 from .registry import query
 
 
+def _stream_partitions(spark: SparkSession):
+    """Context manager pinning ``spark.sql.shuffle.partitions`` (restored on
+    exit) for a streaming gate's micro-batch replay.
+
+    Stateful streaming operators take their state-store partition count from
+    this conf at the FIRST micro-batch and AQE never coalesces them, so every
+    micro-batch pays one task (and, for applyInPandasWithState, one Python
+    worker round) per partition per stateful operator — pure machinery when
+    the gate's state is a few thousand rows (hour×type windows, event types,
+    per-user running pairs at gate SFs). Measured at sf0.1/local[32]:
+    q_stream_tumbling 8.1→3.3 s, q_stream_stateful 11.6→5.7 s at 8 vs 32.
+
+    The count is a provisioning decision, not a core-count derivative: state
+    partitions are fixed at checkpoint creation, so production sizes them to
+    expected STATE volume (~100-200 MB per partition of keyed state), which
+    is what ``SPARK_GRAFT_STREAM_PARTITIONS`` overrides; the local default
+    min(8, cores) keeps small-state replays off the 32-task floor while
+    never exceeding the harness's parallelism."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        n = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS") or str(
+            min(8, spark.sparkContext.defaultParallelism)
+        )
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+    return _cm()
+
+
 def _work_root(kind: str, sf_dir: str) -> str:
     """Fresh process-private scratch dir for the versioned-table round-trip
     queries. The tag mixes a STABLE hashlib digest of sf_dir — not Python's
@@ -849,22 +884,23 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(sink)
     except Exception:
         pass
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-        .groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("value_c").alias("sum_value_c"),
+    with _stream_partitions(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value_c").alias("sum_value_c"),
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     n_batches = len(q.recentProgress)
     if n_batches < 4:  # the multi-batch fold IS the point
         raise RuntimeError(
@@ -966,27 +1002,29 @@ def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(sink)
     except Exception:
         pass
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-        # watermarks demand TIMESTAMP; reinterpret the NTZ wall clock as UTC
-        # (same reasoning as q_stream_join: session-tz casts are ambiguous
-        # across DST transitions in whatever zone the harness runs)
-        .withColumn("tsu", F.to_utc_timestamp(F.col("ts"), "UTC"))
-        .withWatermark("tsu", "1 hour")
-        .groupBy(F.window("tsu", "1 hour"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("value_c").alias("sum_value_c"),
+    with _stream_partitions(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            # watermarks demand TIMESTAMP; reinterpret the NTZ wall clock as
+            # UTC (same reasoning as q_stream_join: session-tz casts are
+            # ambiguous across DST transitions in whatever zone the harness
+            # runs)
+            .withColumn("tsu", F.to_utc_timestamp(F.col("ts"), "UTC"))
+            .withWatermark("tsu", "1 hour")
+            .groupBy(F.window("tsu", "1 hour"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value_c").alias("sum_value_c"),
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     if len(q.recentProgress) < 4:  # the per-batch watermark march IS the point
         raise RuntimeError(
             f"q_stream_late: expected >=4 micro-batches, got "
@@ -1435,12 +1473,9 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         pass
     # Stream-stream joins keep TWO state stores per shuffle partition per
-    # batch; at gate scale the per-task state machinery dominates, so pin a
-    # small count for the stream (restored after). At production scale the
-    # right number tracks key cardinality, not this constant.
-    saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    # batch; at gate scale the per-task state machinery dominates — see
+    # _stream_partitions (production sizes this by key cardinality).
+    with _stream_partitions(spark):
         q = (
             joined.writeStream.format("memory")
             .queryName(sink)
@@ -1449,8 +1484,6 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved)
     if len(q.recentProgress) < 2:  # cross-batch state buffering IS the point
         raise RuntimeError("q_stream_join: expected multiple micro-batches")
     return spark.table(sink)
@@ -1537,9 +1570,7 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(sink)
     except Exception:
         pass
-    saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with _stream_partitions(spark):
         q = (
             joined.writeStream.format("memory")
             .queryName(sink)
@@ -1548,8 +1579,6 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved)
     if len(q.recentProgress) < 2:  # cross-batch state buffering IS the point
         raise RuntimeError("q_stream_join_outer: expected multiple micro-batches")
     out = spark.table(sink)
@@ -1813,6 +1842,9 @@ def q_stream_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         txn.commit()
 
+    # NOT wrapped in _stream_partitions: this gate has no stateful streaming
+    # operator — its work is foreachBatch BATCH jobs (AQE handles those),
+    # and pinning them to 8 measured SLOWER (3.00→3.09 s; txn_merge 1.23x)
     q = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -1969,6 +2001,9 @@ def q_stream_txn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         txn.stage_merge(summ, new_rows, ["event_type"])
         txn.commit()
 
+    # NOT wrapped in _stream_partitions: no stateful streaming operator here
+    # — the work is foreachBatch MoR-merge BATCH jobs, and pinning those to
+    # 8 partitions measured SLOWER (13.2→16.3 s at sf0.1)
     q = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -2066,25 +2101,29 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(sink)
     except Exception:
         pass
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            update,
-            outputStructType="user_id long, n_events long, total_cents long",
-            stateStructType="n_events long, total_cents long",
-            outputMode="update",
-            timeoutConf="NoTimeout",
+    # applyInPandasWithState pays one PYTHON WORKER round per state
+    # partition per micro-batch on top of the state-store machinery —
+    # _stream_partitions matters double here (measured 11.6→5.7 s at sf0.1).
+    with _stream_partitions(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType="user_id long, n_events long, total_cents long",
+                stateStructType="n_events long, total_cents long",
+                outputMode="update",
+                timeoutConf="NoTimeout",
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     n_batches = len(q.recentProgress)
     if n_batches < 4:  # cross-batch Python state retention IS the point
         raise RuntimeError(
@@ -2665,13 +2704,10 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _overwrite(batch_df, batch_id):
         batch_df.write.mode("overwrite").parquet(sink_dir)
 
-    # The state-store partition count is fixed at the stream's FIRST batch
-    # from spark.sql.shuffle.partitions; under an untuned session (200) the
-    # session-merge state op pays 200 tasks x 4 batches for tiny state.
-    # Pin a sane count for the stream and restore the caller's setting.
-    saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
-    try:
+    # State-store partition count is fixed at the stream's FIRST batch from
+    # spark.sql.shuffle.partitions — see _stream_partitions for the sizing
+    # rationale (state volume, not core count).
+    with _stream_partitions(spark):
         q = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
@@ -2687,8 +2723,6 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved)
     n_batches = len(q.recentProgress)
     if n_batches < 4:
         raise RuntimeError(
@@ -3072,9 +3106,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _append(batch_df, batch_id):
         batch_df.write.mode("append").parquet(sink_dir)
 
-    saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
-    try:
+    with _stream_partitions(spark):
         q = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
@@ -3086,8 +3118,6 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved)
     if len(q.recentProgress) < 4:
         raise RuntimeError(
             f"q_stream_dedup: expected >=4 micro-batches, got "
@@ -3157,21 +3187,19 @@ def q_stream_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             refresh_mv(batch_df.sparkSession, mv)
 
-    saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
-    try:
-        q = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(stage)
-            .writeStream.foreachBatch(_ingest)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    # NOT wrapped in _stream_partitions: no stateful streaming operator —
+    # the per-batch append+refresh are batch jobs; pinning them to 8
+    # measured SLOWER (3.38→4.10 s at sf0.1)
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(_ingest)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     n_batches = len(q.recentProgress)
     if n_batches < 4:
         raise RuntimeError(

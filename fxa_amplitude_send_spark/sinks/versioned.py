@@ -1116,14 +1116,7 @@ def merge_snapshot(
 
     from pyspark.sql import functions as F
 
-    u = updates.select(*cols).alias("u")
-    c = cur.alias("c")
-    joined = c.join(u, key_cols, "full_outer")
     val_cols = [x for x in cols if x not in key_cols]
-    merged = joined.select(
-        *key_cols,
-        *[F.coalesce(F.col(f"u.{x}"), F.col(f"c.{x}")).alias(x) for x in val_cols],
-    ).select(*cols)
 
     # presence flags via a marker column carried through the outer join.
     # CDF coherence with the merged table: the committed row state is
@@ -1131,9 +1124,21 @@ def merge_snapshot(
     # change feed must emit the SAME merged values as update_postimage and
     # judge "changed" by the merged value vs the old one — never the update's
     # raw (possibly NULL) fields, which could disagree with the table.
+    # Materialized ONCE (disk-backed): the rewritten data files AND both CDF
+    # branches (post/pre) all derive from this one full-outer join — uncached,
+    # the O(table) scan+join executed three times per merge (once for the
+    # data-file write, twice inside the change-file union). The cached
+    # footprint is the merge's own O(table) output, which a CoW merge writes
+    # anyway; MEMORY_AND_DISK spills gracefully. Unpersisted before return.
+    from pyspark import StorageLevel
+
     c2 = cur.withColumn("_c_present", F.lit(1)).alias("c")
     u2 = updates.select(*cols).withColumn("_u_present", F.lit(1)).alias("u")
-    j2 = c2.join(u2, key_cols, "full_outer")
+    j2 = c2.join(u2, key_cols, "full_outer").persist(StorageLevel.MEMORY_AND_DISK)
+    merged = j2.select(
+        *key_cols,
+        *[F.coalesce(F.col(f"u.{x}"), F.col(f"c.{x}")).alias(x) for x in val_cols],
+    ).select(*cols)
     merged_val = {
         x: F.coalesce(F.col(f"u.{x}"), F.col(f"c.{x}")) for x in val_cols
     }
@@ -1163,8 +1168,11 @@ def merge_snapshot(
     ).select(*cols, "_change_type")
     changes = changes_post.unionByName(changes_pre)
 
-    data_files = _stage_data_files(merged, path)
-    change_files = _stage_data_files(changes, path)
+    try:
+        data_files = _stage_data_files(merged, path)
+        change_files = _stage_data_files(changes, path)
+    finally:
+        j2.unpersist()
     # constraints: only rows NEW in this version can introduce a violation
     # (pre-existing rows passed when first written) — validate the
     # insert/update_postimage change rows, O(changes) not O(table)
@@ -1307,7 +1315,19 @@ def _stage_merge_mor(
     # near the broadcast threshold let the planner try to build it on the
     # driver — which OOM'd a 1 GiB driver at sf1. SMJ is spill-safe at any
     # scale; the updates side stays free for AQE to broadcast when small.
-    j2 = u2.join(c2.hint("merge"), key_cols, "left_outer")
+    # Materialized ONCE (disk-backed): new-row files, deletion vectors and
+    # CDF change files are all derived from this join, and each staged
+    # write would otherwise RE-EXECUTE the O(table) positioned scan + join
+    # — three table passes per merge, the dominant cost of every MoR gate
+    # (q_stream_txn_merge ran 8 stage_merges = 24 table passes). The cached
+    # footprint is O(updates) rows — the merge's own change set — so it
+    # spills gracefully at scale; unpersisted before return.
+    from pyspark import StorageLevel
+
+    j2 = (
+        u2.join(c2.hint("merge"), key_cols, "left_outer")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     val_cols = [x for x in cols if x not in key_cols]
     merged_val = {x: F.coalesce(F.col(f"u.{x}"), F.col(f"c.{x}")) for x in val_cols}
     changed_pred = F.lit(False)
@@ -1340,9 +1360,12 @@ def _stage_merge_mor(
         & changed_pred
     ).select(F.col("c._vt_path").alias("path"), F.col("c._vt_pos").alias("pos"))
 
-    new_files = _stage_data_files(new_rows, path)
-    dv_files = _stage_data_files(tombstones, path)
-    change_files = _stage_data_files(changes, path)
+    try:
+        new_files = _stage_data_files(new_rows, path)
+        dv_files = _stage_data_files(tombstones, path)
+        change_files = _stage_data_files(changes, path)
+    finally:
+        j2.unpersist()
     _verify_staged_checks(
         spark, path, change_files, where="_change_type != 'update_preimage'"
     )
@@ -1443,7 +1466,13 @@ def _stage_delete_mor(
     schema = StructType.fromJson(json.loads(prev["schema"]))
     paths = [os.path.join(path, e["path"]) for e in prev["files"]]
     live = _with_positions(spark, path, prev, paths, schema)
-    matches = live.filter(predicate)
+    # materialized once: tombstones AND change pre-images derive from the
+    # same filtered scan — without the persist each staged write re-runs
+    # the O(table) scan (same rationale as _stage_merge_mor's join cache);
+    # O(deleted rows), disk-backed, unpersisted before return
+    from pyspark import StorageLevel
+
+    matches = live.filter(predicate).persist(StorageLevel.MEMORY_AND_DISK)
 
     dv_rows = matches.select(
         F.col("_vt_path").alias("path"), F.col("_vt_pos").alias("pos")
@@ -1451,8 +1480,11 @@ def _stage_delete_mor(
     deleted = matches.drop("_vt_path", "_vt_pos").withColumn(
         "_change_type", F.lit("delete")
     )
-    dv_files = _stage_data_files(dv_rows, path)
-    change_files = _stage_data_files(deleted, path)
+    try:
+        dv_files = _stage_data_files(dv_rows, path)
+        change_files = _stage_data_files(deleted, path)
+    finally:
+        matches.unpersist()
     return {
         "dv_files": dv_files,
         "change_files": change_files,

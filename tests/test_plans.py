@@ -79,12 +79,27 @@ def test_event_pipeline_has_no_shuffle(spark, sf_smoke):
 
 
 def test_hmac_runs_after_filter(spark, sf_smoke):
-    """The opaque UDF must sit above the validity filter so Catalyst keeps
-    the filter next to the scan (SURVEY.md §4.3 item 1)."""
+    """Round 9: the default pipeline hashes in the JVM, so the plan must
+    carry ZERO Python eval nodes (that absence IS the optimization). The
+    pandas fallback (hash_in_jvm=False) keeps the original discipline: the
+    opaque UDF sits above the validity filter so Catalyst keeps the filter
+    next to the scan (SURVEY.md §4.3 item 1)."""
     plan = physical_plan(QUERIES["ref_event_pipeline"](spark, sf_smoke))
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+
+    from fxa_amplitude_send_spark.operators.event_pipeline import event_pipeline
+    from fxa_amplitude_send_spark.plans.flagship import (
+        FLAGSHIP_HMAC_KEY,
+        staged_payloads,
+    )
+
+    plan = physical_plan(
+        event_pipeline(
+            staged_payloads(spark, sf_smoke), FLAGSHIP_HMAC_KEY, hash_in_jvm=False
+        )
+    )
     lines = plan.splitlines()
-    arrow_idx = [i for i, l in enumerate(lines) if "ArrowEvalPython" in l]
-    filter_idx = [i for i, l in enumerate(lines) if l.strip().startswith("(") and "Filter" in l]
     # formatted explain lists operators top-down; the filter node must appear
     # BELOW (later index in the numbered tree = closer to scan) — compare via
     # operator ids: Filter's id must be smaller than ArrowEvalPython's.
