@@ -80,13 +80,14 @@ def _bcast_if_table_small(df: DataFrame, sf_dir: str, table: str) -> DataFrame:
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(src nation, dst nation, revenue weight) edge list.
 
-    ONE fact-scale shuffle — the lineitem⋈orders orderkey join of slim
-    pre-projections with the revenue product already folded to a single
-    long. Supplier and customer attach as footer-gated SLIM broadcasts
-    (key→nationkey, 2 columns; the gate reads parquet footer row counts —
-    zero jobs — and vanishes past 16 M rows, so a true-100 TB customer
-    table degrades to AQE's shuffle strategies instead of gambling
-    executor memory the way the old full-width supplier hint did). The
+    ZERO fact-scale shuffles when the dims fit — orders joins as the same
+    footer-gated SLIM broadcast as supplier/customer (o_orderkey→o_custkey,
+    2 longs; the gate reads parquet footer row counts — zero jobs — and
+    vanishes past 16 M rows ≈ 256 MB of build side, so a true-100 TB
+    orders table degrades to the orderkey sort-merge join this used to
+    hard-code). Below the gate the whole edge build is one lineitem scan
+    with three broadcast hash joins and a map-side partial aggregate; the
+    only exchange carries ≤ nations² combined rows per task — bytes. The
     final (supplier-nation, customer-nation) aggregate partial-combines
     map-side to ≤ nations² rows per task, so its exchange is bytes.
 
@@ -114,7 +115,10 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     li_slim = li.select("l_orderkey", "l_suppkey", rev.alias("_rev"))
     per_nat = (
-        li_slim.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        li_slim.join(
+            _bcast_if_table_small(orders, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .join(
             _bcast_if_table_small(cust, sf_dir, "customer"),
             F.col("o_custkey") == F.col("c_custkey"),

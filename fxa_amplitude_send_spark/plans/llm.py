@@ -939,7 +939,13 @@ def llm_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    exact = brute_force_topk_many(emb, queries_df, k=5)
+    # Materialize the ground truth ONCE: all four recall_at_k calls below
+    # consume `exact` twice each (semi-join probe + the per-query universe),
+    # so uncached the O(n·q) brute-force corpus scan re-executed up to 8
+    # times inside the one action. The checkpoint is O(q·k) rows — a few
+    # thousand — while the subtree it replaces is the most expensive in the
+    # query (guide §5: persist when reuse beats recompute).
+    exact = brute_force_topk_many(emb, queries_df, k=5).localCheckpoint(eager=False)
     ann = ann_bucketed_topk(emb, queries_df, k=5, **ANN_PARAMS)
     centroids = train_ivf_centroids(
         emb, n_centroids=IVF_PARAMS["n_centroids"], n_iter=5, sample_n=512

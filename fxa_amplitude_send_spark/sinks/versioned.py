@@ -1124,17 +1124,17 @@ def merge_snapshot(
     # change feed must emit the SAME merged values as update_postimage and
     # judge "changed" by the merged value vs the old one — never the update's
     # raw (possibly NULL) fields, which could disagree with the table.
-    # Materialized ONCE (disk-backed): the rewritten data files AND both CDF
-    # branches (post/pre) all derive from this one full-outer join — uncached,
-    # the O(table) scan+join executed three times per merge (once for the
-    # data-file write, twice inside the change-file union). The cached
-    # footprint is the merge's own O(table) output, which a CoW merge writes
-    # anyway; MEMORY_AND_DISK spills gracefully. Unpersisted before return.
-    from pyspark import StorageLevel
-
+    # The data-file rewrite and both CDF branches all derive from this ONE
+    # join expression. Persisting it (MEMORY_AND_DISK) was measured and
+    # REJECTED (round 9, sf0.1 A/B): the updates side broadcasts, so each
+    # re-execution is a columnar scan + broadcast probe, while the cache
+    # materializes the full O(table) marker-annotated rows through the block
+    # manager — q_mv_incremental 3.3→13.3 s, q_cdf_read 2.4→6.2 s,
+    # q_mv_star 5.0→11.7 s WITH the persist. Contrast _stage_merge_mor,
+    # where the persisted join output is O(changes), not O(table).
     c2 = cur.withColumn("_c_present", F.lit(1)).alias("c")
     u2 = updates.select(*cols).withColumn("_u_present", F.lit(1)).alias("u")
-    j2 = c2.join(u2, key_cols, "full_outer").persist(StorageLevel.MEMORY_AND_DISK)
+    j2 = c2.join(u2, key_cols, "full_outer")
     merged = j2.select(
         *key_cols,
         *[F.coalesce(F.col(f"u.{x}"), F.col(f"c.{x}")).alias(x) for x in val_cols],
@@ -1168,11 +1168,8 @@ def merge_snapshot(
     ).select(*cols, "_change_type")
     changes = changes_post.unionByName(changes_pre)
 
-    try:
-        data_files = _stage_data_files(merged, path)
-        change_files = _stage_data_files(changes, path)
-    finally:
-        j2.unpersist()
+    data_files = _stage_data_files(merged, path)
+    change_files = _stage_data_files(changes, path)
     # constraints: only rows NEW in this version can introduce a violation
     # (pre-existing rows passed when first written) — validate the
     # insert/update_postimage change rows, O(changes) not O(table)
@@ -1321,7 +1318,12 @@ def _stage_merge_mor(
     # — three table passes per merge, the dominant cost of every MoR gate
     # (q_stream_txn_merge ran 8 stage_merges = 24 table passes). The cached
     # footprint is O(updates) rows — the merge's own change set — so it
-    # spills gracefully at scale; unpersisted before return.
+    # spills gracefully at scale; unpersisted before return. At gate SFs the
+    # A/B is a wash (tables are a few MB, so three scans ≈ one scan + cache
+    # round-trip); the persist is kept for the O(table) asymptotics, and it
+    # is safe precisely BECAUSE the cache is O(updates) — the CoW
+    # merge_snapshot, whose join output is O(table), measured 2-4x SLOWER
+    # persisted and stays unpersisted.
     from pyspark import StorageLevel
 
     j2 = (
