@@ -441,8 +441,15 @@ def connected_components(
     Output: (id_col, cluster) for every node, cluster = min node id in the
     component; singleton nodes keep their own id.
     """
-    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-    sym = sym.union(sym.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    # Truncate the edge relation BEFORE symmetrizing: the union's two
+    # branches (and, when ``nodes`` is None, the node derivation) each
+    # re-plan their input, so an uncheckpointed expensive edge subtree — a
+    # similarity join, typically — would execute two or three times just to
+    # build adj. O(|E|) rows, lazy: round 1's action materializes it.
+    e0 = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint(
+        eager=False
+    )
+    sym = e0.union(e0.select(F.col("d").alias("s"), F.col("s").alias("d")))
     if nodes is None:
         nodes = sym.select(F.col("s").alias(id_col)).distinct()
     # self-loops make the neighbor-min include each node's own label (and

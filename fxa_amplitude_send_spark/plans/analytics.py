@@ -550,17 +550,29 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(touch_type, ignorenulls=True).over(w).alias("last_touch"),
     )
     conv = filled.filter(F.col("_side") == 1)
+    # one pass: each conversion contributes its first- AND last-touch row
+    # via explode — a unionByName of two selects planned the event-window
+    # subtree (the query's one shuffle) twice, once per model branch
     per_model = conv.select(
-        F.lit("first").alias("model"),
-        F.coalesce("first_touch", F.lit("(none)")).alias("touch_type"),
-        "value",
-    ).unionByName(
-        conv.select(
-            F.lit("last").alias("model"),
-            F.coalesce("last_touch", F.lit("(none)")).alias("touch_type"),
-            "value",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("first").alias("model"),
+                    F.coalesce("first_touch", F.lit("(none)")).alias(
+                        "touch_type"
+                    ),
+                    F.col("value"),
+                ),
+                F.struct(
+                    F.lit("last").alias("model"),
+                    F.coalesce("last_touch", F.lit("(none)")).alias(
+                        "touch_type"
+                    ),
+                    F.col("value"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.*")
     return per_model.groupBy("model", "touch_type").agg(
         F.count(F.lit(1)).alias("n_conversions"),
         F.round(F.sum("value"), 2).alias("revenue"),

@@ -159,26 +159,38 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree centrality of the trade graph: per nation, how many distinct
     partner nations it supplies / buys from and the revenue in each
-    direction. Single pass over the (already tiny) edge list via an
-    unpivot-style union — no joins after the edge aggregation."""
+    direction. Single pass over the edge list via explode-of-structs — the
+    earlier unionAll of two selects DUPLICATED the whole fact-scale edge
+    subtree (Catalyst plans each union branch independently and no
+    ReusedExchange fired: 12 scans / 2 edge aggregations in the round-9
+    before-plan, plans/r09/q_graph_degree_before.txt); the explode emits
+    both endpoint rows from ONE edge build, so the lineitem join+aggregate
+    runs exactly once (6 scans / 1 edge aggregation after)."""
     e = _trade_edges(spark, sf_dir)
     zero = F.lit(0).cast("long")
-    out_part = e.select(
-        F.col("src").alias("nation"),
-        F.lit(1).alias("outd"),
-        F.lit(0).alias("ind"),
-        F.col("w").alias("outw"),
-        zero.alias("inw"),
-    )
-    in_part = e.select(
-        F.col("dst").alias("nation"),
-        F.lit(0).alias("outd"),
-        F.lit(1).alias("ind"),
-        zero.alias("outw"),
-        F.col("w").alias("inw"),
-    )
+    one, nil = F.lit(1), F.lit(0)
     return (
-        out_part.unionAll(in_part)
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("nation"),
+                        one.alias("outd"),
+                        nil.alias("ind"),
+                        F.col("w").alias("outw"),
+                        zero.alias("inw"),
+                    ),
+                    F.struct(
+                        F.col("dst").alias("nation"),
+                        nil.alias("outd"),
+                        one.alias("ind"),
+                        zero.alias("outw"),
+                        F.col("w").alias("inw"),
+                    ),
+                )
+            ).alias("x")
+        )
+        .select("x.*")
         .groupBy("nation")
         .agg(
             F.sum("outd").alias("out_degree"),
@@ -336,10 +348,18 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
         .select("u", "v")
+        # The edge list feeds THREE consumers before the orientation is even
+        # computed (the degree table — twice via its endpoint unpivot — and
+        # the degree-annotation join), so uncheckpointed the basket
+        # self-join that builds it executed FIVE times inside the fwd
+        # materialization. O(|E|) rows; at scale the edge list is a
+        # persisted artifact anyway.
+        .localCheckpoint(eager=False)
     )
+    # one pass over the edge list: explode both endpoints (a unionAll of two
+    # selects would plan the edge subtree twice — same fix as q_graph_degree)
     deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
@@ -378,10 +398,12 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     closing = fwd.select(F.col("s").alias("b"), F.col("d").alias("c"))
     tris = wedges.join(closing, ["b", "c"])
-    nodes = (
-        tris.select(F.col("a").alias("node"))
-        .unionAll(tris.select(F.col("b").alias("node")))
-        .unionAll(tris.select(F.col("c").alias("node")))
+    # one pass: each triangle contributes all three corners via explode —
+    # the earlier unionAll of three selects re-executed the wedge+closure
+    # joins three times (6 SortMergeJoins in the round-9 before-plan,
+    # plans/r09/q_graph_triangles_before.txt; 2 after)
+    nodes = tris.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
     )
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
 

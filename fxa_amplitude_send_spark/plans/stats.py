@@ -620,17 +620,24 @@ def q_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("h")
         ).distinct()
 
+    # Each segment's distinct-key frame feeds FOUR consumers (its own
+    # exact count, the union row, and the intersection/difference exact
+    # counts), so uncheckpointed the scan + distinct exchange re-executed
+    # four times per segment. The checkpoint holds the post-distinct keys
+    # — O(distinct ids), already shuffled — not the base scan.
     a_items = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_totalprice") > 250000)
         .select(F.col("o_custkey").alias("id"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     b_items = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_acctbal") > 5000)
         .select(F.col("c_custkey").alias("id"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     ska = hashed(a_items, "id").orderBy("h").limit(K).localCheckpoint(eager=True)
     skb = hashed(b_items, "id").orderBy("h").limit(K).localCheckpoint(eager=True)
