@@ -1312,24 +1312,33 @@ def _stage_merge_mor(
     # near the broadcast threshold let the planner try to build it on the
     # driver — which OOM'd a 1 GiB driver at sf1. SMJ is spill-safe at any
     # scale; the updates side stays free for AQE to broadcast when small.
-    # Materialized ONCE (disk-backed): new-row files, deletion vectors and
-    # CDF change files are all derived from this join, and each staged
-    # write would otherwise RE-EXECUTE the O(table) positioned scan + join
-    # — three table passes per merge, the dominant cost of every MoR gate
-    # (q_stream_txn_merge ran 8 stage_merges = 24 table passes). The cached
-    # footprint is O(updates) rows — the merge's own change set — so it
-    # spills gracefully at scale; unpersisted before return. At gate SFs the
-    # A/B is a wash (tables are a few MB, so three scans ≈ one scan + cache
-    # round-trip); the persist is kept for the O(table) asymptotics, and it
-    # is safe precisely BECAUSE the cache is O(updates) — the CoW
-    # merge_snapshot, whose join output is O(table), measured 2-4x SLOWER
-    # persisted and stays unpersisted.
-    from pyspark import StorageLevel
-
-    j2 = (
-        u2.join(c2.hint("merge"), key_cols, "left_outer")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # New-row files, deletion vectors and CDF change files all derive from
+    # this join, so each staged write RE-EXECUTES the O(table) positioned
+    # scan + join — three table passes per merge — unless the join output is
+    # materialized once. But the persist is NOT free: the cache pass funnels
+    # every joined row through the block manager, and when the update set is
+    # comparable to the table (exactly the gate shape: CDC batches that
+    # insert half the fact) that costs more than the two extra columnar
+    # scans it saves — interleaved same-session A/B at sf0.1 measured
+    # q_stream_txn_merge median 27.9 s persisted vs 17.6 s unpersisted,
+    # while q_versioned_txn_merge (smaller change sets) was a wash. So gate
+    # the persist on the TABLE's on-disk size: at 100 TB a re-executed scan
+    # is the dominant term and the cache (O(updates) rows) trivially pays;
+    # at a few MB the scan is free and the cache is pure overhead. The
+    # threshold is a conf, not a core-count constant — 256 MiB ≈ the point
+    # where one extra full scan costs more than a block-manager round-trip
+    # of a same-sized change set.
+    _table_bytes = sum(
+        os.path.getsize(p) for p in paths if os.path.exists(p)
     )
+    _persist_min = int(
+        os.environ.get("SPARK_GRAFT_MOR_PERSIST_MIN_BYTES", str(256 * 1024 * 1024))
+    )
+    j2 = u2.join(c2.hint("merge"), key_cols, "left_outer")
+    if _table_bytes >= _persist_min:
+        from pyspark import StorageLevel
+
+        j2 = j2.persist(StorageLevel.MEMORY_AND_DISK)
     val_cols = [x for x in cols if x not in key_cols]
     merged_val = {x: F.coalesce(F.col(f"u.{x}"), F.col(f"c.{x}")) for x in val_cols}
     changed_pred = F.lit(False)
@@ -1468,13 +1477,20 @@ def _stage_delete_mor(
     schema = StructType.fromJson(json.loads(prev["schema"]))
     paths = [os.path.join(path, e["path"]) for e in prev["files"]]
     live = _with_positions(spark, path, prev, paths, schema)
-    # materialized once: tombstones AND change pre-images derive from the
-    # same filtered scan — without the persist each staged write re-runs
-    # the O(table) scan (same rationale as _stage_merge_mor's join cache);
-    # O(deleted rows), disk-backed, unpersisted before return
-    from pyspark import StorageLevel
+    # tombstones AND change pre-images derive from the same filtered scan —
+    # without a persist each staged write re-runs the O(table) scan. Same
+    # size gate as _stage_merge_mor: materialize once only when the table is
+    # big enough that a repeated scan costs more than a block-manager
+    # round-trip of the (O(deleted rows)) match set.
+    _table_bytes = sum(os.path.getsize(p) for p in paths if os.path.exists(p))
+    _persist_min = int(
+        os.environ.get("SPARK_GRAFT_MOR_PERSIST_MIN_BYTES", str(256 * 1024 * 1024))
+    )
+    matches = live.filter(predicate)
+    if _table_bytes >= _persist_min:
+        from pyspark import StorageLevel
 
-    matches = live.filter(predicate).persist(StorageLevel.MEMORY_AND_DISK)
+        matches = matches.persist(StorageLevel.MEMORY_AND_DISK)
 
     dv_rows = matches.select(
         F.col("_vt_path").alias("path"), F.col("_vt_pos").alias("pos")
