@@ -31,25 +31,48 @@ _MOD = 4294967296
 _PREMOD = 2147483648
 
 
-def _dist_sq(vec_col, centroid: list[float]):
-    """Squared L2 distance between an array column and a literal centroid,
-    evaluated JVM-side: zip_with difference, aggregate of squares."""
-    lit = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(vec_col.cast("array<double>"), lit, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+def _dist_sq_sql(vec_sql: str, centroid: list[float]) -> str:
+    """Squared L2 distance between an array column and a literal centroid as
+    SQL TEXT, evaluated JVM-side: zip_with difference, aggregate of squares.
+    Python float repr is the shortest round-tripping decimal, and Spark's
+    decimal→double parse is correctly rounded, so the literal centroid is
+    bit-identical to the driver-side float."""
+    arr = "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in centroid) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> (x-y)*(x-y)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
 
 
-def _assign_cols(vec_col, centroids: list[list[float]]):
-    """(cluster, dist_sq) columns for the nearest of ``centroids``.
-    Ties break to the lowest cluster id (array_position returns the first
-    match), keeping assignment deterministic."""
-    dists = F.array(*[_dist_sq(vec_col, c) for c in centroids])
-    best = F.array_min(dists)
-    # array_position is 1-based; cluster ids are 0-based
-    return (F.array_position(dists, best) - 1).cast("int"), best
+def _argmin_pair_sql(dist_sqls: list[str]) -> str:
+    """array_min over (dist, index) structs as SQL TEXT: the lexicographic
+    struct order IS "smallest distance, ties to the lowest cluster id" —
+    one pass over the distance array, referenced ONCE.
+
+    Why SQL text: the k·d-literal expression tree is rebuilt with FRESH
+    centroid literals every Lloyd round, and constructing it with Column
+    operators costs thousands of py4j round-trips per round (~1.5-3 s of
+    driver time measured at k=8, d=64 — dwarfing the sub-second job on a
+    2000-row gate input). One F.expr over a generated string is a single
+    py4j call and one JVM-side parse. The struct-min shape (instead of
+    array_position(dists, array_min(dists))) additionally embeds the
+    distance tree once, not three times."""
+    k = len(dist_sqls)
+    dists = "array(" + ",".join(dist_sqls) + ")"
+    return (
+        f"array_min(zip_with({dists}, sequence(0, {k - 1}), "
+        "(d, i) -> named_struct('d', d, 'i', i)))"
+    )
+
+
+def _assign_pair(vec_name: str, centroids: list[list[float]]):
+    """(nearest distance, cluster id) struct column for ``centroids``.
+    Ties break to the lowest cluster id, deterministic. Callers alias this
+    ONCE and read the two fields from the alias in a SECOND select — putting
+    ``pair["d"]`` and ``pair["i"]`` in one projection would copy the whole
+    k·d-literal tree per field (see _argmin_pair_sql)."""
+    vec_sql = f"CAST(`{vec_name}` AS ARRAY<DOUBLE>)"
+    return F.expr(_argmin_pair_sql([_dist_sq_sql(vec_sql, c) for c in centroids]))
 
 
 def kmeans_train(
@@ -84,9 +107,13 @@ def kmeans_train(
     d_dims = len(centroids[0])
     history: list[float] = []
     for _ in range(rounds):
-        cluster, dist = _assign_cols(F.col(vec_col), centroids)
+        pair = _assign_pair(vec_col, centroids)
         assigned = emb.select(
-            cluster.alias("cluster"), dist.alias("d2"), F.col(vec_col).alias("v")
+            pair.alias("_p"), F.col(vec_col).alias("v")
+        ).select(
+            F.col("_p.i").cast("int").alias("cluster"),
+            F.col("_p.d").alias("d2"),
+            "v",
         )
         moments = (
             assigned.select("cluster", "d2", F.posexplode("v").alias("dim", "x"))
@@ -116,9 +143,11 @@ def kmeans_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Final assignment under trained centroids: (id, cluster, dist_sq)."""
-    cluster, dist = _assign_cols(F.col(vec_col), centroids)
-    return emb.select(
-        F.col(id_col), cluster.alias("cluster"), dist.alias("dist_sq")
+    pair = _assign_pair(vec_col, centroids)
+    return emb.select(F.col(id_col), pair.alias("_p")).select(
+        F.col(id_col),
+        F.col("_p.i").cast("int").alias("cluster"),
+        F.col("_p.d").alias("dist_sq"),
     )
 
 
@@ -141,15 +170,15 @@ def quantize_embeddings(
     return emb.select(F.col(id_col), q.alias("q"))
 
 
-def _dist2_int(qcol, centroid: list[int]):
+def _dist2_int_sql(q_sql: str, centroid: list[int]) -> str:
     """Squared L2 distance between an integer-grid array column and a
-    literal integer centroid — BIGINT-exact (|coord| ≤ ~2e6 over 64 dims
-    keeps the sum far below 2^63)."""
-    lit = F.array(*[F.lit(int(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(qcol, lit, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+    literal integer centroid as SQL TEXT — BIGINT-exact (|coord| ≤ ~2e6
+    over 64 dims keeps the sum far below 2^63). SQL text for the same
+    py4j-construction-cost reason as _dist_sq_sql."""
+    arr = "array(" + ",".join(f"{int(x)}L" for x in centroid) + ")"
+    return (
+        f"aggregate(zip_with({q_sql}, {arr}, (x, y) -> (x-y)*(x-y)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
 
 
@@ -166,11 +195,13 @@ def lloyd_round_exact(embq: DataFrame, centroids: list[list[int]]) -> DataFrame:
     groupBy(cluster, dim) with map-side combine → k·d output cells.
     The new centroid is sum_q/n_vectors — left as the exact (numerator,
     denominator) pair rather than a division, so no float ever appears."""
-    dists = F.array(*[_dist2_int(F.col("q"), c) for c in centroids])
-    best = F.array_min(dists)
-    cluster = (F.array_position(dists, best) - 1).cast("long")
-    assigned = embq.select(
-        cluster.alias("cluster"), best.alias("d2"), F.col("q")
+    pair = F.expr(
+        _argmin_pair_sql([_dist2_int_sql("`q`", c) for c in centroids])
+    )
+    assigned = embq.select(pair.alias("_p"), F.col("q")).select(
+        F.col("_p.i").cast("long").alias("cluster"),
+        F.col("_p.d").alias("d2"),
+        "q",
     )
     return (
         assigned.select("cluster", "d2", F.posexplode("q").alias("pos", "x"))

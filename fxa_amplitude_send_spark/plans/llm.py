@@ -666,9 +666,19 @@ def llm_dedup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    truth = ngram_jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
-    est = minhash_lsh_pairs(docs, k=64, bands=8, threshold=0.8).select(
-        "doc_a", "doc_b"
+    # each side feeds the semi-join AND its own count — uncheckpointed, the
+    # exact-Jaccard and MinHash+LSH pair subtrees (the two expensive plans
+    # here) execute twice inside the one action; the checkpointed frames are
+    # O(pairs) two-column rows
+    truth = (
+        ngram_jaccard_pairs(docs, threshold=0.8)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    est = (
+        minhash_lsh_pairs(docs, k=64, bands=8, threshold=0.8)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
     )
     hits = est.join(truth, ["doc_a", "doc_b"], "left_semi")
     counts = (

@@ -4684,17 +4684,34 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_partkey"],
         BASKET_PAIR_CAP,
     )
-    a = li.alias("a")
-    b = li.alias("b")
+    # Pair generation via per-basket collect + inline pair expansion instead
+    # of a self-join: the join planned the capped-basket subtree (scan +
+    # basket shuffle + window) TWICE — once per side — and broadcast one full
+    # copy; here the basket list rides the SAME l_orderkey exchange the cap's
+    # window already established (no new shuffle), and every (x, y), x < y
+    # index pair is emitted exactly once by the nested transform, the same
+    # multiset the anti-symmetric join produced (duplicate part keys in one
+    # order pair up identically). Array size is bounded by BASKET_PAIR_CAP,
+    # so the per-row expansion is O(cap²) worst-case by construction.
+    baskets = li.groupBy("l_orderkey").agg(F.collect_list("l_partkey").alias("ps"))
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ps",
+                    lambda x: F.transform(
+                        F.filter("ps", lambda y: x < y),
+                        lambda y: F.struct(
+                            x.alias("part_a"), y.alias("part_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+        pairs.groupBy(
+            F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b")
         )
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")

@@ -2037,7 +2037,10 @@ def q_stream_txn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("value_c").cast("long").alias("sum_value_c"),
     )
-    if out.exceptAll(fagg).count() != 0 or fagg.exceptAll(out).count() != 0:
+    # multiset equality via one collect per side (rows = |event types|, both
+    # exact integers) — the exceptAll pair re-executed the O(fact) aggregate
+    # twice for the same assertion
+    if sorted(map(tuple, out.collect())) != sorted(map(tuple, fagg.collect())):
         raise RuntimeError("q_stream_txn_merge: fact and summary diverged")
     return out
 

@@ -624,6 +624,24 @@ def llm_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_dl_tf(docs: DataFrame, terms: list[str]):
+    """The two token-stream aggregates of llm_bm25, PRE-checkpoint: document
+    lengths and query-term frequencies. Factored out so the plan test can
+    pin the query-term IN filter BELOW the (doc_id, token) aggregate —
+    shuffled volume O(matching tokens), not O(corpus tokens) — which the
+    checkpoint in llm_bm25 removes from the final plan text."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        tok.filter(F.col("token").isin(*terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return dl, tf
+
+
 @query(
     "llm_bm25",
     oracle="""
@@ -679,18 +697,19 @@ def llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     k1, b = 1.2, 0.75
     terms = ["hash", "join", "stream"]
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
-    ).filter(F.length("token") > 0)
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dl_raw, tf_raw = _bm25_dl_tf(docs, terms)
+    # dl feeds the avgdl scalar AND the contrib join; tf feeds dfreq AND
+    # contrib — uncheckpointed, each consumer re-ran the full corpus-token
+    # explode (4 explode passes in one action). Both checkpoints are
+    # aggregate outputs: O(docs) and O(query-term postings) rows, far
+    # smaller than the token stream they replace. The in-filter-below-
+    # aggregate discipline the checkpoint hides from the final plan is
+    # pinned on the RAW frame by test_bm25_filters_before_tf_aggregate.
+    dl = dl_raw.localCheckpoint(eager=False)
     stats = docs.agg(F.count(F.lit(1)).cast("double").alias("n_total")).crossJoin(
         dl.agg(F.avg(F.col("dl").cast("double")).alias("avgdl"))
     )
-    tf = (
-        tok.filter(F.col("token").isin(*terms))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = tf_raw.localCheckpoint(eager=False)
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         (F.col("n_total") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1

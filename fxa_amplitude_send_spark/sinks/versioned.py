@@ -1304,7 +1304,7 @@ def _stage_merge_mor(
     paths = [os.path.join(path, e["path"]) for e in prev["files"]]
     cur = _with_positions(spark, path, prev, paths, schema)
     c2 = cur.withColumn("_c_present", F.lit(1)).alias("c")
-    u2 = updates.select(*cols).withColumn("_u_present", F.lit(1)).alias("u")
+    u2 = updates.select(*cols).alias("u")
     # LEFT outer FROM the updates — not the CoW merge's full outer: MoR
     # never rebuilds unmatched current rows, so the join output is
     # O(updates). The positioned table side carries a sort-merge hint: it
@@ -1312,71 +1312,63 @@ def _stage_merge_mor(
     # near the broadcast threshold let the planner try to build it on the
     # driver — which OOM'd a 1 GiB driver at sf1. SMJ is spill-safe at any
     # scale; the updates side stays free for AQE to broadcast when small.
-    # New-row files, deletion vectors and CDF change files all derive from
-    # this join, so each staged write RE-EXECUTES the O(table) positioned
-    # scan + join — three table passes per merge — unless the join output is
-    # materialized once. But the persist is NOT free: the cache pass funnels
-    # every joined row through the block manager, and when the update set is
-    # comparable to the table (exactly the gate shape: CDC batches that
-    # insert half the fact) that costs more than the two extra columnar
-    # scans it saves — interleaved same-session A/B at sf0.1 measured
-    # q_stream_txn_merge median 27.9 s persisted vs 17.6 s unpersisted,
-    # while q_versioned_txn_merge (smaller change sets) was a wash. So gate
-    # the persist on the TABLE's on-disk size: at 100 TB a re-executed scan
-    # is the dominant term and the cache (O(updates) rows) trivially pays;
-    # at a few MB the scan is free and the cache is pure overhead. The
-    # threshold is a conf, not a core-count constant — 256 MiB ≈ the point
-    # where one extra full scan costs more than a block-manager round-trip
-    # of a same-sized change set.
-    _table_bytes = sum(
-        os.path.getsize(p) for p in paths if os.path.exists(p)
-    )
-    _persist_min = int(
-        os.environ.get("SPARK_GRAFT_MOR_PERSIST_MIN_BYTES", str(256 * 1024 * 1024))
-    )
     j2 = u2.join(c2.hint("merge"), key_cols, "left_outer")
-    if _table_bytes >= _persist_min:
-        from pyspark import StorageLevel
-
-        j2 = j2.persist(StorageLevel.MEMORY_AND_DISK)
     val_cols = [x for x in cols if x not in key_cols]
     merged_val = {x: F.coalesce(F.col(f"u.{x}"), F.col(f"c.{x}")) for x in val_cols}
     changed_pred = F.lit(False)
     for x in val_cols:
         changed_pred = changed_pred | ~merged_val[x].eqNullSafe(F.col(f"c.{x}"))
 
-    changes_post = j2.filter(F.col("_u_present").isNotNull()).select(
+    # New-row files, deletion vectors and CDF change files all derive from
+    # this ONE join, so staging each of the three directly would RE-EXECUTE
+    # the O(table) positioned scan + join per write — three table passes per
+    # merge. A block-manager persist of the join output was measured and
+    # REJECTED (interleaved same-session A/B at sf0.1: q_stream_txn_merge
+    # median 27.9 s persisted vs 17.6 s unpersisted — when the CDC batch is
+    # comparable to the table, funneling every joined row through the block
+    # manager costs more than the scans it saves). Instead the merge's
+    # EFFECTIVE rows (insert | value-changed — matched-unchanged rows are
+    # complete no-ops and never leave the join) are written ONCE to a
+    # scratch parquet under the table root: exactly one table pass per
+    # merge at ANY scale, and the three file sets are then derived from an
+    # O(changes) columnar re-read with no join in the plan. The scratch
+    # lives inside the table (works on shared storage), outside data/ (so
+    # vacuum's sweep never sees it), and is removed before return.
+    combined = j2.filter(F.col("_c_present").isNull() | changed_pred).select(
         *key_cols,
         *[merged_val[x].alias(x) for x in val_cols],
-        F.when(F.col("_c_present").isNull(), F.lit("insert"))
-        .when(changed_pred, F.lit("update_postimage"))
-        .otherwise(F.lit(None))
-        .alias("_change_type"),
-    ).filter(F.col("_change_type").isNotNull()).select(*cols, "_change_type")
-    changes_pre = j2.filter(
-        F.col("_u_present").isNotNull() & F.col("_c_present").isNotNull()
-    ).filter(changed_pred).select(
-        *key_cols,
-        *[F.col(f"c.{x}").alias(x) for x in val_cols],
-        F.lit("update_preimage").alias("_change_type"),
-    ).select(*cols, "_change_type")
-    changes = changes_post.unionByName(changes_pre)
-
-    # the appended rows ARE the post-images; the tombstones ARE the
-    # pre-images' physical positions — both O(changes) by construction
-    new_rows = changes_post.drop("_change_type")
-    tombstones = j2.filter(
-        F.col("_u_present").isNotNull()
-        & F.col("_c_present").isNotNull()
-        & changed_pred
-    ).select(F.col("c._vt_path").alias("path"), F.col("c._vt_pos").alias("pos"))
-
+        *[F.col(f"c.{x}").alias(f"_pre_{x}") for x in val_cols],
+        F.col("_c_present").isNotNull().alias("_matched"),
+        F.col("c._vt_path").alias("_vt_path"),
+        F.col("c._vt_pos").alias("_vt_pos"),
+    )
+    scratch = os.path.join(path, "_tmp", f"merge-{uuid.uuid4().hex}")
+    combined.write.mode("overwrite").parquet(scratch)
     try:
+        cm = spark.read.schema(combined.schema).parquet(scratch)
+        new_rows = cm.select(*cols)
+        tombstones = cm.filter("_matched").select(
+            F.col("_vt_path").alias("path"), F.col("_vt_pos").alias("pos")
+        )
+        changes = cm.select(
+            *cols,
+            F.when(F.col("_matched"), F.lit("update_postimage"))
+            .otherwise(F.lit("insert"))
+            .alias("_change_type"),
+        ).unionByName(
+            cm.filter("_matched").select(
+                *key_cols,
+                *[F.col(f"_pre_{x}").alias(x) for x in val_cols],
+                F.lit("update_preimage").alias("_change_type"),
+            ).select(*cols, "_change_type")
+        )
         new_files = _stage_data_files(new_rows, path)
         dv_files = _stage_data_files(tombstones, path)
         change_files = _stage_data_files(changes, path)
     finally:
-        j2.unpersist()
+        import shutil
+
+        shutil.rmtree(scratch, ignore_errors=True)
     _verify_staged_checks(
         spark, path, change_files, where="_change_type != 'update_preimage'"
     )
@@ -1478,31 +1470,27 @@ def _stage_delete_mor(
     paths = [os.path.join(path, e["path"]) for e in prev["files"]]
     live = _with_positions(spark, path, prev, paths, schema)
     # tombstones AND change pre-images derive from the same filtered scan —
-    # without a persist each staged write re-runs the O(table) scan. Same
-    # size gate as _stage_merge_mor: materialize once only when the table is
-    # big enough that a repeated scan costs more than a block-manager
-    # round-trip of the (O(deleted rows)) match set.
-    _table_bytes = sum(os.path.getsize(p) for p in paths if os.path.exists(p))
-    _persist_min = int(
-        os.environ.get("SPARK_GRAFT_MOR_PERSIST_MIN_BYTES", str(256 * 1024 * 1024))
-    )
+    # staged directly, each write would re-run the O(table) scan. Write the
+    # O(deleted) match set ONCE to a scratch parquet under the table root
+    # (same discipline as _stage_merge_mor) and derive both file sets from
+    # the columnar re-read: one table pass per delete at any scale.
     matches = live.filter(predicate)
-    if _table_bytes >= _persist_min:
-        from pyspark import StorageLevel
-
-        matches = matches.persist(StorageLevel.MEMORY_AND_DISK)
-
-    dv_rows = matches.select(
-        F.col("_vt_path").alias("path"), F.col("_vt_pos").alias("pos")
-    )
-    deleted = matches.drop("_vt_path", "_vt_pos").withColumn(
-        "_change_type", F.lit("delete")
-    )
+    scratch = os.path.join(path, "_tmp", f"delete-{uuid.uuid4().hex}")
+    matches.write.mode("overwrite").parquet(scratch)
     try:
+        cm = spark.read.schema(matches.schema).parquet(scratch)
+        dv_rows = cm.select(
+            F.col("_vt_path").alias("path"), F.col("_vt_pos").alias("pos")
+        )
+        deleted = cm.drop("_vt_path", "_vt_pos").withColumn(
+            "_change_type", F.lit("delete")
+        )
         dv_files = _stage_data_files(dv_rows, path)
         change_files = _stage_data_files(deleted, path)
     finally:
-        matches.unpersist()
+        import shutil
+
+        shutil.rmtree(scratch, ignore_errors=True)
     return {
         "dv_files": dv_files,
         "change_files": change_files,

@@ -195,7 +195,14 @@ def ingest_batch_neardup(
             F.col("l._sig").alias("_siga"),
             F.col("r._sig").alias("_sigb"),
         )
-        .dropDuplicates(["_a", "_b"])
+        # NO pair-level dropDuplicates here: a pair colliding in several
+        # bands re-evaluates the (cheap, inline) agreement estimate to the
+        # same verdict, and the trailing single-column distinct dedups the
+        # losers anyway — while dropDuplicates exchanged the two 64-long
+        # signature arrays per pair just to save those re-evaluations
+        # (narrower shuffle, one less exchange; guide §2.3). The HISTORY
+        # path keeps its pair dedup because there duplicates would multiply
+        # a subsequent signature-fetch join, not an inline expression.
         .filter(agree >= threshold)
         .select(F.col("_b").alias(id_col))
         .distinct()

@@ -547,17 +547,36 @@ def test_curriculum_global_ntile_documented_single_partition(spark, sf_smoke):
 def test_bm25_filters_before_tf_aggregate_and_broadcasts_stats(spark, sf_smoke):
     """llm_bm25: the query-term filter must land BELOW the (doc_id, token)
     aggregate (shuffled volume O(matching tokens), not O(corpus tokens)),
-    and corpus stats / df join in as broadcasts."""
+    and corpus stats / df join in as broadcasts. The dl/tf aggregates are
+    localCheckpointed in the full query (each feeds two consumers — the
+    checkpoint halves the corpus-explode passes), which removes their
+    subtree from the final plan text, so the filter discipline is pinned on
+    the RAW pre-checkpoint tf frame and the broadcast/no-cartesian shape on
+    the full query."""
     plan = physical_plan(QUERIES["llm_bm25"](spark, sf_smoke))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
-    # the isin filter appears as a Filter containing the term list, below
-    # the first HashAggregate in plan text order (plans print top-down, so
-    # the filter's node id must be GREATER than the tf aggregate's)
+    # checkpoint boundaries present: the token explode must NOT appear twice
+    # in the final plan (it runs inside the checkpointed subtrees)
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
     import re
 
-    m_filter = re.search(r"\((\d+)\) Filter[\s\S]*?token#\d+ IN \(hash,join,stream\)", plan)
-    assert m_filter, "query-term IN filter missing from the physical plan"
+    from fxa_amplitude_send_spark.plans.training import _bm25_dl_tf
+    from fxa_amplitude_send_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    tf_plan = physical_plan(_bm25_dl_tf(docs, ["hash", "join", "stream"])[1])
+    m_filter = re.search(
+        r"\((\d+)\) Filter[\s\S]*?token#\d+ IN \(hash,join,stream\)", tf_plan
+    )
+    assert m_filter, "query-term IN filter missing from the tf subtree plan"
+    # node ids are assigned from the scan upward, so "filter below the
+    # aggregate" = the filter's id is SMALLER than the (first = partial)
+    # HashAggregate's
+    m_agg = re.search(r"\((\d+)\) HashAggregate", tf_plan)
+    assert m_agg and int(m_filter.group(1)) < int(m_agg.group(1)), (
+        "IN filter must sit below the (doc_id, token) aggregate"
+    )
 
 
 def test_hard_negatives_broadcasts_anchors_single_scan_topk(spark, sf_smoke):
