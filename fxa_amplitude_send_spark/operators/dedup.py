@@ -226,7 +226,16 @@ def ngram_jaccard_pairs(
         )
         toks = toks.join(F.broadcast(hot), "_tok", "left_anti")
 
-    sizes = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("_size"))
+    # four consumers (both self-join sides + both size lookups) re-derived
+    # the scan+tokenize+explode — materialize the posting list once; its
+    # volume is what the self-join exchanges anyway. sizes (O(docs)) gets
+    # its own checkpoint because it feeds two join legs.
+    toks = toks.localCheckpoint(eager=False)
+    sizes = (
+        toks.groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("_size"))
+        .localCheckpoint(eager=False)
+    )
 
     a = toks.alias("a")
     b = toks.alias("b")

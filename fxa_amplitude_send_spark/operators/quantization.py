@@ -109,6 +109,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "qvec",
+    corpus_cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k: IVF cells route candidates, PQ codes score
     them — the index layout behind billion-vector ANN (FAISS IndexIVFPQ;
@@ -141,7 +142,13 @@ def ivfpq_topk(
 
     from .similarity import assign_ivf_cells
 
-    e = assign_ivf_cells(emb, centroids, vec_col=vec_col, n_probe=1)
+    # corpus_cells shares one O(N·k·d) assignment pass across IVF-family
+    # paths run under the same quantizer (see similarity.ivf_topk)
+    e = (
+        corpus_cells
+        if corpus_cells is not None
+        else assign_ivf_cells(emb, centroids, vec_col=vec_col, n_probe=1)
+    )
     e = encode_pq(e, codebooks, vec_col=vec_col)
     e = e.select(
         F.col(id_col).alias("_eid"),

@@ -427,6 +427,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "qvec",
+    corpus_cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their single nearest
     cell; each query probes its n_probe nearest cells; candidates pair via
@@ -437,10 +438,17 @@ def ivf_topk(
     same candidate budget. At 100 TB the cell column is a natural partition/
     cluster key for the stored index (write once, probe by partition
     pruning). Scoring rides the same bucket-local matmul re-rank as the LSH
-    path (cell = bucket, single table) — no per-pair rows materialize."""
+    path (cell = bucket, single table) — no per-pair rows materialize.
+
+    ``corpus_cells`` (the output of ``assign_ivf_cells(emb, centroids,
+    n_probe=1)``) lets a caller that runs SEVERAL IVF-family paths under
+    one quantizer share a single O(N·k·d) corpus assignment pass instead
+    of paying it per path (llm_sim_recall runs three)."""
     from pyspark.sql import Window
 
-    e = assign_ivf_cells(emb, centroids, vec_col=vec_col, n_probe=1).select(
+    if corpus_cells is None:
+        corpus_cells = assign_ivf_cells(emb, centroids, vec_col=vec_col, n_probe=1)
+    e = corpus_cells.select(
         F.col(id_col).alias("_eid"),
         F.col(vec_col).alias("_evec"),
         F.lit(0).alias("_t"),
@@ -473,6 +481,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_buckets: int = 16,
+    corpus_cells: DataFrame | None = None,
 ) -> DataFrame:
     """Persist the IVF index as a table BUCKETED BY cell: the O(N) cell
     assignment (the expensive pandas-UDF matmul pass) runs once at WRITE
@@ -480,10 +489,13 @@ def build_ivf_index(
     shuffle and NO re-assignment of the corpus — write-amortized ANN
     serving, the same economics as sinks/bucketed.py's co-located joins.
     At 100 TB the cell is the natural partition/bucket key; re-tag (sig)
-    when the corpus or quantizer changes."""
+    when the corpus or quantizer changes. ``corpus_cells`` shares a
+    precomputed assignment pass (see ivf_topk)."""
     from ..sinks.bucketed import ensure_bucketed
 
-    assigned = assign_ivf_cells(emb, centroids, vec_col=vec_col, n_probe=1).select(
+    if corpus_cells is None:
+        corpus_cells = assign_ivf_cells(emb, centroids, vec_col=vec_col, n_probe=1)
+    assigned = corpus_cells.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
         F.col("cell")[0].cast("long").alias("cell"),

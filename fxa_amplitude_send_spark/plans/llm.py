@@ -422,6 +422,11 @@ def llm_dedup_near_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 500)
         .select("doc_id", "text")
     )
+    # six consumers re-derived the tokenize+explode subtree (both band-join
+    # sides via sig, the two verify legs ta/tb, and both size lookups via
+    # cnt — plans/r09/llm_dedup_near_portable_before.txt shows six documents
+    # scans in one plan). Materialize the posting list once; banded and cnt
+    # (O(docs·bands) / O(docs)) likewise each feed two join legs.
     tok = (
         docs.select(
             "doc_id",
@@ -430,6 +435,7 @@ def llm_dedup_near_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tok"),
         )
         .filter(F.col("tok") != "")
+        .localCheckpoint(eager=False)
     )
     hv = (
         F.conv(
@@ -464,7 +470,7 @@ def llm_dedup_near_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band", "bkey"),
-    )
+    ).localCheckpoint(eager=False)
     cand = (
         banded.alias("l")
         .join(
@@ -478,7 +484,11 @@ def llm_dedup_near_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    cnt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    cnt = (
+        tok.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     inter = (
         cand.join(tok.alias("ta"), F.col("ta.doc_id") == F.col("doc_a"))
         .join(
@@ -960,12 +970,26 @@ def llm_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = train_ivf_centroids(
         emb, n_centroids=IVF_PARAMS["n_centroids"], n_iter=5, sample_n=512
     )
-    ivf = ivf_topk(emb, queries_df, centroids, k=5, n_probe=IVF_PARAMS["n_probe"])
+    # ONE corpus cell-assignment pass (the O(N·k·d) pandas-UDF matmul)
+    # shared by the ivf, ivfpq and served paths — all three run under the
+    # SAME quantizer, so per-path re-assignment was pure repetition (three
+    # full-corpus Python passes in one action; embeddings appeared 9x in
+    # the plan — plans/r09/llm_sim_recall_before.txt)
+    from ..operators.similarity import assign_ivf_cells
+
+    cells = assign_ivf_cells(emb, centroids, n_probe=1).localCheckpoint(
+        eager=False
+    )
+    ivf = ivf_topk(
+        emb, queries_df, centroids, k=5, n_probe=IVF_PARAMS["n_probe"],
+        corpus_cells=cells,
+    )
     from ..operators.quantization import ivfpq_topk, train_pq_codebooks
 
     books = train_pq_codebooks(emb, m=4, k=16)
     ivfpq = ivfpq_topk(
-        emb, queries_df, centroids, books, k=5, n_probe=IVF_PARAMS["n_probe"]
+        emb, queries_df, centroids, books, k=5, n_probe=IVF_PARAMS["n_probe"],
+        corpus_cells=cells,
     )
     # 4th path: the PERSISTED serving index (what production queries hit) —
     # measured directly, not merely asserted equal to the on-the-fly path
@@ -978,7 +1002,7 @@ def llm_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig = f"{sf_dir}|{st.st_size}:{st.st_mtime_ns}"
     except OSError:
         sig = f"{sf_dir}|missing"
-    index = build_ivf_index(spark, emb, centroids, sig=sig)
+    index = build_ivf_index(spark, emb, centroids, sig=sig, corpus_cells=cells)
     served = ivf_topk_served(
         index, queries_df, centroids, k=5, n_probe=IVF_PARAMS["n_probe"]
     )
@@ -2453,8 +2477,13 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions; dedup shuffles 32-byte fingerprints; decontamination is
     one inverted-index equi-join on gram text (shuffle O(grams), the same
     plan as llm_decontaminate); packing is one window over the sampled
-    survivors partitioned by lang. No stage materializes an intermediate
-    — Catalyst pipelines the whole chain into one DAG."""
+    survivors partitioned by lang. The dedup SURVIVOR set is materialized
+    once (localCheckpoint): three downstream chains consume it (eval-split
+    grams, corpus grams, the clean projection), and uncheckpointed each
+    re-derived the gate + sha256 + tokenize over the full corpus — six
+    documents scans in one plan (plans/r09/llm_pipeline_e2e_before.txt).
+    The checkpoint holds exactly what a real pipeline would persist
+    between its dedup and decontamination stages."""
     docs = load_table(spark, sf_dir, "documents")
     gated = docs.filter(
         (F.col("n_chars") >= 100) & (F.size(F.split("text", " ")) >= 20)
@@ -2466,7 +2495,9 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("text", 256).alias("fp"),
     )
     survivors = gated.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    deduped = gated.join(survivors, "doc_id", "left_semi")
+    deduped = gated.join(survivors, "doc_id", "left_semi").localCheckpoint(
+        eager=False
+    )
 
     toks = deduped.select(
         "doc_id",

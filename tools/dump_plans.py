@@ -1,5 +1,5 @@
 import sys, os
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.environ.get("SPARK_GRAFT_REPO", os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 from fxa_amplitude_send_spark.session import build_session
 from fxa_amplitude_send_spark.plans import all_queries
 
