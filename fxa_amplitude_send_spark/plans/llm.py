@@ -677,9 +677,13 @@ def llm_dedup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     # each side feeds the semi-join AND its own count — uncheckpointed, the
-    # exact-Jaccard and MinHash+LSH pair subtrees (the two expensive plans
-    # here) execute twice inside the one action; the checkpointed frames are
-    # O(pairs) two-column rows
+    # MinHash signature fold and the exact path's token SELF-JOIN (its
+    # dominant cost at scale; the posting list itself is already
+    # checkpointed inside ngram_jaccard_pairs) would each execute twice
+    # inside the one action. The checkpointed frames are O(pairs)
+    # two-column rows. Local cost of the extra checkpoint barrier is
+    # ~0.5-1 s of job sequencing at gate scale (interleaved A/B, within
+    # this box's noise) — accepted for the halved self-join at 100 TB.
     truth = (
         ngram_jaccard_pairs(docs, threshold=0.8)
         .select("doc_a", "doc_b")
@@ -2404,6 +2408,25 @@ def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lloyd_round_exact(embq, cents)
 
 
+def _e2e_deduped(docs: DataFrame) -> DataFrame:
+    """llm_pipeline_e2e's gate + exact-dedup stages, PRE-checkpoint: length
+    floors (pushed to the parquet scan), sha256 fingerprints, keep-min
+    survivors. Factored out so the plan test can pin the n_chars scan
+    pushdown, which the survivor checkpoint in llm_pipeline_e2e removes
+    from the final plan text."""
+    gated = docs.filter(
+        (F.col("n_chars") >= 100) & (F.size(F.split("text", " ")) >= 20)
+    ).select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.sha2("text", 256).alias("fp"),
+    )
+    survivors = gated.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return gated.join(survivors, "doc_id", "left_semi")
+
+
 @query(
     "llm_pipeline_e2e",
     oracle="""
@@ -2485,19 +2508,7 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     The checkpoint holds exactly what a real pipeline would persist
     between its dedup and decontamination stages."""
     docs = load_table(spark, sf_dir, "documents")
-    gated = docs.filter(
-        (F.col("n_chars") >= 100) & (F.size(F.split("text", " ")) >= 20)
-    ).select(
-        "doc_id",
-        "lang",
-        "text",
-        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
-        F.sha2("text", 256).alias("fp"),
-    )
-    survivors = gated.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    deduped = gated.join(survivors, "doc_id", "left_semi").localCheckpoint(
-        eager=False
-    )
+    deduped = _e2e_deduped(docs).localCheckpoint(eager=False)
 
     toks = deduped.select(
         "doc_id",

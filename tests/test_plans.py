@@ -629,14 +629,22 @@ def test_sql_text_q14_single_scan_grid_ratio(spark, sf_smoke):
 
 
 def test_pipeline_e2e_plan_posture(spark, sf_smoke):
-    """The flagship composite must stay one declarative DAG: length gates
-    pushed to the scan, no cartesian product anywhere in the five chained
-    stages, and zero row-at-a-time Python."""
+    """The flagship composite: no cartesian product anywhere in the five
+    chained stages and zero row-at-a-time Python in the final plan; the
+    length-gate scan pushdown is pinned on the pre-checkpoint dedup frame
+    (the survivor checkpoint — three downstream chains consume it, six
+    documents scans otherwise — hides the scan from the final plan)."""
     plan = physical_plan(QUERIES["llm_pipeline_e2e"](spark, sf_smoke))
-    assert "PushedFilters: [" in plan
-    assert "GreaterThanOrEqual(n_chars,100)" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+    assert "ExistingRDD" in plan  # the survivor checkpoint boundary
+
+    from fxa_amplitude_send_spark.plans.llm import _e2e_deduped
+    from fxa_amplitude_send_spark.sources.tables import load_table
+
+    ded_plan = physical_plan(_e2e_deduped(load_table(spark, sf_smoke, "documents")))
+    assert "PushedFilters: [" in ded_plan
+    assert "GreaterThanOrEqual(n_chars,100)" in ded_plan
 
 
 def test_span_corruption_pure_expressions(spark, sf_smoke):

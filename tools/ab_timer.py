@@ -28,7 +28,7 @@ if REPO not in sys.path:
 
 def main() -> None:
     names = sys.argv[1].split(",")
-    specs = sys.argv[2].split(",") if len(sys.argv) > 2 else []
+    specs = [s for s in (sys.argv[2].split(",") if len(sys.argv) > 2 else []) if s]
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
