@@ -27,6 +27,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def feature_stats(
+    features: DataFrame, feature_cols: list[str]
+) -> tuple[int, dict[str, float], dict[str, float]]:
+    """(n, mu, sd) standardization constants in ONE aggregate — shared by
+    training and scoring so the pair costs one job, not one each (and the
+    scorer standardizes with EXACTLY the training constants, bit-identical
+    to recomputing them on the same frame)."""
+    row = features.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.avg(c).alias(f"mu_{c}") for c in feature_cols],
+        *[
+            F.coalesce(F.stddev_pop(c), F.lit(1.0)).alias(f"sd_{c}")
+            for c in feature_cols
+        ],
+    ).collect()[0]
+    mu = {c: float(row[f"mu_{c}"]) for c in feature_cols}
+    sd = {c: max(float(row[f"sd_{c}"]), 1e-9) for c in feature_cols}
+    return int(row["n"]), mu, sd
+
+
 def train_logreg(
     features: DataFrame,
     feature_cols: list[str],
@@ -120,6 +140,7 @@ def train_logreg_newton(
     label_col: str,
     n_iter: int = 6,
     ridge: float = 1e-6,
+    stats: tuple[int, dict[str, float], dict[str, float]] | None = None,
 ) -> list[float]:
     """Newton / IRLS training for logistic regression: per round ONE
     mergeable aggregate produces both the gradient (k+1 sums) and the
@@ -129,15 +150,12 @@ def train_logreg_newton(
     rounds where first-order GD needs 25+ — at cluster scale that is 4×
     fewer job launches for the same (strictly better) optimum. State per
     partition is O(k²), independent of row count; the tiny ridge keeps the
-    solve well-posed under collinear features."""
-    stats_row = features.agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.avg(c).alias(f"mu_{c}") for c in feature_cols],
-        *[F.coalesce(F.stddev_pop(c), F.lit(1.0)).alias(f"sd_{c}") for c in feature_cols],
-    ).collect()[0]
-    n = stats_row["n"]
-    mu = {c: float(stats_row[f"mu_{c}"]) for c in feature_cols}
-    sd = {c: max(float(stats_row[f"sd_{c}"]), 1e-9) for c in feature_cols}
+    solve well-posed under collinear features.
+
+    ``stats`` (from :func:`feature_stats`) lets the caller share the
+    standardization aggregate with the subsequent scoring pass instead of
+    paying it twice — the constants are the same either way."""
+    n, mu, sd = stats if stats is not None else feature_stats(features, feature_cols)
     k = len(feature_cols)
 
     def std_cols():

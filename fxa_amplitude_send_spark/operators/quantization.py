@@ -110,6 +110,7 @@ def ivfpq_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "qvec",
     corpus_cells: DataFrame | None = None,
+    query_cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k: IVF cells route candidates, PQ codes score
     them — the index layout behind billion-vector ANN (FAISS IndexIVFPQ;
@@ -155,8 +156,14 @@ def ivfpq_topk(
         F.col("pq_code").alias("_codes"),
         F.col("cell")[0].cast("long").alias("_b"),
     )
+    # query_cells: one shared query-side assignment pass across IVF-family
+    # paths under the same quantizer + n_probe (see similarity.ivf_topk)
+    if query_cells is None:
+        query_cells = assign_ivf_cells(
+            queries, centroids, vec_col=query_vec_col, n_probe=n_probe
+        )
     q = (
-        assign_ivf_cells(queries, centroids, vec_col=query_vec_col, n_probe=n_probe)
+        query_cells
         .select(
             F.col(query_id_col).alias("query_id"),
             F.col(query_vec_col).alias("_qvec"),

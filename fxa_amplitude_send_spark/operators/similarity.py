@@ -428,6 +428,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "qvec",
     corpus_cells: DataFrame | None = None,
+    query_cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their single nearest
     cell; each query probes its n_probe nearest cells; candidates pair via
@@ -443,7 +444,10 @@ def ivf_topk(
     ``corpus_cells`` (the output of ``assign_ivf_cells(emb, centroids,
     n_probe=1)``) lets a caller that runs SEVERAL IVF-family paths under
     one quantizer share a single O(N·k·d) corpus assignment pass instead
-    of paying it per path (llm_sim_recall runs three)."""
+    of paying it per path (llm_sim_recall runs three); ``query_cells``
+    (``assign_ivf_cells(queries, centroids, n_probe=n_probe)``) is the
+    query-side twin — same quantizer + same n_probe means every path's
+    probe list is identical, so one pandas-UDF pass serves them all."""
     from pyspark.sql import Window
 
     if corpus_cells is None:
@@ -454,9 +458,11 @@ def ivf_topk(
         F.lit(0).alias("_t"),
         F.col("cell")[0].cast("long").alias("_b"),
     )
-    q = assign_ivf_cells(
-        queries, centroids, vec_col=query_vec_col, n_probe=n_probe
-    ).select(
+    if query_cells is None:
+        query_cells = assign_ivf_cells(
+            queries, centroids, vec_col=query_vec_col, n_probe=n_probe
+        )
+    q = query_cells.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("_qvec"),
         F.lit(0).alias("_t"),
@@ -546,6 +552,7 @@ def ivf_topk_served(
     query_id_col: str = "query_id",
     query_vec_col: str = "qvec",
     tombstones: DataFrame | None = None,
+    query_cells: DataFrame | None = None,
 ) -> DataFrame:
     """Serve approximate top-k from a persisted IVF index (build_ivf_index):
     only the QUERY vectors are assigned at serve time (tiny); candidates
@@ -572,9 +579,11 @@ def ivf_topk_served(
         F.lit(0).alias("_t"),
         F.col("cell").alias("_b"),
     )
-    q = assign_ivf_cells(
-        queries, centroids, vec_col=query_vec_col, n_probe=n_probe
-    ).select(
+    if query_cells is None:
+        query_cells = assign_ivf_cells(
+            queries, centroids, vec_col=query_vec_col, n_probe=n_probe
+        )
+    q = query_cells.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("_qvec"),
         F.lit(0).alias("_t"),

@@ -1930,30 +1930,57 @@ def q_stream_txn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("value_c"),
     )
     stage = _work_root("strm_txm", sf_dir)
-    batches = [
-        ev.filter(F.col("event_id") % 2 == 0),
-        ev.filter(F.col("event_id") % 2 == 1),
-        ev.filter(F.col("event_id") % 8 == 0).withColumn(
-            "value_c", F.col("value_c") * 2
-        ),
-        ev.filter(F.col("event_id") % 8 == 4).withColumn(
-            "value_c", F.col("value_c") * 2
-        ),
-    ]
+    # The 4 CDC batches partition/derive from ONE events pass: every row
+    # belongs to exactly one insert batch (event_id parity) and the
+    # event_id%4==0 rows additionally to one doubled update batch — so one
+    # explode + _b-partitioned write stages all four files in a single job
+    # (was 4 sequential coalesce(1) scans of events).
+    b_upd = (
+        F.when(F.col("event_id") % 8 == 0, F.lit(2))
+        .when(F.col("event_id") % 8 == 4, F.lit(3))
+        .cast("int")
+    )
+    tagged = ev.select(
+        "event_id",
+        "event_type",
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.struct(
+                        F.col("value_c").alias("value_c"),
+                        (F.col("event_id") % 2).cast("int").alias("_b"),
+                    ),
+                    F.when(
+                        b_upd.isNotNull(),
+                        F.struct(
+                            (F.col("value_c") * 2).alias("value_c"),
+                            b_upd.alias("_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("_r"),
+    ).select(
+        "event_id",
+        "event_type",
+        F.col("_r.value_c").alias("value_c"),
+        F.col("_r._b").alias("_b"),
+    )
+    tmp = stage + "_tmp"
+    tagged.coalesce(1).write.partitionBy("_b").parquet(tmp)
     _os.makedirs(stage, exist_ok=True)
     now = None
-    for i, b in enumerate(batches):
-        sub = _os.path.join(stage, f"b{i}")
-        b.coalesce(1).write.parquet(sub)
+    for i in range(4):
+        sub = _os.path.join(tmp, f"_b={i}")
         part = [f for f in _os.listdir(sub) if f.endswith(".parquet")][0]
         dst = _os.path.join(stage, f"b{i}.parquet")
         _os.rename(_os.path.join(sub, part), dst)
-        _shutil.rmtree(sub)  # the file source must see exactly 4 flat files
         # updates reference insert-batch keys, so arrival ORDER is part of
         # the CDC contract; the file source orders by mtime — pin it.
         if now is None:
             now = _os.path.getmtime(dst)
         _os.utime(dst, (now + 10 * i, now + 10 * i))
+    _shutil.rmtree(tmp)  # the file source must see exactly 4 flat files
     schema = spark.read.parquet(_os.path.join(stage, "b0.parquet")).schema
 
     fact = _work_root("stxmf", sf_dir)
@@ -1974,7 +2001,11 @@ def q_stream_txn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         txn_id = f"m{batch_id:06d}"
         if committed(troot, txn_id):
             return  # redelivery of a landed batch: no-op
-        batch_df = batch_df.localCheckpoint(eager=True)  # evaluate once
+        # batch_df has exactly ONE consumer (the fused fact-merge staging
+        # executes the updates⋈table join once; the summary increment reads
+        # the staged change FILES, not the batch) — no checkpoint needed.
+        # The retained batch-0 frame is only passed to the post-stream
+        # replay, whose committed() guard returns before evaluating it.
         replay_args.setdefault(batch_id, batch_df)
         txn = MultiTableTxn(troot, txn_id=txn_id)
         txn.stage_merge(fact, batch_df, ["event_id"])
@@ -2037,10 +2068,17 @@ def q_stream_txn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("value_c").cast("long").alias("sum_value_c"),
     )
-    # multiset equality via one collect per side (rows = |event types|, both
-    # exact integers) — the exceptAll pair re-executed the O(fact) aggregate
-    # twice for the same assertion
-    if sorted(map(tuple, out.collect())) != sorted(map(tuple, fagg.collect())):
+    # multiset equality via ONE collect (rows = 2·|event types|, exact
+    # integers): both sides union under a side tag, one job evaluates both
+    # aggregates — the exceptAll pair re-executed the O(fact) aggregate
+    # twice, and even one collect per side was two scheduler round-trips.
+    both = out.withColumn("_side", F.lit(0)).unionByName(
+        fagg.withColumn("_side", F.lit(1))
+    ).collect()
+    sides: dict[int, list] = {0: [], 1: []}
+    for r in both:
+        sides[r["_side"]].append((r["event_type"], r["n"], r["sum_value_c"]))
+    if sorted(sides[0]) != sorted(sides[1]):
         raise RuntimeError("q_stream_txn_merge: fact and summary diverged")
     return out
 
@@ -2416,10 +2454,20 @@ def q_versioned_txn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DV/tombstone leakage that makes an updated row visible early keeps
     # the count intact, so the value sum is asserted too.
     stale = read_snapshot(spark, fact)
-    stale_n, stale_sum = stale.agg(
-        F.count(F.lit(1)), F.sum("value_c")
-    ).first()
-    first_n, first_sum = first.agg(F.count(F.lit(1)), F.sum("value_c")).first()
+    # both stale-visibility aggregates in ONE job (union under a side tag)
+    stale_rows = (
+        stale.agg(F.count(F.lit(1)).alias("n"), F.sum("value_c").alias("s"))
+        .withColumn("_side", F.lit(0))
+        .unionByName(
+            first.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("value_c").alias("s")
+            ).withColumn("_side", F.lit(1))
+        )
+        .collect()
+    )
+    by_side = {r["_side"]: (r["n"], r["s"]) for r in stale_rows}
+    stale_n, stale_sum = by_side[0]
+    first_n, first_sum = by_side[1]
     if stale_n != first_n:
         raise RuntimeError("q_versioned_txn_merge: early insert visibility")
     if stale_sum != first_sum:
@@ -2436,7 +2484,16 @@ def q_versioned_txn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("value_c").cast("long").alias("sum_value_c"),
     )
-    if out.exceptAll(fagg).count() != 0 or fagg.exceptAll(out).count() != 0:
+    # multiset equality via ONE collect (rows = 2·|event types|, exact
+    # integers) — the exceptAll PAIR ran two jobs that each re-executed
+    # BOTH the summary read and the O(fact) aggregate
+    both = out.withColumn("_side", F.lit(0)).unionByName(
+        fagg.withColumn("_side", F.lit(1))
+    ).collect()
+    sides: dict[int, list] = {0: [], 1: []}
+    for r in both:
+        sides[r["_side"]].append((r["event_type"], r["n"], r["sum_value_c"]))
+    if sorted(sides[0]) != sorted(sides[1]):
         raise RuntimeError("q_versioned_txn_merge: fact and summary diverged")
     return out
 

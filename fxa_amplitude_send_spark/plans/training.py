@@ -490,7 +490,11 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor ≥ 0.9 is pytest-asserted (tests/test_training.py). At 100 TB:
     features are one scan, each round reads the cached projection, state
     per partition is O(k²) independent of rows."""
-    from ..operators.classifier import score_logreg, train_logreg_newton
+    from ..operators.classifier import (
+        feature_stats,
+        score_logreg,
+        train_logreg_newton,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
@@ -523,8 +527,12 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     cols = ["f_len", "f_stop", "f_tok", "f_digit"]
     try:
-        w = train_logreg_newton(feats, cols, "label", n_iter=6)
-        scored = score_logreg(feats, cols, w)
+        # ONE standardization aggregate shared by training and scoring
+        # (score_logreg would otherwise recompute the identical mu/sd on
+        # the same frame — a whole extra job for the same constants)
+        n, mu, sd = feature_stats(feats, cols)
+        w = train_logreg_newton(feats, cols, "label", n_iter=6, stats=(n, mu, sd))
+        scored = score_logreg(feats, cols, w, mu=mu, sd=sd)
         return scored.select(
             "doc_id",
             "label",

@@ -66,10 +66,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .versioned import (
+    _FUSED_RESERVED,
     _commit,
     _count_staged,
+    _fused_staging_enabled,
     _read_manifest,
     _stage_data_files,
+    _stage_tagged_files,
     current_version,
     read_snapshot,
     write_snapshot,
@@ -323,6 +326,52 @@ def _mv_change_rows(
     )
 
 
+def _stage_mv_fused(
+    full: DataFrame, keys: list[str], measures: list[str], mv_path: str
+) -> tuple[list[dict], list[dict]] | None:
+    """ONE staging write for a refreshed view AND its change feed: each
+    merged row of the annotated ``full`` frame (mv_count/_in_cur/_in_delta/
+    _pre_* — the refresh merge shape shared by refresh_mv / refresh_star_mv
+    / refresh_join_mv) explodes into its file roles — alive group → data
+    row; new / moved / emptied group → CDF rows, same predicates as
+    _mv_change_rows — so the merge join executes once and the staging costs
+    a single write job instead of checkpoint + two writes. Returns
+    (data_files, change_files), or None when fused staging is disabled
+    (SPARK_GRAFT_FUSED_STAGING=0) or a column name collides with the
+    role superset."""
+    if not _fused_staging_enabled() or (_FUSED_RESERVED & set(keys + measures)):
+        return None
+    alive = F.col("mv_count") > 0
+    in_cur, in_delta = F.col("_in_cur"), F.col("_in_delta")
+    moved = F.lit(False)
+    for m in measures:
+        moved = moved | ~F.col(m).eqNullSafe(F.col(f"_pre_{m}"))
+    post = {m: F.col(m) for m in measures}
+    pre = {m: F.col(f"_pre_{m}") for m in measures}
+
+    def _role(kind, vals, ct):
+        return F.struct(
+            *[vals[m].alias(m) for m in measures],
+            ct.cast("string").alias("_change_type"),
+            F.lit(kind).alias("_kind"),
+        )
+
+    nil = F.lit(None)
+    upd = in_delta & in_cur & alive & moved
+    roles = F.array(
+        F.when(alive, _role("data", post, nil)),
+        F.when(in_delta & ~in_cur & alive, _role("cdf", post, F.lit("insert"))),
+        F.when(upd, _role("cdf", pre, F.lit("update_preimage"))),
+        F.when(upd, _role("cdf", post, F.lit("update_postimage"))),
+        F.when(in_cur & ~alive, _role("cdf", pre, F.lit("delete"))),
+    )
+    tagged = full.select(
+        *keys, F.explode(F.array_compact(roles)).alias("_r")
+    ).select(*keys, "_r.*")
+    staged = _stage_tagged_files(tagged, mv_path)
+    return staged.get("data", []), staged.get("cdf", [])
+
+
 def refresh_mv(spark: SparkSession, mv_path: str) -> int:
     """Fold every base version committed since the last refresh into the
     view. Cost is O(change rows), independent of base-table size. Returns
@@ -550,13 +599,17 @@ def refresh_mv(spark: SparkSession, mv_path: str) -> int:
                 "_in_delta",
                 *[f"_pre_{mc}" for mc in measures],
             )
-    # one materialization reused by BOTH staging writes (data + changes)
-    full = full.localCheckpoint(eager=True)
     merged = full.filter(F.col("mv_count") > 0).select(*keys, *measures)
-    changes = _mv_change_rows(full, keys, measures)
-
-    files = _stage_data_files(merged, mv_path)
-    change_files = _stage_data_files(changes, mv_path)
+    fused = _stage_mv_fused(full, keys, measures, mv_path)
+    if fused is not None:
+        files, change_files = fused
+    else:
+        # one materialization reused by BOTH staging writes (data + changes)
+        full = full.localCheckpoint(eager=True)
+        merged = full.filter(F.col("mv_count") > 0).select(*keys, *measures)
+        changes = _mv_change_rows(full, keys, measures)
+        files = _stage_data_files(merged, mv_path)
+        change_files = _stage_data_files(changes, mv_path)
     n = _count_staged(spark, mv_path, files)
     try:
         # kind='merge' + explicit change files: downstream incremental

@@ -59,6 +59,7 @@ from .materialized_view import (
     _mv_change_rows,
     _save_meta,
     _sign,
+    _stage_mv_fused,
 )
 from .versioned import (
     _commit,
@@ -336,9 +337,11 @@ def refresh_star_mv(spark: SparkSession, mv_path: str) -> int:
             F.col("d.d_count").isNotNull().alias("_in_delta"),
             *[F.col(f"m.{mc}").alias(f"_pre_{mc}") for mc in measures],
         )
-        .localCheckpoint(eager=True)  # reused by both staging writes
     )
     if extreme_cols:
+        # multi-consumer only on the extremes path (danger probe + staging);
+        # without extremes the (fused) staging write is the sole consumer
+        full = full.localCheckpoint(eager=True)
         danger_keys = full.filter(F.col("_danger")).select(*keys)
         if danger_keys.limit(1).count():
             # ONLY the danger groups re-aggregate, from the CURRENT join:
@@ -382,10 +385,16 @@ def refresh_star_mv(spark: SparkSession, mv_path: str) -> int:
                 .localCheckpoint(eager=True)
             )
     merged = full.filter(F.col("mv_count") > 0).select(*keys, *measures)
-    changes = _mv_change_rows(full, keys, measures)
-
-    files = _stage_data_files(merged, mv_path)
-    change_files = _stage_data_files(changes, mv_path)
+    fused = _stage_mv_fused(full, keys, measures, mv_path)
+    if fused is not None:
+        files, change_files = fused
+    else:
+        if not extreme_cols:
+            full = full.localCheckpoint(eager=True)  # both staging writes
+            merged = full.filter(F.col("mv_count") > 0).select(*keys, *measures)
+        changes = _mv_change_rows(full, keys, measures)
+        files = _stage_data_files(merged, mv_path)
+        change_files = _stage_data_files(changes, mv_path)
     n = _count_staged(spark, mv_path, files)
     try:
         v = _commit(

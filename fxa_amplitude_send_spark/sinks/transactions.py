@@ -363,13 +363,27 @@ class MultiTableTxn:
         stage the summary merge, then commit both atomically. Without it
         the caller would re-join the batch against the fact table
         (O(fact) per batch) or trust the feed's preimages."""
-        paths = [
-            os.path.join(table, e["path"])
+        ops = [
+            op
             for op in self._ops.get(table, [])
+            if op["op"] in ("merge", "delete")
+        ]
+        if not ops:
+            raise ValueError(f"no staged merge/delete for {table!r}")
+        paths = [
+            os.path.join(table, e["path"]) for op in ops
             for e in op.get("change_files", [])
         ]
         if not paths:
-            raise ValueError(f"no staged change files for {table!r}")
+            # a staged mutation that changed NOTHING (every update was a
+            # no-op): fused staging writes no zero-row placeholder file,
+            # so synthesize the empty frame under the table schema
+            from pyspark.sql.types import StringType, StructType
+
+            schema = StructType.fromJson(
+                json.loads(_read_manifest(table, current_version(table))["schema"])
+            ).add("_change_type", StringType())
+            return spark.createDataFrame([], schema)
         return spark.read.parquet(*paths)
 
     def staged_paths(self, table: str) -> list[str]:

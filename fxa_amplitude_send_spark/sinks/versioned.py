@@ -226,6 +226,68 @@ def _stage_data_files(df: DataFrame, path: str) -> list[dict]:
     return entries
 
 
+def _fused_staging_enabled() -> bool:
+    """Default ON: merge/delete file roles (data rows, deletion vectors, CDF
+    change rows) are staged in ONE Spark job via a _kind-partitioned write,
+    so the table-scale join/scan that derives them executes exactly once.
+    ``SPARK_GRAFT_FUSED_STAGING=0`` restores the per-role writes (the
+    round-9 shape) — the interleaved-A/B knob, not a production setting."""
+    return os.environ.get("SPARK_GRAFT_FUSED_STAGING", "1") != "0"
+
+
+#: column names the fused staging superset reserves; a table using any of
+#: them falls back to the per-role writes (correct, just more jobs).
+_FUSED_RESERVED = {"_change_type", "_kind", "path", "pos"}
+
+
+def _stage_tagged_files(df: DataFrame, path: str) -> dict[str, list[dict]]:
+    """Stage SEVERAL file roles in ONE Spark job: ``df`` carries a ``_kind``
+    discriminator column and the write splits roles into ``_kind=<role>/``
+    subdirs of one staging dir (partitionBy), so the (possibly table-scale)
+    subtree that produced the rows executes exactly once instead of once
+    per role. Returns manifest entries grouped by role.
+
+    Files of different roles never share bytes. A role's files may carry
+    null superset columns belonging to OTHER roles; every reader is
+    role-schema'd — data files are read under the manifest schema,
+    deletion vectors select (path, pos), CDF readers select table columns
+    + _change_type — so the padding columns are pruned at the columnar
+    scan and cost nothing. Bloom bitsets are built only for the committed
+    data roles ('data' / 'new'); stats land in every entry as usual."""
+    import pyarrow.parquet as pq
+
+    policy = _load_bloom_policy(path)
+    stage = f"stage-{uuid.uuid4().hex}"
+    out = os.path.join(path, "data", stage)
+    df.write.mode("overwrite").partitionBy("_kind").parquet(out)
+    entries: dict[str, list[dict]] = {}
+    for kind_dir in sorted(os.listdir(out)):
+        if not kind_dir.startswith("_kind="):
+            continue
+        kind = kind_dir.split("=", 1)[1]
+        rows = entries.setdefault(kind, [])
+        kdir = os.path.join(out, kind_dir)
+        for name in sorted(os.listdir(kdir)):
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(kdir, name)
+            entry = {
+                "path": os.path.join("data", stage, kind_dir, name),
+                "stats": _file_stats(full),
+                "n": pq.ParquetFile(full).metadata.num_rows,
+            }
+            if policy and kind in ("data", "new"):
+                cols = _file_blooms(full, policy)
+                if cols:
+                    entry["bloom"] = {
+                        "bits": policy["bits"],
+                        "k": policy["k"],
+                        "cols": cols,
+                    }
+            rows.append(entry)
+    return entries
+
+
 def _commit(
     path: str,
     files: list[dict],
@@ -1130,46 +1192,82 @@ def merge_snapshot(
     # re-execution is a columnar scan + broadcast probe, while the cache
     # materializes the full O(table) marker-annotated rows through the block
     # manager — q_mv_incremental 3.3→13.3 s, q_cdf_read 2.4→6.2 s,
-    # q_mv_star 5.0→11.7 s WITH the persist. Contrast _stage_merge_mor,
-    # where the persisted join output is O(changes), not O(table).
+    # q_mv_star 5.0→11.7 s WITH the persist. Round 10 removes the
+    # re-executions WITHOUT a cache: every join row explodes into its file
+    # ROLES (data rewrite / CDF post / CDF pre) and one _kind-partitioned
+    # write stages all of them — the join runs exactly once per merge at
+    # any scale, and the write volume is identical to the two per-role
+    # writes it replaces.
     c2 = cur.withColumn("_c_present", F.lit(1)).alias("c")
     u2 = updates.select(*cols).withColumn("_u_present", F.lit(1)).alias("u")
     j2 = c2.join(u2, key_cols, "full_outer")
-    merged = j2.select(
-        *key_cols,
-        *[F.coalesce(F.col(f"u.{x}"), F.col(f"c.{x}")).alias(x) for x in val_cols],
-    ).select(*cols)
     merged_val = {
         x: F.coalesce(F.col(f"u.{x}"), F.col(f"c.{x}")) for x in val_cols
     }
     changed_pred = F.lit(False)
     for x in val_cols:
         changed_pred = changed_pred | ~merged_val[x].eqNullSafe(F.col(f"c.{x}"))
-    changes_post = j2.filter(F.col("_u_present").isNotNull()).select(
-        *key_cols,
-        *[merged_val[x].alias(x) for x in val_cols],
-        F.when(F.col("_c_present").isNull(), F.lit("insert"))
-        .when(changed_pred, F.lit("update_postimage"))
-        .otherwise(F.lit(None))
-        .alias("_change_type"),
-    ).filter(F.col("_change_type").isNotNull()).select(*cols, "_change_type")
-    # Delta-parity pre-images: for every genuinely updated key, the OLD row
-    # values under _change_type='update_preimage'. Consumers that maintain
-    # downstream state incrementally (sinks/materialized_view.py) subtract
-    # the pre-image and add the post-image — without pre-images, SUM/COUNT
-    # maintenance under updates would need a time-travel join against the
-    # parent snapshot (O(table), not O(changes)).
-    changes_pre = j2.filter(
-        F.col("_u_present").isNotNull() & F.col("_c_present").isNotNull()
-    ).filter(changed_pred).select(
-        *key_cols,
-        *[F.col(f"c.{x}").alias(x) for x in val_cols],
-        F.lit("update_preimage").alias("_change_type"),
-    ).select(*cols, "_change_type")
-    changes = changes_post.unionByName(changes_pre)
+    u_present = F.col("_u_present").isNotNull()
+    matched = u_present & F.col("_c_present").isNotNull()
 
-    data_files = _stage_data_files(merged, path)
-    change_files = _stage_data_files(changes, path)
+    if _fused_staging_enabled() and not (_FUSED_RESERVED & set(cols)):
+        # post-image change type: insert for new keys, update_postimage for
+        # genuinely changed rows, null (no CDF row) for no-op updates and
+        # current-only rows.
+        post_ct = (
+            F.when(u_present & F.col("_c_present").isNull(), F.lit("insert"))
+            .when(matched & changed_pred, F.lit("update_postimage"))
+        )
+
+        def _role(kind: str, vals: dict, ct):
+            return F.struct(
+                *[vals[x].alias(x) for x in val_cols],
+                ct.cast("string").alias("_change_type"),
+                F.lit(kind).alias("_kind"),
+            )
+
+        pre_val = {x: F.col(f"c.{x}") for x in val_cols}
+        roles = F.array(
+            _role("data", merged_val, F.lit(None)),
+            F.when(post_ct.isNotNull(), _role("cdf", merged_val, post_ct)),
+            F.when(
+                matched & changed_pred,
+                _role("cdf", pre_val, F.lit("update_preimage")),
+            ),
+        )
+        tagged = j2.select(
+            *key_cols, F.explode(F.array_compact(roles)).alias("_r")
+        ).select(*key_cols, "_r.*")
+        staged = _stage_tagged_files(tagged.select(*cols, "_change_type", "_kind"), path)
+        data_files = staged.get("data", [])
+        change_files = staged.get("cdf", [])
+    else:
+        merged = j2.select(
+            *key_cols,
+            *[merged_val[x].alias(x) for x in val_cols],
+        ).select(*cols)
+        changes_post = j2.filter(u_present).select(
+            *key_cols,
+            *[merged_val[x].alias(x) for x in val_cols],
+            F.when(F.col("_c_present").isNull(), F.lit("insert"))
+            .when(changed_pred, F.lit("update_postimage"))
+            .otherwise(F.lit(None))
+            .alias("_change_type"),
+        ).filter(F.col("_change_type").isNotNull()).select(*cols, "_change_type")
+        # Delta-parity pre-images: for every genuinely updated key, the OLD
+        # row values under _change_type='update_preimage'. Consumers that
+        # maintain downstream state incrementally subtract the pre-image and
+        # add the post-image — without pre-images, SUM/COUNT maintenance
+        # under updates would need a time-travel join against the parent
+        # snapshot (O(table), not O(changes)).
+        changes_pre = j2.filter(matched).filter(changed_pred).select(
+            *key_cols,
+            *[F.col(f"c.{x}").alias(x) for x in val_cols],
+            F.lit("update_preimage").alias("_change_type"),
+        ).select(*cols, "_change_type")
+        changes = changes_post.unionByName(changes_pre)
+        data_files = _stage_data_files(merged, path)
+        change_files = _stage_data_files(changes, path)
     # constraints: only rows NEW in this version can introduce a violation
     # (pre-existing rows passed when first written) — validate the
     # insert/update_postimage change rows, O(changes) not O(table)
@@ -1221,14 +1319,42 @@ def delete_keys_mor(
     live = _with_positions(spark, path, prev, paths, schema)
     matches = live.join(keys.select(*key_cols).distinct(), key_cols, "left_semi")
 
-    dv_rows = matches.select(
-        F.col("_vt_path").alias("path"), F.col("_vt_pos").alias("pos")
-    )
-    deleted = matches.drop("_vt_path", "_vt_pos").withColumn(
-        "_change_type", F.lit("delete")
-    )
-    dv_files = _stage_data_files(dv_rows, path)
-    change_files = _stage_data_files(deleted, path)
+    cols = [f.name for f in schema.fields]
+    if _fused_staging_enabled() and not (_FUSED_RESERVED & set(cols)):
+        # one pass: each matched row explodes into tombstone + CDF pre-image,
+        # staged together in one _kind-partitioned write (vs two jobs that
+        # each re-ran the positioned scan + semi-join)
+        types = {f.name: f.dataType for f in schema.fields}
+        nil = F.lit(None)
+        roles = F.array(
+            F.struct(
+                *[nil.cast(types[x]).alias(x) for x in cols],
+                nil.cast("string").alias("_change_type"),
+                F.col("_vt_path").cast("string").alias("path"),
+                F.col("_vt_pos").cast("long").alias("pos"),
+                F.lit("dv").alias("_kind"),
+            ),
+            F.struct(
+                *[F.col(x).alias(x) for x in cols],
+                F.lit("delete").cast("string").alias("_change_type"),
+                nil.cast("string").alias("path"),
+                nil.cast("long").alias("pos"),
+                F.lit("cdf").alias("_kind"),
+            ),
+        )
+        tagged = matches.select(F.explode(roles).alias("_r")).select("_r.*")
+        staged = _stage_tagged_files(tagged, path)
+        dv_files = staged.get("dv", [])
+        change_files = staged.get("cdf", [])
+    else:
+        dv_rows = matches.select(
+            F.col("_vt_path").alias("path"), F.col("_vt_pos").alias("pos")
+        )
+        deleted = matches.drop("_vt_path", "_vt_pos").withColumn(
+            "_change_type", F.lit("delete")
+        )
+        dv_files = _stage_data_files(dv_rows, path)
+        change_files = _stage_data_files(deleted, path)
     n_deleted = sum(e["n"] for e in dv_files)
     return _commit(
         path,
@@ -1326,49 +1452,89 @@ def _stage_merge_mor(
     # REJECTED (interleaved same-session A/B at sf0.1: q_stream_txn_merge
     # median 27.9 s persisted vs 17.6 s unpersisted — when the CDC batch is
     # comparable to the table, funneling every joined row through the block
-    # manager costs more than the scans it saves). Instead the merge's
-    # EFFECTIVE rows (insert | value-changed — matched-unchanged rows are
-    # complete no-ops and never leave the join) are written ONCE to a
-    # scratch parquet under the table root: exactly one table pass per
-    # merge at ANY scale, and the three file sets are then derived from an
-    # O(changes) columnar re-read with no join in the plan. The scratch
-    # lives inside the table (works on shared storage), outside data/ (so
-    # vacuum's sweep never sees it), and is removed before return.
-    combined = j2.filter(F.col("_c_present").isNull() | changed_pred).select(
-        *key_cols,
-        *[merged_val[x].alias(x) for x in val_cols],
-        *[F.col(f"c.{x}").alias(f"_pre_{x}") for x in val_cols],
-        F.col("_c_present").isNotNull().alias("_matched"),
-        F.col("c._vt_path").alias("_vt_path"),
-        F.col("c._vt_pos").alias("_vt_pos"),
-    )
-    scratch = os.path.join(path, "_tmp", f"merge-{uuid.uuid4().hex}")
-    combined.write.mode("overwrite").parquet(scratch)
-    try:
-        cm = spark.read.schema(combined.schema).parquet(scratch)
-        new_rows = cm.select(*cols)
-        tombstones = cm.filter("_matched").select(
-            F.col("_vt_path").alias("path"), F.col("_vt_pos").alias("pos")
-        )
-        changes = cm.select(
-            *cols,
-            F.when(F.col("_matched"), F.lit("update_postimage"))
-            .otherwise(F.lit("insert"))
-            .alias("_change_type"),
-        ).unionByName(
-            cm.filter("_matched").select(
-                *key_cols,
-                *[F.col(f"_pre_{x}").alias(x) for x in val_cols],
-                F.lit("update_preimage").alias("_change_type"),
-            ).select(*cols, "_change_type")
-        )
-        new_files = _stage_data_files(new_rows, path)
-        dv_files = _stage_data_files(tombstones, path)
-        change_files = _stage_data_files(changes, path)
-    finally:
-        import shutil
+    # manager costs more than the scans it saves). Round 9 staged the
+    # effective rows once to a scratch parquet and derived the three file
+    # sets from an O(changes) re-read (1 join + 4 write jobs per merge);
+    # round 10 removes the scratch entirely: each effective row (insert |
+    # value-changed — matched-unchanged rows are complete no-ops and never
+    # leave the join) EXPLODES into its file roles (new row / tombstone /
+    # CDF post / CDF pre) and one _kind-partitioned write stages all of
+    # them — one table pass AND one write job per merge at any scale.
+    matched = F.col("_c_present").isNotNull()
+    eff = j2.filter(F.col("_c_present").isNull() | changed_pred)
+    if _fused_staging_enabled() and not (_FUSED_RESERVED & set(cols)):
+        types = {f.name: f.dataType for f in schema.fields}
+        null_val = {x: F.lit(None).cast(types[x]) for x in val_cols}
+        pre_val = {x: F.col(f"c.{x}") for x in val_cols}
 
-        shutil.rmtree(scratch, ignore_errors=True)
+        def _role(kind, vals, ct, pth, pos):
+            return F.struct(
+                *[vals[x].alias(x) for x in val_cols],
+                ct.cast("string").alias("_change_type"),
+                pth.cast("string").alias("path"),
+                pos.cast("long").alias("pos"),
+                F.lit(kind).alias("_kind"),
+            )
+
+        nil = F.lit(None)
+        roles = F.array(
+            _role("new", merged_val, nil, nil, nil),
+            F.when(
+                matched,
+                _role("dv", null_val, nil, F.col("c._vt_path"), F.col("c._vt_pos")),
+            ),
+            _role(
+                "cdf",
+                merged_val,
+                F.when(matched, F.lit("update_postimage")).otherwise(F.lit("insert")),
+                nil,
+                nil,
+            ),
+            F.when(matched, _role("cdf", pre_val, F.lit("update_preimage"), nil, nil)),
+        )
+        tagged = eff.select(
+            *key_cols, F.explode(F.array_compact(roles)).alias("_r")
+        ).select(*key_cols, "_r.*")
+        staged = _stage_tagged_files(tagged, path)
+        new_files = staged.get("new", [])
+        dv_files = staged.get("dv", [])
+        change_files = staged.get("cdf", [])
+    else:
+        combined = eff.select(
+            *key_cols,
+            *[merged_val[x].alias(x) for x in val_cols],
+            *[F.col(f"c.{x}").alias(f"_pre_{x}") for x in val_cols],
+            matched.alias("_matched"),
+            F.col("c._vt_path").alias("_vt_path"),
+            F.col("c._vt_pos").alias("_vt_pos"),
+        )
+        scratch = os.path.join(path, "_tmp", f"merge-{uuid.uuid4().hex}")
+        combined.write.mode("overwrite").parquet(scratch)
+        try:
+            cm = spark.read.schema(combined.schema).parquet(scratch)
+            new_rows = cm.select(*cols)
+            tombstones = cm.filter("_matched").select(
+                F.col("_vt_path").alias("path"), F.col("_vt_pos").alias("pos")
+            )
+            changes = cm.select(
+                *cols,
+                F.when(F.col("_matched"), F.lit("update_postimage"))
+                .otherwise(F.lit("insert"))
+                .alias("_change_type"),
+            ).unionByName(
+                cm.filter("_matched").select(
+                    *key_cols,
+                    *[F.col(f"_pre_{x}").alias(x) for x in val_cols],
+                    F.lit("update_preimage").alias("_change_type"),
+                ).select(*cols, "_change_type")
+            )
+            new_files = _stage_data_files(new_rows, path)
+            dv_files = _stage_data_files(tombstones, path)
+            change_files = _stage_data_files(changes, path)
+        finally:
+            import shutil
+
+            shutil.rmtree(scratch, ignore_errors=True)
     _verify_staged_checks(
         spark, path, change_files, where="_change_type != 'update_preimage'"
     )
@@ -1398,11 +1564,28 @@ def delete_snapshot(spark: SparkSession, path: str, predicate: str) -> int:
 
     from pyspark.sql import functions as F
 
-    surviving = cur.filter(f"NOT ({predicate})")
-    deleted = cur.filter(predicate).withColumn("_change_type", F.lit("delete"))
-
-    data_files = _stage_data_files(surviving, path)
-    change_files = _stage_data_files(deleted, path)
+    # One table pass: each row routes to its role (survivor data file or
+    # CDF delete pre-image) and one _kind-partitioned write stages both —
+    # vs two filtered scans + two write jobs. NULL-predicate rows keep the
+    # historical semantics exactly: filter(NOT pred) and filter(pred) BOTH
+    # dropped them, so they route to no role at all.
+    if _fused_staging_enabled() and not (_FUSED_RESERVED & set(cur.columns)):
+        pred = F.expr(predicate)
+        tagged = cur.select(
+            "*",
+            F.when(pred, F.lit("delete")).alias("_change_type"),
+            F.when(pred, F.lit("cdf")).when(~pred, F.lit("data")).alias("_kind"),
+        ).filter(F.col("_kind").isNotNull())
+        staged = _stage_tagged_files(tagged, path)
+        data_files = staged.get("data", [])
+        change_files = staged.get("cdf", [])
+    else:
+        surviving = cur.filter(f"NOT ({predicate})")
+        deleted = cur.filter(predicate).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        data_files = _stage_data_files(surviving, path)
+        change_files = _stage_data_files(deleted, path)
     n = _count_staged(spark, path, data_files)
     return _commit(
         path,
@@ -1470,27 +1653,53 @@ def _stage_delete_mor(
     paths = [os.path.join(path, e["path"]) for e in prev["files"]]
     live = _with_positions(spark, path, prev, paths, schema)
     # tombstones AND change pre-images derive from the same filtered scan —
-    # staged directly, each write would re-run the O(table) scan. Write the
-    # O(deleted) match set ONCE to a scratch parquet under the table root
-    # (same discipline as _stage_merge_mor) and derive both file sets from
-    # the columnar re-read: one table pass per delete at any scale.
+    # staged directly, each write would re-run the O(table) scan. Round 9
+    # wrote the O(deleted) match set once to a scratch parquet and derived
+    # both file sets from the re-read (3 jobs); round 10 explodes each
+    # matched row into its two roles (tombstone + CDF pre-image) and stages
+    # both in ONE _kind-partitioned write: one table pass, one write job.
     matches = live.filter(predicate)
-    scratch = os.path.join(path, "_tmp", f"delete-{uuid.uuid4().hex}")
-    matches.write.mode("overwrite").parquet(scratch)
-    try:
-        cm = spark.read.schema(matches.schema).parquet(scratch)
-        dv_rows = cm.select(
-            F.col("_vt_path").alias("path"), F.col("_vt_pos").alias("pos")
+    cols = [f.name for f in schema.fields]
+    if _fused_staging_enabled() and not (_FUSED_RESERVED & set(cols)):
+        types = {f.name: f.dataType for f in schema.fields}
+        nil = F.lit(None)
+        roles = F.array(
+            F.struct(
+                *[nil.cast(types[x]).alias(x) for x in cols],
+                nil.cast("string").alias("_change_type"),
+                F.col("_vt_path").cast("string").alias("path"),
+                F.col("_vt_pos").cast("long").alias("pos"),
+                F.lit("dv").alias("_kind"),
+            ),
+            F.struct(
+                *[F.col(x).alias(x) for x in cols],
+                F.lit("delete").cast("string").alias("_change_type"),
+                nil.cast("string").alias("path"),
+                nil.cast("long").alias("pos"),
+                F.lit("cdf").alias("_kind"),
+            ),
         )
-        deleted = cm.drop("_vt_path", "_vt_pos").withColumn(
-            "_change_type", F.lit("delete")
-        )
-        dv_files = _stage_data_files(dv_rows, path)
-        change_files = _stage_data_files(deleted, path)
-    finally:
-        import shutil
+        tagged = matches.select(F.explode(roles).alias("_r")).select("_r.*")
+        staged = _stage_tagged_files(tagged, path)
+        dv_files = staged.get("dv", [])
+        change_files = staged.get("cdf", [])
+    else:
+        scratch = os.path.join(path, "_tmp", f"delete-{uuid.uuid4().hex}")
+        matches.write.mode("overwrite").parquet(scratch)
+        try:
+            cm = spark.read.schema(matches.schema).parquet(scratch)
+            dv_rows = cm.select(
+                F.col("_vt_path").alias("path"), F.col("_vt_pos").alias("pos")
+            )
+            deleted = cm.drop("_vt_path", "_vt_pos").withColumn(
+                "_change_type", F.lit("delete")
+            )
+            dv_files = _stage_data_files(dv_rows, path)
+            change_files = _stage_data_files(deleted, path)
+        finally:
+            import shutil
 
-        shutil.rmtree(scratch, ignore_errors=True)
+            shutil.rmtree(scratch, ignore_errors=True)
     return {
         "dv_files": dv_files,
         "change_files": change_files,

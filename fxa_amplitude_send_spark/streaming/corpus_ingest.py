@@ -181,7 +181,7 @@ def ingest_batch_neardup(
         ).cast("double")
         / F.lit(float(k))
     )
-    losers = (
+    pairs = (
         all_bands.alias("l")
         .join(
             all_bands.alias("r"),
@@ -195,28 +195,42 @@ def ingest_batch_neardup(
             F.col("l._sig").alias("_siga"),
             F.col("r._sig").alias("_sigb"),
         )
-        # NO pair-level dropDuplicates here: a pair colliding in several
-        # bands re-evaluates the (cheap, inline) agreement estimate to the
-        # same verdict, and the trailing single-column distinct dedups the
-        # losers anyway — while dropDuplicates exchanged the two 64-long
-        # signature arrays per pair just to save those re-evaluations
-        # (narrower shuffle, one less exchange; guide §2.3). The HISTORY
-        # path keeps its pair dedup because there duplicates would multiply
-        # a subsequent signature-fetch join, not an inline expression.
+    )
+    # NO pair-level dropDuplicates by default: a pair colliding in several
+    # bands re-evaluates the (cheap, inline) agreement estimate to the
+    # same verdict, and the trailing single-column distinct dedups the
+    # losers anyway — while dropDuplicates exchanged the two 64-long
+    # signature arrays per pair just to save those re-evaluations
+    # (narrower shuffle, one less exchange; guide §2.3). The HISTORY
+    # path keeps its pair dedup because there duplicates would multiply
+    # a subsequent signature-fetch join, not an inline expression.
+    # SPARK_GRAFT_NEARDUP_PAIR_DEDUP=1 restores the round-8 wide dedup —
+    # the interleaved-A/B measurement seam, not a production setting.
+    if os.environ.get("SPARK_GRAFT_NEARDUP_PAIR_DEDUP") == "1":
+        pairs = pairs.dropDuplicates(["_a", "_b"])
+    losers = (
+        pairs
         .filter(agree >= threshold)
         .select(F.col("_b").alias(id_col))
         .distinct()
     )
     signed = signed_all.join(losers, id_col, "left_anti")
 
-    # 4. vs history: band-bucket candidates, then signature re-estimate
-    bands_dir = os.path.join(index_path, "bands")
-    sigs_dir = os.path.join(index_path, "sigs")
+    # 4. vs history: band-bucket candidates, then signature re-estimate.
+    # Both index roles live under ONE _kind-partitioned dir so the
+    # per-batch index update is a single write job (was two writes of the
+    # same checkpointed frame); readers scan one role's subdir with the
+    # other role's null columns pruned at the columnar scan.
+    parts_dir = os.path.join(index_path, "parts")
+    bands_dir = os.path.join(parts_dir, "_kind=bands")
+    sigs_dir = os.path.join(parts_dir, "_kind=sigs")
     if os.path.exists(bands_dir):
         batch_bands = all_bands.join(losers, id_col, "left_anti").select(
             "fingerprint", "_sig", "band", "bhash"
         )
-        hist_bands = spark.read.parquet(bands_dir)
+        hist_bands = spark.read.parquet(bands_dir).select(
+            "fingerprint", "band", "bhash"
+        )
         cand = (
             batch_bands.alias("b")
             .join(hist_bands.alias("h"), ["band", "bhash"])
@@ -256,16 +270,27 @@ def ingest_batch_neardup(
             fresh.drop("fingerprint", "_sig"), table_path, txn_id
         )
         # index updates AFTER the doc commit (crash -> replay repairs; the
-        # candidate join tolerates re-appended rows)
-        fresh.select(
+        # candidate join tolerates re-appended rows). Band keys and
+        # signatures land in ONE _kind-partitioned append over the
+        # checkpointed frame — one job, two roles.
+        band_rows = fresh.select(
             "fingerprint",
             F.posexplode(band_hashes(F.col("_sig"), k, bands)).alias(
                 "band", "bhash"
             ),
-        ).write.mode("append").parquet(bands_dir)
-        fresh.select("fingerprint", F.col("_sig").alias("sig")).write.mode(
-            "append"
-        ).parquet(sigs_dir)
+            F.lit(None).cast("array<bigint>").alias("sig"),
+            F.lit("bands").alias("_kind"),
+        )
+        sig_rows = fresh.select(
+            "fingerprint",
+            F.lit(None).cast("int").alias("band"),
+            F.lit(None).cast("bigint").alias("bhash"),
+            F.col("_sig").cast("array<bigint>").alias("sig"),
+            F.lit("sigs").alias("_kind"),
+        )
+        band_rows.unionByName(sig_rows).write.mode("append").partitionBy(
+            "_kind"
+        ).parquet(parts_dir)
     return n_new
 
 

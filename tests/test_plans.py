@@ -432,13 +432,36 @@ def test_no_cartesian_product_in_any_registered_query(spark, sf_smoke):
         "llm_hard_negatives",  # broadcast bounded anchor batch (a training
                                # batch by construction), one corpus scan
     }
-    offenders = []
-    for name, fn in sorted(QUERIES.items()):
-        plan = physical_plan(fn(spark, sf_smoke))
+    # The registry's GATE queries run real lifecycles (writes + commits)
+    # when their builder is called, so auditing 296 plans serially is
+    # minutes of driver-idle tail. Independent queries overlap fine inside
+    # one SparkSession (guide §2.6): a small thread pool keeps the
+    # scheduler busy and cuts the audit's wall clock several-fold. Each
+    # gate writes under its own _work_root tag, so concurrent builders
+    # never collide.
+    from concurrent.futures import ThreadPoolExecutor
+
+    # NOT physical_plan(): that captures explain() via redirect_stdout,
+    # which is process-global — concurrent explains would interleave into
+    # each other's buffers (observed: phantom BNLJ offenders). Fetch the
+    # plan string straight from the JVM instead.
+    fmt = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+
+    def audit(item):
+        name, fn = item
+        plan = fn(spark, sf_smoke)._jdf.queryExecution().explainString(fmt)
+        out = []
         if "CartesianProduct" in plan:
-            offenders.append((name, "CartesianProduct"))
+            out.append((name, "CartesianProduct"))
         if "BroadcastNestedLoopJoin" in plan and name not in bnlj_allowed:
-            offenders.append((name, "BroadcastNestedLoopJoin"))
+            out.append((name, "BroadcastNestedLoopJoin"))
+        return out
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(audit, sorted(QUERIES.items())))
+    offenders = sorted(o for out in results for o in out)
     assert not offenders, offenders
 
 
