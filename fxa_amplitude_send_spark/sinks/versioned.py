@@ -1438,6 +1438,12 @@ def _stage_merge_mor(
     # near the broadcast threshold let the planner try to build it on the
     # driver — which OOM'd a 1 GiB driver at sf1. SMJ is spill-safe at any
     # scale; the updates side stays free for AQE to broadcast when small.
+    # Round-10 negative result: gating the hint on the manifest's EXACT
+    # row count (skip it for provably tiny tables, letting AQE broadcast
+    # the positioned side) measured slightly SLOWER under interleaved A/B
+    # (q_stream_txn_merge min 9.43 vs 8.75 s, q_versioned_txn_merge 3.64
+    # vs 3.34) — building a broadcast of the positioned scan costs about
+    # what the small sort costs, so the unconditional hint stays.
     j2 = u2.join(c2.hint("merge"), key_cols, "left_outer")
     val_cols = [x for x in cols if x not in key_cols]
     merged_val = {x: F.coalesce(F.col(f"u.{x}"), F.col(f"c.{x}")) for x in val_cols}
